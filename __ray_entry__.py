@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in planetiler_ray) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,60 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full tile-pyramid build over the sf0.001-derived
+    image table (z0–z8 for the smoke check); returns the tile Dataset."""
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.sources.images import images_from_documents, sample_image_ids
+    from planetiler_ray.stages.render import RenderConfig
+
+    sf_dir = "/root/testdata/sf0.001"
+    images = images_from_documents(sf_dir)
+    ids = sample_image_ids(sf_dir)
+    cfg = RenderConfig(min_zoom=0, max_zoom=8)
+    return build_pyramid(images, ids, cfg, num_partitions=16)
+
+
+def _pyramid_query(sf_dir: str) -> Any:
+    """Tile pyramid z0–z10 over the derived image table: per-zoom stats."""
+    import numpy as np
+
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.sources.images import images_from_documents, sample_image_ids
+    from planetiler_ray.stages.render import RenderConfig
+
+    images = images_from_documents(sf_dir)
+    ids = sample_image_ids(sf_dir)
+    cfg = RenderConfig(min_zoom=0, max_zoom=10)
+    tiles = build_pyramid(images, ids, cfg, num_partitions=32,
+                          with_feature_ids=False)
+    df = tiles.to_pandas()
+    out = df.groupby("z", as_index=False).agg(
+        n_tiles=("tile_id", "size"), n_features=("n_features", "sum"))
+    out["n_features"] = out["n_features"].astype(np.int64)
+    out["z"] = out["z"].astype(np.int64)
+    return out
+
+
+def _join_query(sf_dir: str) -> Any:
+    """z12 spatial join + kNN captions over the derived image table."""
+    from planetiler_ray.pipelines.tiles import spatial_join
+    from planetiler_ray.sources.images import images_from_documents, sample_image_ids
+
+    images = images_from_documents(sf_dir)
+    ids = sample_image_ids(sf_dir)
+    return spatial_join(images, ids, num_partitions=32, zoom=12)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from planetiler_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["image_pyramid_stats"] = _pyramid_query
+    out["image_spatial_join_z12"] = _join_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from planetiler_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,541 @@
+"""Oracle-checkable query suite over the driver's testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Ray ``Dataset`` /
+pandas DataFrame; ``ORACLE_SQL`` holds the DuckDB-equivalent SQL the
+driver runs side-by-side (CORRECTNESS gate).  Column names match the
+SQL aliases exactly.
+
+Geospatial queries derive deterministic coordinates from ``event_id``
+with *pure arithmetic* (multiplicative hashes) so the same placement is
+expressible in ANSI SQL bit-for-bit:
+
+    u  = (event_id * 2654435761) % 2^32          # Knuth multiplicative
+    v  = (event_id * 2246822519) % 2^32
+    wx = u / 2^32                                # world mercator x
+    wy = 0.05 + 0.9 * (v / 2^32)                 # stays inside the world
+
+Tile math then follows the engine kernels (floor(w·2^z), TMS encode =
+zoom_start + x·2^z + (2^z−1−y)) — the same semantics conformance-tested
+against the reference in tests/test_tilemath.py.
+
+Engine-only pipelines (Hilbert ids, MinHash-LSH, SimHash, pyramid over
+the image fixture) have no SQL entry → the driver records a rows-only
+check; their correctness is covered by the pytest golden oracles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+U_MULT = 2654435761
+V_MULT = 2246822519
+TWO32 = 4294967296.0
+EPS_TILE = 0.1 / 4096          # neighbor epsilon, tile units
+EPS_PX = EPS_TILE * 256        # = 0.00625
+
+
+def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _event_world(batch: pa.Table) -> pa.Table:
+    """events batch → (event_id, wx, wy) with the arithmetic placement."""
+    eid = batch["event_id"].to_numpy()
+    u = (eid * U_MULT) % (1 << 32)
+    v = (eid * V_MULT) % (1 << 32)
+    wx = u.astype(np.float64) / TWO32
+    wy = 0.05 + 0.9 * (v.astype(np.float64) / TWO32)
+    return pa.table({"event_id": eid, "wx": wx, "wy": wy})
+
+
+_EVENT_WORLD_SQL = """
+    SELECT event_id,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS wy
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# geospatial
+# ---------------------------------------------------------------------------
+
+def q_tile_assign_z14(sf_dir: str):
+    """Point→tile assignment at z14 + TMS encode, counted per tile."""
+    from ..tilemath.tilecoord import tms_encode, tile_of_point
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 14)
+        tid = tms_encode(x, y, np.full(len(x), 14))
+        return pa.table({"x": x.astype(np.int64), "y": y.astype(np.int64),
+                         "tile_id": tid})
+
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
+    return ds.groupby(["tile_id", "x", "y"]).aggregate(Count(alias_name="n"))
+
+
+SQL_TILE_ASSIGN_Z14 = f"""
+WITH w AS ({_EVENT_WORLD_SQL})
+SELECT 89478485 + CAST(floor(wx*16384) AS BIGINT)*16384
+         + (16383 - CAST(floor(wy*16384) AS BIGINT)) AS tile_id,
+       CAST(floor(wx*16384) AS BIGINT) AS x,
+       CAST(floor(wy*16384) AS BIGINT) AS y,
+       count(*) AS n
+FROM w GROUP BY 1, 2, 3
+"""
+
+
+def q_tile_pyramid_counts(sf_dir: str):
+    """Distinct-tile and point counts per zoom 0..8 (pyramid fan-out)."""
+    from ..tilemath.tilecoord import tile_of_point
+
+    def fan(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        wx, wy = t["wx"].to_numpy(), t["wy"].to_numpy()
+        zs, xs, ys = [], [], []
+        for z in range(0, 9):
+            x, y = tile_of_point(wx, wy, z)
+            zs.append(np.full(len(x), z, np.int64))
+            xs.append(x)
+            ys.append(y)
+        return pa.table({"z": np.concatenate(zs), "x": np.concatenate(xs),
+                         "y": np.concatenate(ys)})
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(fan, batch_format="pyarrow")
+    # partial aggregate per batch, then a tiny global groupby
+    per_tile = ds.groupby(["z", "x", "y"]).count()
+    df = per_tile.to_pandas()
+    out = df.groupby("z").agg(n_tiles=("count()", "size"),
+                              n_points=("count()", "sum")).reset_index()
+    out["n_points"] = out["n_points"].astype(np.int64)
+    return out
+
+
+SQL_TILE_PYRAMID_COUNTS = f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+t AS (SELECT g.z AS z, CAST(floor(wx * (1 << g.z)) AS BIGINT) AS x,
+             CAST(floor(wy * (1 << g.z)) AS BIGINT) AS y
+      FROM w, generate_series(0, 8) g(z))
+SELECT z, count(DISTINCT (x, y)) AS n_tiles, count(*) AS n_points
+FROM t GROUP BY z
+"""
+
+
+def q_tile_extents_filter(sf_dir: str):
+    """Bbox filter in world space, counted per z5 tile (TileExtents analog)."""
+    from ..tilemath.extents import TileExtents
+    from ..tilemath.tilecoord import tile_of_point
+
+    ext = TileExtents.compute_from_world_bounds(5, (0.25, 0.3, 0.75, 0.8))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 5)
+        m = ext.test(x, y, 5)
+        return pa.table({"x": x[m], "y": y[m]})
+
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
+    return ds.groupby(["x", "y"]).aggregate(Count(alias_name="n"))
+
+
+# extents: quantizeDown(0.25·32)=8, quantizeUp(0.75·32)=24 → x∈[8,24); y∈[9,26)
+SQL_TILE_EXTENTS_FILTER = f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+t AS (SELECT CAST(floor(wx*32) AS BIGINT) AS x, CAST(floor(wy*32) AS BIGINT) AS y FROM w)
+SELECT x, y, count(*) AS n FROM t
+WHERE x >= 8 AND x < 24 AND y >= 9 AND y < 26
+GROUP BY x, y
+"""
+
+
+def q_pip_boxes_z7(sf_dir: str):
+    """Box-footprint × tile intersection join at z7 (stripe-clip kernel)."""
+    from ..tilemath.clip import slice_boxes
+    from ..tilemath.extents import TileExtents
+
+    ext = TileExtents.world(7)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        eid = t["event_id"].to_numpy()
+        wx, wy = t["wx"].to_numpy(), t["wy"].to_numpy()
+        hw = 0.001 * (1 + eid % 5)
+        f = 128.0
+        r = slice_boxes((wx - hw) * f, (wy - hw) * f, (wx + hw) * f, (wy + hw) * f,
+                        7, 0.0, ext)
+        return pa.table({"event_id": eid[r["row"]],
+                         "x": r["x"].astype(np.int64), "y": r["y"].astype(np.int64)})
+
+    return _read(sf_dir, "events", ["event_id"]).map_batches(clip, batch_format="pyarrow")
+
+
+SQL_PIP_BOXES_Z7 = f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+g AS (SELECT event_id, wx, wy, 0.001 * (1 + event_id % 5) AS hw FROM w),
+s AS (SELECT event_id, (wx-hw)*128 AS a, (wy-hw)*128 AS c,
+             (wx+hw)*128 AS b, (wy+hw)*128 AS d FROM g),
+xx AS (SELECT *, unnest(generate_series(CAST(floor(a - {EPS_TILE!r}) AS BIGINT),
+                                        CAST(floor(b + {EPS_TILE!r}) AS BIGINT))) AS gx
+       FROM s),
+yy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(c - {EPS_TILE!r}) AS BIGINT)),
+                                        least(127, CAST(floor(d + {EPS_TILE!r}) AS BIGINT)))) AS gy
+       FROM xx)
+SELECT event_id, ((gx % 128) + 128) % 128 AS x, gy AS y
+FROM yy
+WHERE least((b - gx)*256, 256.0) - greatest((a - gx)*256, 0.0) > -{EPS_PX!r}
+  AND least((d - gy)*256, 256.0) - greatest((c - gy)*256, 0.0) > -{EPS_PX!r}
+"""
+
+
+def q_labelgrid_topk_z10(sf_dir: str):
+    """Per-z10-tile density limit: keep the 3 lowest-sort-key points.
+
+    The label-grid / feature-limit semantics of
+    ``collection/FeatureGroup.java:616-637`` as a distributed top-k:
+    partial top-k per batch (combiner), then exact top-k per tile.
+    """
+    from ..tilemath.tilecoord import tile_of_point
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        eid = t["event_id"].to_numpy()
+        x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 10)
+        sk = (eid % 100).astype(np.int64)
+        tbl = pa.table({"event_id": eid, "x": x, "y": y, "sort_key": sk})
+        part = _topk_per_tile(tbl, 3)  # partial top-k inside the map stage
+        # coarse shuffle key: many tiles per group, processed vectorized
+        bucket = (part["x"].to_numpy() * 31 + part["y"].to_numpy()) % 64
+        return part.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(partial(_topk_per_tile, k=3),
+                                          batch_format="pyarrow")
+    return out.select_columns(["event_id", "x", "y", "sort_key", "rnk"])
+
+
+def _topk_per_tile(tbl: pa.Table, k: int) -> pa.Table:
+    x = tbl["x"].to_numpy()
+    y = tbl["y"].to_numpy()
+    eid = tbl["event_id"].to_numpy()
+    sk = tbl["sort_key"].to_numpy()
+    order = np.lexsort((eid, sk, y, x))
+    xs, ys, es, ss = x[order], y[order], eid[order], sk[order]
+    tile_change = np.empty(len(xs), bool)
+    tile_change[0] = True
+    tile_change[1:] = (np.diff(xs) != 0) | (np.diff(ys) != 0)
+    grp = np.cumsum(tile_change) - 1
+    first = np.flatnonzero(tile_change)
+    rank = np.arange(len(xs)) - first[grp]
+    m = rank < k
+    return pa.table({"event_id": es[m], "x": xs[m], "y": ys[m],
+                     "sort_key": ss[m], "rnk": (rank[m] + 1).astype(np.int64)})
+
+
+SQL_LABELGRID_TOPK_Z10 = f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+t AS (SELECT event_id, CAST(floor(wx*1024) AS BIGINT) AS x,
+             CAST(floor(wy*1024) AS BIGINT) AS y, event_id % 100 AS sort_key FROM w),
+r AS (SELECT *, row_number() OVER (PARTITION BY x, y
+                                   ORDER BY sort_key, event_id) AS rnk FROM t)
+SELECT event_id, x, y, sort_key, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_knn_tile_z6(sf_dir: str):
+    """Per-z6-tile kNN: 3 points nearest the tile center (PointIndex analog)."""
+    from ..tilemath.tilecoord import tile_of_point
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        eid = t["event_id"].to_numpy()
+        wx, wy = t["wx"].to_numpy(), t["wy"].to_numpy()
+        x, y = tile_of_point(wx, wy, 6)
+        d2 = (wx - (x + 0.5) / 64) ** 2 + (wy - (y + 0.5) / 64) ** 2
+        return pa.table({"event_id": eid, "x": x, "y": y, "d2": d2})
+
+    def topk(tbl: pa.Table, k: int = 3) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        x = tbl["x"].to_numpy()
+        y = tbl["y"].to_numpy()
+        eid = tbl["event_id"].to_numpy()
+        d2 = tbl["d2"].to_numpy()
+        order = np.lexsort((eid, d2, y, x))
+        xs, ys, es, ds_ = x[order], y[order], eid[order], d2[order]
+        change = np.empty(len(xs), bool)
+        change[0] = True
+        change[1:] = (np.diff(xs) != 0) | (np.diff(ys) != 0)
+        grp = np.cumsum(change) - 1
+        rank = np.arange(len(xs)) - np.flatnonzero(change)[grp]
+        m = rank < k
+        return pa.table({"event_id": es[m], "x": xs[m], "y": ys[m], "d2": ds_[m],
+                         "rnk": (rank[m] + 1).astype(np.int64)})
+
+    def partial_topk(tbl: pa.Table) -> pa.Table:
+        part = topk(tbl)
+        bucket = (part["x"].to_numpy() * 31 + part["y"].to_numpy()) % 64
+        return part.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
+    ds = ds.map_batches(partial_topk, batch_format="pyarrow")   # combiner per batch
+    final = ds.groupby("bucket").map_groups(topk, batch_format="pyarrow")
+    return final.select_columns(["event_id", "x", "y", "rnk"])
+
+
+SQL_KNN_TILE_Z6 = f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+t AS (SELECT event_id, CAST(floor(wx*64) AS BIGINT) AS x,
+             CAST(floor(wy*64) AS BIGINT) AS y,
+             (wx - (CAST(floor(wx*64) AS BIGINT) + 0.5)/64)
+               * (wx - (CAST(floor(wx*64) AS BIGINT) + 0.5)/64)
+             + (wy - (CAST(floor(wy*64) AS BIGINT) + 0.5)/64)
+               * (wy - (CAST(floor(wy*64) AS BIGINT) + 0.5)/64) AS d2
+      FROM w),
+r AS (SELECT event_id, x, y,
+             row_number() OVER (PARTITION BY x, y ORDER BY d2, event_id) AS rnk
+      FROM t)
+SELECT event_id, x, y, rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_hilbert_tiles_z8(sf_dir: str):
+    """Hilbert ids of occupied z8 tiles (no SQL analog → rows-only check)."""
+    from ..tilemath.tilecoord import hilbert_encode_tile, tile_of_point
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 8)
+        return pa.table({"x": x, "y": y,
+                         "hilbert_id": hilbert_encode_tile(x, y, 8)})
+
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
+    return ds.groupby(["hilbert_id", "x", "y"]).aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# relational (general engine ops: joins, aggregates, sort, limit)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem (groupby aggregate)."""
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"], "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc,
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"]).map_batches(prep, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    ).to_pandas()
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        out[c] = out[c].round(2)
+    return out
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(sf_dir: str):
+    """3-table join + groupby + top-k (TPC-H Q3 shape).
+
+    customer('BUILDING') ⋈ orders ⋈ lineitem → revenue per order, top 10.
+    Broadcast the small side (filtered customer keys) into the lineitem
+    scan instead of shuffling — the guide's semi-join pattern.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = set(cust.to_pandas().query("c_mktsegment == 'BUILDING'")["c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    okeys_df = orders.map_batches(
+        lambda t: t.filter(pc.is_in(t["o_custkey"],
+                                    value_set=pa.array(list(ckeys), pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    odate = dict(zip(okeys_df["o_orderkey"], okeys_df["o_orderdate"]))
+    okeys = pa.array(list(odate.keys()), pa.int64())
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okeys))
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": r})
+
+    from ray.data.aggregate import Sum
+    agg = li.map_batches(rev, batch_format="pyarrow") \
+            .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")) \
+            .to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["o_orderdate"] = agg["o_orderkey"].map(odate)
+    agg = agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return agg[["o_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """5-table star join: revenue per nation (TPC-H Q5 shape, broadcast dims)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    o2n = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    okey_to_nation = dict(zip(o2n["o_orderkey"], o2n["c_nationkey"]))
+    bcast = okey_to_nation  # broadcast small side; lookup per batch
+
+    def rev(t: pa.Table) -> pd.DataFrame:
+        ok = t["l_orderkey"].to_numpy()
+        nk = np.array([bcast.get(int(k), -1) for k in ok], dtype=np.int64)
+        r = (t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()))
+        df = pd.DataFrame({"n_nationkey": nk, "revenue": r})
+        return df.groupby("n_nationkey", as_index=False)["revenue"].sum()  # partial agg
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(rev, batch_format="pyarrow") \
+            .groupby("n_nationkey").sum("revenue").to_pandas()
+    agg = agg.rename(columns={"sum(revenue)": "revenue"})
+    agg = agg.merge(nation, on="n_nationkey")
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg[["n_name", "revenue"]]
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (streaming-window analog)."""
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"], "value": t["value"],
+        })
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]) \
+        .map_batches(trunc, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+    out = ds.groupby(["hour", "event_type"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    return out
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Per-brand part stats (simple groupby over a dimension table)."""
+    from ray.data.aggregate import Count, Max, Mean
+    out = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]) \
+        .groupby("p_brand").aggregate(
+            Count(alias_name="n"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size")).to_pandas()
+    out["avg_price"] = out["avg_price"].round(2)
+    return out
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization: count 30-min-gap sessions per user (ordered groups)."""
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(gaps.sum()) + 1],
+                             "n_events": [len(g)]})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "tile_assign_z14": q_tile_assign_z14,
+    "tile_pyramid_counts": q_tile_pyramid_counts,
+    "tile_extents_filter": q_tile_extents_filter,
+    "pip_boxes_z7": q_pip_boxes_z7,
+    "labelgrid_topk_z10": q_labelgrid_topk_z10,
+    "knn_tile_z6": q_knn_tile_z6,
+    "hilbert_tiles_z8": q_hilbert_tiles_z8,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "nation_revenue": q_nation_revenue,
+    "events_hourly": q_events_hourly,
+    "part_brand_stats": q_part_brand_stats,
+    "user_sessions": q_user_sessions,
+}
+
+ORACLE_SQL = {
+    "tile_assign_z14": SQL_TILE_ASSIGN_Z14,
+    "tile_pyramid_counts": SQL_TILE_PYRAMID_COUNTS,
+    "tile_extents_filter": SQL_TILE_EXTENTS_FILTER,
+    "pip_boxes_z7": SQL_PIP_BOXES_Z7,
+    "labelgrid_topk_z10": SQL_LABELGRID_TOPK_Z10,
+    "knn_tile_z6": SQL_KNN_TILE_Z6,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "part_brand_stats": SQL_PART_BRAND_STATS,
+    "user_sessions": SQL_USER_SESSIONS,
+}

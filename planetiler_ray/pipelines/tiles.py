@@ -1,0 +1,204 @@
+"""The flagship pipelines: full tile-pyramid build and the z14 spatial join.
+
+Dataflow (SURVEY.md §7.0) — pure ``ray.data``, Arrow batches throughout:
+
+    read_parquet(images, columns=[no bytes!])        # prune at the read
+      └─ map_batches(georef_batch)                   # world-mercator footprints
+      └─ map_batches(render_fanout)                  # z0..z14 fan-out → fragments
+      └─ groupby("part")                             # explicit Hilbert range shuffle
+      └─ map_groups(reduce_partition)                # per-tile merge + encode
+      └─ write (checkpointed parquet per partition) or return Dataset
+
+Partition bounds are equal-frequency quantiles of Hilbert fragment keys
+computed from a deterministic driver-side sample of the input ids —
+skewed (city-hotspot) key ranges automatically get narrow partitions.
+The per-partition reduce is restartable: with a ``CheckpointStore``,
+completed partitions are filtered out BEFORE the shuffle on resume.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..fixtures import georef_from_ids
+from ..stages.exchange import exchange_reduce
+from ..stages.georef import georef_batch
+from ..stages.render import RenderConfig, compute_partition_bounds, render_fanout
+from ..stages.reduce import reduce_partition
+from ..state.checkpoint import CheckpointStore
+from ..tilemath.hashing import fnv1a_64_u64
+
+
+def sample_partition_bounds(sample_ids: np.ndarray, cfg: RenderConfig,
+                            num_partitions: int) -> np.ndarray:
+    """Driver-side bounds estimation from a sample of image ids.
+
+    Renders the sample's fan-out in-process (pure numpy, no Ray) and
+    takes equal-count quantiles of the resulting Hilbert keys — the
+    same sample-then-range-partition approach Ray's own sort uses, but
+    on the *post-fanout* key distribution so the skew of dense tiles
+    is measured where it matters.
+    """
+    g = georef_from_ids(sample_ids)
+    tbl = pa.table({
+        "image_id": pa.array(np.asarray(sample_ids).tolist(), pa.string()),
+        "idx": g["idx"], "cx": g["cx"], "cy": g["cy"], "hw": g["hw"], "hh": g["hh"],
+    })
+    frags = render_fanout(tbl, cfg)
+    return compute_partition_bounds(frags["hilbert_id"].to_numpy(), num_partitions)
+
+
+def render_fragments(images: "ray.data.Dataset", cfg: RenderConfig,
+                     bounds: np.ndarray, slim: bool = False) -> "ray.data.Dataset":
+    """images → georef → fan-out fragments (with partition column)."""
+    ds = images.map_batches(georef_batch, batch_format="pyarrow")
+    fanout = partial(render_fanout, cfg=cfg, part_bounds=bounds, slim=slim)
+    # fan-out multiplies rows ~20×; keep input batches moderate
+    return ds.map_batches(fanout, batch_format="pyarrow", batch_size=8192)
+
+
+class _CheckpointedReduce:
+    """Exchange reduce_fn that reduces + atomically persists one partition."""
+
+    def __init__(self, store_root: str, with_feature_ids: bool):
+        self.store = CheckpointStore(store_root)
+        self.with_feature_ids = with_feature_ids
+
+    def __call__(self, group: pa.Table, part: int) -> pa.Table:
+        t0 = time.monotonic()
+        tiles = reduce_partition(group, with_feature_ids=self.with_feature_ids)
+        hashes = tiles["content_hash"].to_numpy().view(np.uint64)
+        fp = 0 if not len(hashes) else int(np.bitwise_xor.reduce(fnv1a_64_u64(hashes)))
+        lineage = self.store.write_partition(part, tiles, group.num_rows,
+                                             time.monotonic() - t0, fp)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "n_tiles": pa.array([lineage["n_tiles"]], pa.int64()),
+                         "n_fragments": pa.array([lineage["n_fragments"]], pa.int64())})
+
+
+def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
+                  cfg: RenderConfig | None = None, num_partitions: int = 64,
+                  checkpoint_dir: str | None = None,
+                  with_feature_ids: bool = True,
+                  shuffle: str = "exchange"):
+    """Build the z0..max_zoom tile pyramid.
+
+    Without ``checkpoint_dir``: returns a lazy ``Dataset`` of tile rows
+    (tile_id, hilbert_id, z, x, y, n_features, content_hash,
+    [feature_ids], tile_bytes).
+
+    With ``checkpoint_dir``: runs the checkpointed, resumable variant —
+    each partition writes its own parquet + lineage; returns the
+    manifest summary dict.  Re-running with the same dir skips
+    completed partitions before the shuffle.
+
+    ``shuffle``: "exchange" (default; explicit map-side partition
+    exchange on the precomputed Hilbert ranges — see stages/exchange.py)
+    or "groupby" (pure Dataset ``groupby(part).map_groups``; same
+    results, used as a cross-check in tests).
+    """
+    cfg = cfg or RenderConfig()
+    bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
+    reduce_fn = partial(reduce_partition, with_feature_ids=with_feature_ids)
+
+    if checkpoint_dir is None:
+        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids)
+        if shuffle == "groupby":
+            return frags.groupby("part").map_groups(reduce_fn, batch_format="pyarrow")
+        return exchange_reduce(frags, num_partitions, reduce_fn)
+
+    store = CheckpointStore(checkpoint_dir)
+    done = store.completed_parts()
+    parts_to_run = np.array([p for p in range(num_partitions) if p not in done],
+                            dtype=np.int64)
+    if len(parts_to_run):
+        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids)
+        reducer = _CheckpointedReduce(checkpoint_dir, with_feature_ids)
+        metrics = exchange_reduce(frags, num_partitions, reducer,
+                                  parts_to_run=parts_to_run, pass_part=True)
+        metrics.materialize()  # drive execution; tiny (one row per partition)
+    return store.finalize({"num_partitions": num_partitions,
+                           "resumed_parts": len(done)})
+
+
+def read_pyramid(checkpoint_dir: str) -> "ray.data.Dataset":
+    """Read a checkpointed pyramid back as a Dataset."""
+    return ray.data.read_parquet(CheckpointStore(checkpoint_dir).data_files())
+
+
+# ---------------------------------------------------------------------------
+# z14 spatial join: chip footprint × tile polygons + per-tile kNN captions
+# ---------------------------------------------------------------------------
+
+def _join_reduce(group: pa.Table, k: int = 3) -> pa.Table:
+    """Per-tile: footprint-intersection rows + kNN caption ranks.
+
+    For each tile, rank the chips whose footprint intersects the tile
+    (+buffer) by Euclidean distance (world mercator) of chip centroid to
+    the tile center; ties broken by image_id ascending
+    (FIXTURES.md §3).  ``knn_rank`` = 1..k for the k nearest, else 0.
+    """
+    import pandas as pd
+    if group.num_rows == 0:
+        return pa.table({"tile_id": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.int8()),
+                         "x": pa.array([], pa.int32()), "y": pa.array([], pa.int32()),
+                         "image_id": pa.array([], pa.string()),
+                         "caption": pa.array([], pa.string()),
+                         "knn_rank": pa.array([], pa.int8())})
+    tile = group["tile_id"].to_numpy()
+    z = group["z"].to_numpy()
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    cx = group["cx"].to_numpy()
+    cy = group["cy"].to_numpy()
+    image_id = group["image_id"].to_numpy(zero_copy_only=False)
+    caption = group["caption"].to_numpy(zero_copy_only=False)
+
+    inv = np.ldexp(1.0, -z.astype(np.int64))
+    tcx = (x.astype(np.float64) + 0.5) * inv
+    tcy = (y.astype(np.float64) + 0.5) * inv
+    dist = np.hypot(cx - tcx, cy - tcy)
+
+    order = np.lexsort((image_id, dist, tile))
+    rank = pd.Series(tile[order]).groupby(tile[order], sort=False).cumcount().to_numpy()
+    knn = np.where(rank < k, rank + 1, 0).astype(np.int8)
+    out_rank = np.empty(len(tile), dtype=np.int8)
+    out_rank[order] = knn
+    return pa.table({
+        "tile_id": tile, "z": z, "x": x, "y": y,
+        "image_id": pa.array(image_id.tolist(), pa.string()),
+        "caption": pa.array(caption.tolist(), pa.string()),
+        "knn_rank": out_rank,
+    })
+
+
+def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
+                 num_partitions: int = 64, k: int = 3,
+                 zoom: int = 14) -> "ray.data.Dataset":
+    """Footprint × z14-tile intersection join with per-tile kNN captions.
+
+    Returns a Dataset of (tile_id, z, x, y, image_id, caption, knn_rank)
+    — one row per footprint∩tile(+buffer) pair.  The kNN lookup reuses
+    the tile shuffle (candidates = chips in tile+buffer), the analog of
+    the reference's ``geo/PointIndex.java`` radius queries but with no
+    cross-node index state.
+    """
+    cfg = RenderConfig(min_zoom=zoom, max_zoom=zoom, emit_points=False)
+    bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
+    JOIN_COLS = ["tile_id", "part", "z", "x", "y", "image_id", "caption", "cx", "cy"]
+
+    def fanout_with_caption(batch: pa.Table) -> pa.Table:
+        geo = georef_batch(batch)
+        frags = render_fanout(geo, cfg, bounds, extra_cols=("caption",))
+        return frags.select(JOIN_COLS)  # shuffle only what the join reduce needs
+
+    frags = images.map_batches(fanout_with_caption, batch_format="pyarrow",
+                               batch_size=8192)
+    return exchange_reduce(frags, num_partitions, partial(_join_reduce, k=k))

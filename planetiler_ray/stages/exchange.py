@@ -1,0 +1,91 @@
+"""Explicit partition exchange: the engine's main shuffle.
+
+Fragments leave the render fan-out already carrying their Hilbert
+range-partition id (``part``), so a full sort-based ``groupby`` — which
+re-samples and re-sorts the key — is wasted work.  This module
+implements the classic map-side-partition / reduce-side-merge exchange
+(exactly what the reference's external merge sort achieves on disk,
+``collection/ExternalMergeSort.java``) with Ray core primitives:
+
+  map:    every fan-out block is split by ``part`` into P sub-tables
+          (one vectorized argsort + slice per block)
+  reduce: task p concatenates its P-th piece of every block and runs
+          the per-partition reduce
+
+On a multi-node cluster the pieces move point-to-point through the
+object store exactly like any Ray shuffle; there is no central sorter.
+Skew is handled upstream by the equal-frequency Hilbert bounds (dense
+key ranges → narrower partitions).
+
+This is the one place the engine drops below the Dataset API — the
+Dataset ``groupby`` cannot express "rows are already partitioned;
+just exchange them".  Input and output are still Datasets.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _split_block(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
+    """Split one block into per-partition sub-tables (vectorized).
+
+    Fan-out batches arrive pre-sorted by ``part``; blocks concatenating
+    several batches are near-sorted, so skip the argsort when possible
+    and slice zero-copy.
+    """
+    part = tbl.column("part").to_numpy()
+    if len(part) == 0 or bool((np.diff(part) >= 0).all()):
+        sorted_tbl, sp = tbl, part
+    else:
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sp = part[order]
+    # boundaries of each partition id within the sorted block
+    starts = np.searchsorted(sp, np.arange(num_partitions + 1))
+    out = []
+    for p in range(num_partitions):
+        lo, hi = int(starts[p]), int(starts[p + 1])
+        out.append(sorted_tbl.slice(lo, hi - lo))
+    return out
+
+
+def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
+                    reduce_fn: Callable[..., pa.Table],
+                    parts_to_run: np.ndarray | None = None,
+                    pass_part: bool = False) -> "ray.data.Dataset":
+    """Exchange fan-out blocks by precomputed ``part`` and reduce each.
+
+    ``parts_to_run``: optional subset of partition ids (resume support —
+    completed partitions are skipped without touching their pieces).
+    ``pass_part``: call ``reduce_fn(table, part_id)`` (checkpoint writers
+    need the id even for empty partitions).
+    Returns a Dataset of the concatenated reduce outputs.
+    """
+    block_refs = frags.to_arrow_refs()
+    n_blocks = len(block_refs)
+    if n_blocks == 0:
+        return ray.data.from_items([])
+
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    pieces = [split.remote(ref, num_partitions) for ref in block_refs]
+    if num_partitions == 1:
+        pieces = [[p] for p in pieces]
+
+    @ray.remote
+    def reduce_task(part_id: int, *tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        merged = pa.concat_tables(live) if live else tables[0]
+        return reduce_fn(merged, part_id) if pass_part else reduce_fn(merged)
+
+    run = (range(num_partitions) if parts_to_run is None
+           else [int(p) for p in parts_to_run])
+    out_refs = [reduce_task.remote(p, *[pieces[b][p] for b in range(n_blocks)])
+                for p in run]
+    return ray.data.from_arrow_refs(out_refs)

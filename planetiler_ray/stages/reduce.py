@@ -1,0 +1,198 @@
+"""Per-tile reduce: fragments of one Hilbert range partition → encoded tiles.
+
+The analog of the reference's sorted-stream tile assembly
+(``collection/FeatureGroup.java:339-378,527-599``) and tile encoding
+(``archive/TileArchiveWriter.java:273-335``), re-expressed as one
+vectorized ``groupby("part").map_groups`` stage: each group is a whole
+Hilbert key-range of tiles, processed with numpy — per-tile Python
+loops only in the final arrow list/binary assembly, which are O(1)
+slice operations.
+
+Steps per partition (all vectorized over every tile in the range):
+
+1. sort fragments by (tile_id, layer, sort_key, idx) — the same total
+   order the reference gets from its 64-bit external sort key
+   (``FeatureGroup.java:176-180``)
+2. label-grid density limit: within (tile, layer, group_id) keep the
+   first ``limit`` features in sort order
+   (``FeatureGroup.java:616-637``)
+3. duplicate-fragment drop (same tile+layer+feature appears once)
+4. encode: fixed 28-byte record per fragment (layer, kind, sort key,
+   id-hash, quantized extent coords) concatenated per tile →
+   ``tile_bytes``; per-tile content hash = FNV-1a fold over the
+   per-record hashes in sort order (vectorized segmented fold) —
+   the dedup key (analog of ``FeatureGroup.hasSameContents`` /
+   ``util/Hashing.java`` content hashes)
+5. emit one row per tile: ids, zxy, n_features, sorted feature_ids
+   list, content_hash, tile_bytes
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..tilemath.hashing import FNV1_64_INIT, FNV1_PRIME_64, fnv1a_64_u64, mix64
+from ..tilemath.hilbert import hilbert_xy_to_index
+from ..tilemath.mvt import SCALE
+from ..tilemath.tilecoord import tms_decode, zoom_start_index
+from .render import LABEL_GRID_LIMIT
+
+RECORD_DTYPE = np.dtype([
+    ("layer", "u1"), ("kind", "u1"), ("sort_key", "<u2"),
+    ("id_hash", "<u8"),
+    ("x0", "<i4"), ("y0", "<i4"), ("x1", "<i4"), ("y1", "<i4"),
+])
+
+
+def _segmented_fnv_fold(rec_hash: np.ndarray, starts: np.ndarray,
+                        counts: np.ndarray) -> np.ndarray:
+    """FNV-1a fold of consecutive record hashes per tile, vectorized.
+
+    ``h = (h ^ rec_i) * prime`` applied in order within each segment;
+    iterates over *position-within-tile* so the total work is
+    O(total fragments) regardless of skew.
+    """
+    h = np.full(len(starts), FNV1_64_INIT, dtype=np.uint64)
+    active = np.arange(len(starts))
+    k = 0
+    with np.errstate(over="ignore"):
+        while len(active):
+            live = counts[active] > k
+            active = active[live]
+            if not len(active):
+                break
+            r = rec_hash[starts[active] + k]
+            h[active] = (h[active] ^ r) * FNV1_PRIME_64
+            k += 1
+    return h
+
+
+def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
+                     with_feature_ids: bool = True) -> pa.Table:
+    """Reduce all fragments of one partition into encoded tile rows."""
+    n = group.num_rows
+    if n == 0:
+        return _empty_tiles_table(with_feature_ids)
+
+    tile = group["tile_id"].to_numpy()
+    layer = group["layer"].to_numpy()
+    sort_key = group["sort_key"].to_numpy()
+    idx = group["idx"].to_numpy()
+    gid = group["group_id"].to_numpy()
+
+    # 1. the big within-partition sort (reference: external merge sort order)
+    order = np.lexsort((idx, sort_key, layer, tile))
+    tile = tile[order]
+    layer = layer[order]
+    sort_key = sort_key[order]
+    idx = idx[order]
+    gid = gid[order]
+
+    # 2. label-grid limit: rank within (tile, layer, group_id), arrival order
+    from .render import label_grid_keep_mask
+    keep = label_grid_keep_mask(tile, layer, gid, sort_key, idx, label_grid_limit)
+
+    # 3. drop duplicate (tile, layer, idx) fragments
+    dup = np.zeros(n, dtype=bool)
+    same = (np.diff(tile) == 0) & (np.diff(layer) == 0) & (np.diff(idx) == 0)
+    dup[1:] = same
+    keep &= ~dup
+
+    sel = np.nonzero(keep)[0]
+    tile, layer, sort_key, idx = tile[sel], layer[sel], sort_key[sel], idx[sel]
+    osel = order[sel]
+    kind = group["kind"].to_numpy()[osel]
+    ax = group["ax"].to_numpy()[osel]
+    ay = group["ay"].to_numpy()[osel]
+    bx = group["bx"].to_numpy()[osel]
+    by = group["by"].to_numpy()[osel]
+    image_id = (group["image_id"].to_numpy(zero_copy_only=False)[osel]
+                if "image_id" in group.column_names else None)
+    m = len(tile)
+    if m == 0:
+        return _empty_tiles_table(with_feature_ids)
+
+    # 4. encode fixed-width records (quantize px → extent units, MVT scale)
+    rec = np.zeros(m, dtype=RECORD_DTYPE)
+    rec["layer"] = layer
+    rec["kind"] = kind
+    rec["sort_key"] = (sort_key & 0xFFFF).astype(np.uint16)
+    rec["id_hash"] = mix64(idx.astype(np.uint64))
+    q = lambda v: np.where(np.isnan(v), np.int32(-(1 << 30)),
+                           np.floor(v * SCALE + 0.5)).astype(np.int32)
+    rec["x0"], rec["y0"], rec["x1"], rec["y1"] = q(ax), q(ay), q(bx), q(by)
+
+    rec_hash = fnv1a_64_u64(
+        rec["id_hash"] ^
+        (rec["x0"].astype(np.int64).astype(np.uint64) << np.uint64(32)) ^
+        rec["y0"].astype(np.int64).astype(np.uint64) ^
+        mix64((rec["x1"].astype(np.int64) * 2654435761 + rec["y1"].astype(np.int64)
+               + rec["layer"].astype(np.int64) * 7 + rec["kind"].astype(np.int64)
+               ).astype(np.uint64)))
+
+    # tile boundaries in the sorted fragment stream
+    bounds = np.flatnonzero(np.diff(tile)) + 1
+    starts = np.concatenate([[0], bounds])
+    counts = np.diff(np.concatenate([starts, [m]]))
+    n_tiles = len(starts)
+
+    content_hash = _segmented_fnv_fold(rec_hash, starts, counts).view(np.int64)
+
+    # zxy + hilbert recomputed from the tile id (slim-shuffle friendly)
+    t_ids = tile[starts]
+    x_t, y_t, z_t = tms_decode(t_ids)
+    hil_t = np.empty(len(t_ids), np.int64)
+    for zv in np.unique(z_t):
+        mz = z_t == zv
+        hil_t[mz] = zoom_start_index(int(zv)) + hilbert_xy_to_index(int(zv), x_t[mz], y_t[mz])
+
+    # tile_bytes: one slice of the big record buffer per tile (zero-copy arrow)
+    buf = rec.tobytes()
+    rs = RECORD_DTYPE.itemsize
+    offsets = np.empty(n_tiles + 1, dtype=np.int64)
+    offsets[:-1] = starts * rs
+    offsets[-1] = m * rs
+    tile_bytes = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_tiles,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
+
+    cols: dict[str, object] = {
+        "tile_id": t_ids,
+        "hilbert_id": hil_t,
+        "z": z_t.astype(np.int8),
+        "x": x_t.astype(np.int32),
+        "y": y_t.astype(np.int32),
+        "n_features": counts.astype(np.int32),
+        "content_hash": content_hash,
+    }
+
+    result = pa.table(cols)
+    if with_feature_ids:
+        # sorted unique feature id list per tile (golden-output column)
+        import pandas as pd
+        if image_id is None:
+            image_id = np.char.add("img", np.char.zfill(idx.astype(str), 8))
+        tid_rep = np.repeat(np.arange(n_tiles), counts)
+        df = pd.DataFrame({"t": tid_rep, "f": image_id})
+        df = df.drop_duplicates().sort_values(["t", "f"], kind="stable")
+        fcounts = np.bincount(df["t"].to_numpy(), minlength=n_tiles)
+        foff = np.zeros(n_tiles + 1, dtype=np.int32)
+        np.cumsum(fcounts, out=foff[1:])
+        flist = pa.ListArray.from_arrays(
+            pa.array(foff, pa.int32()),
+            pa.array(df["f"].to_numpy().tolist(), pa.string()))
+        result = result.append_column("feature_ids", flist)
+    return result.append_column("tile_bytes", tile_bytes)
+
+
+def _empty_tiles_table(with_feature_ids: bool = True) -> pa.Table:
+    t = pa.table({
+        "tile_id": pa.array([], pa.int64()), "hilbert_id": pa.array([], pa.int64()),
+        "z": pa.array([], pa.int8()), "x": pa.array([], pa.int32()),
+        "y": pa.array([], pa.int32()), "n_features": pa.array([], pa.int32()),
+        "content_hash": pa.array([], pa.int64()),
+    })
+    if with_feature_ids:
+        t = t.append_column("feature_ids", pa.array([], pa.list_(pa.string())))
+    return t.append_column("tile_bytes", pa.array([], pa.large_binary()))
