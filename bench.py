@@ -138,7 +138,9 @@ def run_bench() -> dict:
     # operator micro-suite over the shared sf tables
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         for name in ["tile_assign_z14", "pip_boxes_z7", "labelgrid_topk_z10",
-                     "pricing_summary", "user_sessions"]:
+                     "pricing_summary", "user_sessions", "dedup_exact",
+                     "minhash_lsh_pairs", "simhash_docs", "ann_cosine_topk",
+                     "multimodal_decode"]:
             t0 = time.monotonic()
             res = QUERIES[name](sf_dir)
             if hasattr(res, "count"):

@@ -45,6 +45,9 @@ def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+from ._util import round_half_away  # noqa: E402
+
+
 def _event_world(batch: pa.Table) -> pa.Table:
     """events batch → (event_id, wx, wy) with the arithmetic placement."""
     eid = batch["event_id"].to_numpy()
@@ -348,7 +351,7 @@ def q_pricing_summary(sf_dir: str):
         Count(alias_name="count_order"),
     ).to_pandas()
     for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
-        out[c] = out[c].round(2)
+        out[c] = round_half_away(out[c], 2)
     return out
 
 
@@ -391,7 +394,7 @@ def q_top_revenue_orders(sf_dir: str):
     agg = li.map_batches(rev, batch_format="pyarrow") \
             .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")) \
             .to_pandas()
-    agg["revenue"] = agg["revenue"].round(2)
+    agg["revenue"] = round_half_away(agg["revenue"], 2)
     agg["o_orderdate"] = agg["o_orderkey"].map(odate)
     agg = agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
     return agg[["o_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
@@ -428,7 +431,7 @@ def q_nation_revenue(sf_dir: str):
             .groupby("n_nationkey").sum("revenue").to_pandas()
     agg = agg.rename(columns={"sum(revenue)": "revenue"})
     agg = agg.merge(nation, on="n_nationkey")
-    agg["revenue"] = agg["revenue"].round(2)
+    agg["revenue"] = round_half_away(agg["revenue"], 2)
     return agg[["n_name", "revenue"]]
 
 
@@ -454,7 +457,7 @@ def q_events_hourly(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     out = ds.groupby(["hour", "event_type"]).aggregate(
         Count(alias_name="n"), Sum("value", alias_name="sum_value")).to_pandas()
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = round_half_away(out["sum_value"], 2)
     return out
 
 
@@ -473,7 +476,7 @@ def q_part_brand_stats(sf_dir: str):
             Count(alias_name="n"),
             Mean("p_retailprice", alias_name="avg_price"),
             Max("p_size", alias_name="max_size")).to_pandas()
-    out["avg_price"] = out["avg_price"].round(2)
+    out["avg_price"] = round_half_away(out["avg_price"], 2)
     return out
 
 
@@ -509,7 +512,10 @@ FROM d GROUP BY user_id
 """
 
 
+from .queries_data import DATA_ORACLE_SQL, DATA_QUERIES  # noqa: E402
+
 QUERIES = {
+    **DATA_QUERIES,
     "tile_assign_z14": q_tile_assign_z14,
     "tile_pyramid_counts": q_tile_pyramid_counts,
     "tile_extents_filter": q_tile_extents_filter,
@@ -526,6 +532,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    **DATA_ORACLE_SQL,
     "tile_assign_z14": SQL_TILE_ASSIGN_Z14,
     "tile_pyramid_counts": SQL_TILE_PYRAMID_COUNTS,
     "tile_extents_filter": SQL_TILE_EXTENTS_FILTER,

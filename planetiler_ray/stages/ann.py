@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns.
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once via ``ray.put`` and every batch does one numpy matmul
+  against it (the canonical small-side-broadcast pattern; no shuffle).
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets
+  (signs of projections) as the shuffle key; per-bucket exact cosine.
+  Recall is approximate; multiple hash tables raise it.
+- :func:`embedding_near_dup_pairs` — cosine near-duplicate pairs via
+  the same hyperplane bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_LSH_SEED = 7
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray,
+                     query_ids: np.ndarray, k: int = 10,
+                     emb_col: str = "embedding",
+                     id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Exact cosine top-k per query over the dataset.
+
+    Per-batch partial top-k against the broadcast query matrix (one
+    matmul), then a tiny final top-k per query — f64 accumulation for
+    deterministic ranking.
+    """
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    q_ref = ray.put((qn, np.asarray(query_ids)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn_, qids = ray.get(q_ref)
+        m = _emb_matrix(batch, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ qn_.T                      # (n, q)
+        ids = batch[id_col].to_numpy()
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        out_q, out_id, out_sim = [], [], []
+        for j in range(sims.shape[1]):
+            out_q.append(np.full(kk, qids[j]))
+            out_id.append(ids[top[:, j]])
+            out_sim.append(sims[top[:, j], j])
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_id),
+                         "cosine": np.concatenate(out_sim)})
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True], kind="stable").head(k)
+        grp = grp.reset_index(drop=True)
+        grp["rnk"] = np.arange(1, len(grp) + 1, dtype=np.int64)
+        return grp
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def lsh_buckets(batch: pa.Table, planes: np.ndarray,
+                emb_col: str = "embedding") -> np.ndarray:
+    """Random-hyperplane signature per row → int64 bucket key."""
+    m = _emb_matrix(batch, emb_col)
+    signs = (m @ planes.T) > 0                      # (n, p)
+    key = np.zeros(len(m), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        key |= signs[:, b].astype(np.uint64) << np.uint64(b)
+    return key.view(np.int64)
+
+
+def make_planes(dim: int, num_planes: int = 12) -> np.ndarray:
+    return np.random.default_rng(_LSH_SEED).standard_normal((num_planes, dim))
+
+
+def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
+                             cosine_threshold: float = 0.9,
+                             num_planes: int = 8,
+                             emb_col: str = "embedding",
+                             id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Cosine near-dup pairs: hyperplane buckets → exact verify in-bucket."""
+    planes = make_planes(dim, num_planes)
+    p_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        key = lsh_buckets(batch, ray.get(p_ref), emb_col)
+        m = _emb_matrix(batch, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        emb = pa.FixedSizeListArray.from_arrays(pa.array(m.reshape(-1)), m.shape[1])
+        return pa.table({id_col: batch[id_col], "bucket": key, "nemb": emb,
+                         "dim": np.full(batch.num_rows, m.shape[1], np.int32)})
+
+    def verify(grp: pd.DataFrame) -> pd.DataFrame:
+        if len(grp) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = grp[id_col].to_numpy()
+        d = int(grp["dim"].iloc[0])
+        m = np.stack(grp["nemb"].to_numpy()).reshape(len(ids), d)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= cosine_threshold
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "cosine": s[keep]})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,157 @@
+"""Unit tests for text analysis, dedup, ANN and multimodal stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from planetiler_ray import codec
+
+
+def _docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+class TestTextStages:
+    def test_token_char_stats(self):
+        from planetiler_ray.stages.text import token_char_stats
+        t = token_char_stats(_docs_table(["a b c", "hello", ""]))
+        assert t["n_tokens"].to_pylist() == [3, 1, 1]
+        assert t["n_chars_calc"].to_pylist() == [5, 5, 0]
+
+    def test_quality_scores(self):
+        from planetiler_ray.stages.text import quality_scores
+        t = quality_scores(_docs_table(["the quick brown fox and the dog",
+                                        "!!! ??? ... ###"]))
+        q = t["q_score"].to_pylist()
+        assert q[0] > q[1]
+        assert t["punct_ratio"].to_pylist()[1] > 0.5
+
+    def test_simhash_near_dup_property(self):
+        from planetiler_ray.stages.text import simhash64
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " extra"
+        far = "completely different words about database engines and queries"
+        t = simhash64(_docs_table([base, near, far]))
+        h = np.array(t["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        d_near = bin(int(h[0] ^ h[1])).count("1")
+        d_far = bin(int(h[0] ^ h[2])).count("1")
+        assert d_near < d_far
+
+    def test_lang_id(self):
+        from planetiler_ray.stages.text import LangId
+        df = pd.DataFrame({"text": ["the cat and the dog of a house",
+                                    "der hund ist ein tier und das ist gut",
+                                    "xyzzy plugh"]})
+        out = LangId()(df)
+        assert out["lang_pred"].tolist() == ["en", "de", "und"]
+
+    def test_fingerprint_stability(self):
+        from planetiler_ray.stages.text import rolling_fingerprint
+        a = rolling_fingerprint(_docs_table(["hello world " * 10]))
+        b = rolling_fingerprint(_docs_table(["hello world " * 10]))
+        assert a["fingerprint"].to_pylist() == b["fingerprint"].to_pylist()
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.stages.dedup import exact_dedup
+        ds = rd.from_arrow(_docs_table(["x", "y", "x", "z", "y"], [5, 2, 1, 9, 7]))
+        kept = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+        assert kept == [1, 2, 9]
+
+    def test_minhash_lsh_finds_near_dups(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.stages.dedup import minhash_lsh_pairs
+        base = ("the quick brown fox jumps over the lazy dog while the cat "
+                "sleeps near the warm fire in the old house").split()
+        texts = [" ".join(base),
+                 " ".join(base[:-2] + ["tonight"]),       # near-dup of 0
+                 "completely different words about engines queries and tables "
+                 "with no overlap at all in any shingle"]
+        ds = rd.from_arrow(_docs_table(texts))
+        pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+        assert {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])} == {(0, 1)}
+
+    def test_hamming_pairs_guarantee(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.stages.dedup import hamming_near_dup_pairs
+        # clusters of 4 hashes within hamming<=2 of each other
+        base = np.array([0x123456789ABCDEF0, -0x7EDCBA9876543210], dtype=np.int64)
+        rows = []
+        for i, b in enumerate(base):
+            for j in range(4):
+                rows.append((i * 4 + j, np.int64(np.uint64(b) ^ np.uint64(1 << j))))
+        t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "fp": pa.array([r[1] for r in rows], pa.int64())})
+        pairs = hamming_near_dup_pairs(rd.from_arrow(t), "fp", "doc_id",
+                                       max_hamming=3, bands=4).to_pandas()
+        got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        expect = {(i, j) for c in range(2) for i in range(c * 4, c * 4 + 4)
+                  for j in range(i + 1, c * 4 + 4)}
+        assert got == expect
+        assert (pairs["hamming"] <= 2).all()
+
+
+class TestAnn:
+    def test_brute_force_topk_exact(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.stages.ann import brute_force_topk
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((100, 16)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(emb.reshape(-1)), 16)})
+        out = brute_force_topk(rd.from_arrow(t), emb[:2].astype(np.float64),
+                               np.array([0, 1]), k=5).to_pandas()
+        # numpy oracle
+        m = emb.astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for q in (0, 1):
+            sims = mn @ mn[q]
+            expect = np.lexsort((np.arange(100), -sims))[:5]
+            got = out[out["query_id"] == q].sort_values("rnk")["neighbor_id"].to_numpy()
+            assert (got == expect).all()
+            # the query itself is rank 1
+            assert got[0] == q
+
+    def test_embedding_near_dup(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.stages.ann import embedding_near_dup_pairs
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal(32)
+        emb = np.stack([a, a + rng.standard_normal(32) * 0.01,
+                        rng.standard_normal(32)]).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(range(3), pa.int64()),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(emb.reshape(-1)), 32)})
+        pairs = embedding_near_dup_pairs(rd.from_arrow(t), dim=32,
+                                         cosine_threshold=0.95).to_pandas()
+        assert {(int(x), int(y)) for x, y in zip(pairs["id_a"], pairs["id_b"])} == {(0, 1)}
+
+
+class TestMultimodal:
+    def test_decode_actor(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.fixtures import images_table
+        from planetiler_ray.stages.multimodal import DecodeImages
+        ds = rd.from_arrow(images_table(12, with_bytes=True))
+        out = ds.map_batches(DecodeImages, batch_format="pyarrow",
+                             batch_size=4, concurrency=2).to_pandas()
+        assert out["ok"].all()
+        assert (out["dec_w"] > 0).all()
+        # phash recomputed from decoded pixels matches the stored one
+        assert (out["phash_dec"] == out["phash_src"]).all()
+
+    def test_resize_stub(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.fixtures import images_table
+        from planetiler_ray.stages.multimodal import ResizeStub
+        ds = rd.from_arrow(images_table(6, with_bytes=True))
+        out = ds.map_batches(ResizeStub, batch_format="pyarrow",
+                             batch_size=3, concurrency=2).to_pandas()
+        px = codec.decode_image(out["thumb"][0])
+        assert px.shape == (8, 8, 3)
