@@ -512,6 +512,126 @@ FROM d GROUP BY user_id
 """
 
 
+def q_expr_filter_parts(sf_dir: str):
+    """Tag-expression filter over parts (Expression.matchAny semantics).
+
+    (contains 'MEDIUM' OR starts 'PROMO') AND NOT brand ∈ {Brand#1} —
+    compiled to vectorized Arrow masks (functions/expression.py).
+    """
+    from ..functions.expression import and_, match_any, not_
+
+    expr = and_(match_any("p_type", ["%MEDIUM%", "PROMO%"]),
+                not_(match_any("p_brand", ["Brand#1"])))
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type", "p_brand"])
+    return ds.map_batches(lambda t: t.filter(expr(t)), batch_format="pyarrow")
+
+
+SQL_EXPR_FILTER_PARTS = """
+SELECT p_partkey, p_type, p_brand FROM part
+WHERE (p_type LIKE '%MEDIUM%' OR p_type LIKE 'PROMO%') AND p_brand <> 'Brand#1'
+"""
+
+
+def q_parse_props(sf_dir: str):
+    """Scalar parsing: extract the integer from the props JSON string,
+    aggregate per event_type (util/Parse.java analog)."""
+    from ..functions.parse import parse_long
+    from ray.data.aggregate import Count, Sum
+
+    def p(batch: pa.Table) -> pa.Table:
+        import re
+        s = batch["props"].to_pandas().astype(str)
+        nums = s.str.extract(re.compile(r"(\d+)"), expand=False)
+        k = pd.to_numeric(nums, errors="coerce").fillna(0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "k": k.to_numpy()})
+
+    out = _read(sf_dir, "events", ["event_type", "props"]) \
+        .map_batches(p, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n"),
+                                         Sum("k", alias_name="sum_k"))
+    return out
+
+
+SQL_PARSE_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_trajectory_lengths(sf_dir: str):
+    """Per-user trajectory length in world mercator (ordered polyline).
+
+    Events become a polyline per user (ordered by ts, event_id) using
+    the arithmetic placement; length = Σ consecutive Euclidean steps —
+    the line-layer analog of the engine's geometry derivations.
+    """
+    def pts(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "event_id": t["event_id"],
+                         "wx": t["wx"], "wy": t["wy"]})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        dx = g["wx"].diff().to_numpy()[1:]
+        dy = g["wy"].diff().to_numpy()[1:]
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_points": [len(g)],
+            "length": [round_half_away(np.hypot(dx, dy).sum(), 6)[()]],
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_TRAJECTORY_LENGTHS = f"""
+WITH w AS (
+    SELECT user_id, ts, event_id,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS wy
+    FROM events),
+d AS (SELECT user_id,
+             sqrt(power(wx - lag(wx) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+                + power(wy - lag(wy) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2))
+             AS step
+      FROM w)
+SELECT user_id, count(*) AS n_points,
+       round(coalesce(sum(step), 0), 6) AS length
+FROM d GROUP BY user_id
+"""
+
+
+def q_trajectory_simplify(sf_dir: str):
+    """Per-user trajectory Douglas-Peucker simplification (rows-only).
+
+    Exercises the line pipeline end-to-end: polyline assembly →
+    merge_lines (endpoint joins are no-ops here) → DP simplify at a
+    world-space tolerance; returns per-user before/after vertex counts.
+    """
+    from ..stages.merge import merge_lines
+
+    def pts(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "event_id": t["event_id"], "wx": t["wx"], "wy": t["wy"]})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        line = np.column_stack([g["wx"].to_numpy(), g["wy"].to_numpy()])
+        out = merge_lines([line], tolerance=0.01)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_before": [len(line)],
+                             "n_after": [len(out[0]) if out else 0]})
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 from .queries_data import DATA_ORACLE_SQL, DATA_QUERIES  # noqa: E402
 
 QUERIES = {
@@ -529,6 +649,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "part_brand_stats": q_part_brand_stats,
     "user_sessions": q_user_sessions,
+    "expr_filter_parts": q_expr_filter_parts,
+    "parse_props": q_parse_props,
+    "trajectory_lengths": q_trajectory_lengths,
+    "trajectory_simplify": q_trajectory_simplify,
 }
 
 ORACLE_SQL = {
@@ -545,4 +669,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "user_sessions": SQL_USER_SESSIONS,
+    "expr_filter_parts": SQL_EXPR_FILTER_PARTS,
+    "parse_props": SQL_PARSE_PROPS,
+    "trajectory_lengths": SQL_TRAJECTORY_LENGTHS,
 }

@@ -55,9 +55,12 @@ def sample_partition_bounds(sample_ids: np.ndarray, cfg: RenderConfig,
 
 
 def render_fragments(images: "ray.data.Dataset", cfg: RenderConfig,
-                     bounds: np.ndarray, slim: bool = False) -> "ray.data.Dataset":
-    """images → georef → fan-out fragments (with partition column)."""
+                     bounds: np.ndarray, slim: bool = False,
+                     profile=None) -> "ray.data.Dataset":
+    """images → georef → [profile.process_features] → fan-out fragments."""
     ds = images.map_batches(georef_batch, batch_format="pyarrow")
+    if profile is not None:
+        ds = ds.map_batches(profile.process_features, batch_format="pyarrow")
     fanout = partial(render_fanout, cfg=cfg, part_bounds=bounds, slim=slim)
     # fan-out multiplies rows ~20×; keep input batches moderate
     return ds.map_batches(fanout, batch_format="pyarrow", batch_size=8192)
@@ -86,7 +89,7 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
                   cfg: RenderConfig | None = None, num_partitions: int = 64,
                   checkpoint_dir: str | None = None,
                   with_feature_ids: bool = True,
-                  shuffle: str = "exchange"):
+                  shuffle: str = "exchange", profile=None):
     """Build the z0..max_zoom tile pyramid.
 
     Without ``checkpoint_dir``: returns a lazy ``Dataset`` of tile rows
@@ -108,7 +111,8 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
     reduce_fn = partial(reduce_partition, with_feature_ids=with_feature_ids)
 
     if checkpoint_dir is None:
-        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids)
+        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
+                                 profile=profile)
         if shuffle == "groupby":
             return frags.groupby("part").map_groups(reduce_fn, batch_format="pyarrow")
         return exchange_reduce(frags, num_partitions, reduce_fn)
@@ -118,7 +122,8 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
     parts_to_run = np.array([p for p in range(num_partitions) if p not in done],
                             dtype=np.int64)
     if len(parts_to_run):
-        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids)
+        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
+                                 profile=profile)
         reducer = _CheckpointedReduce(checkpoint_dir, with_feature_ids)
         metrics = exchange_reduce(frags, num_partitions, reducer,
                                   parts_to_run=parts_to_run, pass_part=True)

@@ -1,0 +1,124 @@
+"""Tests for expression trees, scalar parsers, GeoJSON source, Profile."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestExpression:
+    def _parts(self):
+        return pa.table({
+            "p_type": ["PROMO BRASS", "LARGE MEDIUM", "STANDARD", "MEDIUM X", None],
+            "p_brand": ["Brand#1", "Brand#2", "Brand#3", "Brand#1", "Brand#2"],
+            "p_size": [1, 5, 9, 3, 2],
+        })
+
+    def test_match_any_wildcards(self):
+        from planetiler_ray.functions.expression import match_any
+        t = self._parts()
+        assert match_any("p_type", ["PROMO%"])(t).to_pylist() == \
+            [True, False, False, False, False]
+        assert match_any("p_type", ["%MEDIUM%"])(t).to_pylist() == \
+            [False, True, False, True, False]
+        assert match_any("p_type", ["%BRASS"])(t).to_pylist() == \
+            [True, False, False, False, False]
+        assert match_any("p_type", ["STANDARD"])(t).to_pylist() == \
+            [False, False, True, False, False]
+
+    def test_boolean_combinators(self):
+        from planetiler_ray.functions.expression import and_, match_any, not_, or_
+        t = self._parts()
+        e = and_(or_(match_any("p_type", ["%MEDIUM%"]), match_any("p_type", ["PROMO%"])),
+                 not_(match_any("p_brand", ["Brand#1"])))
+        assert e(t).to_pylist() == [False, True, False, False, False]
+
+    def test_cmp_and_match_field(self):
+        from planetiler_ray.functions.expression import cmp, match_field
+        t = self._parts()
+        assert cmp("p_size", ">=", 5)(t).to_pylist() == [False, True, True, False, False]
+        assert match_field("p_type")(t).to_pylist() == [True, True, True, True, False]
+
+
+class TestParse:
+    def test_parse_long(self):
+        from planetiler_ray.functions.parse import parse_long
+        out = parse_long(["42", " -7 houses", "x", "", "3.9"])
+        assert out[0] == 42 and out[1] == -7 and np.isnan(out[2]) and out[4] == 3
+
+    def test_parse_bool_direction(self):
+        from planetiler_ray.functions.parse import parse_bool, parse_direction
+        assert parse_bool(["yes", "TRUE", "1", "no", "maybe"]).tolist() == \
+            [True, True, True, False, False]
+        assert parse_direction(["yes", "-1", "no", "2"]).tolist() == [1, -1, 0, 0]
+
+    def test_parse_meters(self):
+        from planetiler_ray.functions.parse import parse_meters
+        out = parse_meters(["12", "12.5 m", "10 ft", "1 mi", "2 km", "bogus"])
+        assert out[0] == 12 and out[1] == 12.5
+        assert out[2] == pytest.approx(3.048)
+        assert out[3] == pytest.approx(1609.344)
+        assert out[4] == 2000
+        assert np.isnan(out[5])
+
+    def test_way_z_order(self):
+        from planetiler_ray.functions.parse import way_z_order
+        z = way_z_order(["1", "0", None], ["yes", "no", "no"], ["no", "yes", "no"])
+        assert z.tolist() == [20, -10, 0]
+
+
+class TestGeoJsonSource:
+    def test_read_geojson(self, ray_session, tmp_path):
+        from planetiler_ray.sources.geojson import read_geojson
+        feats = [
+            {"type": "Feature", "properties": {"id": "a", "name": "pt"},
+             "geometry": {"type": "Point", "coordinates": [0.0, 0.0]}},
+            {"type": "Feature", "properties": {"id": "b"},
+             "geometry": {"type": "Polygon", "coordinates": [[[-1, -1], [1, -1],
+                                                              [1, 1], [-1, 1], [-1, -1]]]}},
+            {"type": "Feature", "properties": {"id": "c"},
+             "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}},
+        ]
+        p = tmp_path / "f.ndjson"
+        p.write_text("\n".join(json.dumps(f) for f in feats))
+        df = read_geojson(str(p)).to_pandas()
+        assert df["image_id"].tolist() == ["a", "b"]  # linestring skipped
+        assert df["cx"][0] == pytest.approx(0.5) and df["cy"][0] == pytest.approx(0.5)
+        assert df["hw"][1] == pytest.approx(2 / 360 / 2)
+
+    def test_geojson_through_pyramid(self, ray_session, tmp_path):
+        from planetiler_ray.sources.geojson import read_geojson
+        from planetiler_ray.stages.render import RenderConfig, render_fanout
+        feats = [{"type": "Feature", "properties": {"id": f"g{i}"},
+                  "geometry": {"type": "Point", "coordinates": [i * 10.0, 20.0]}}
+                 for i in range(5)]
+        p = tmp_path / "pts.ndjson"
+        p.write_text("\n".join(json.dumps(f) for f in feats))
+        geo = read_geojson(str(p)).to_pandas()
+        tbl = pa.Table.from_pandas(geo)
+        out = render_fanout(tbl, RenderConfig(2, 2))
+        assert out.num_rows >= 5
+
+
+class TestProfile:
+    def test_filtered_profile(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray import fixtures
+        from planetiler_ray.functions.expression import match_any
+        from planetiler_ray.pipelines.tiles import build_pyramid
+        from planetiler_ray.profile import FilteredProfile
+        from planetiler_ray.stages.render import RenderConfig
+        n = 100
+        path = fixtures.images_parquet(n, with_bytes=False)
+        ds = rd.read_parquet(path, columns=["image_id", "caption", "phash"])
+        ids = fixtures.image_ids(n)
+        prof = FilteredProfile(match_any("caption", ["%river%"]))
+        tiles = build_pyramid(ds, ids, RenderConfig(3, 3), num_partitions=2,
+                              profile=prof).to_pandas()
+        caps = fixtures.captions(np.arange(n))
+        n_river = sum("river" in c for c in caps)
+        assert n_river > 0
+        assert tiles["n_features"].sum() <= 2 * 2 * n_river  # 2 layers, ≤2 tiles/pt
+        all_tiles = build_pyramid(ds, ids, RenderConfig(3, 3), num_partitions=2).to_pandas()
+        assert tiles["n_features"].sum() < all_tiles["n_features"].sum()
