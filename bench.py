@@ -97,8 +97,10 @@ def run_bench() -> dict:
 
     n_images = sum(pq_.read_metadata(os.path.join(images_dir, f)).num_rows
                    for f in os.listdir(images_dir) if f.endswith(".parquet"))
+    # partition-bounds sample: 4k ids is plenty for 128 equal-frequency
+    # quantiles and keeps the driver-side sample fan-out ~constant-free
     ids = np.char.add("img", np.char.zfill(
-        (np.arange(0, n_images, max(1, n_images // 20000))).astype(str), 8))
+        (np.arange(0, n_images, max(1, n_images // 4000))).astype(str), 8))
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -184,11 +186,14 @@ def run_scaling() -> dict:
     # between runs → take the best of N trials per level.
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
-    def best(ncpu: int) -> dict:
-        runs = [sub(ncpu) for _ in range(trials)]
-        return min(runs, key=lambda r: r["value"])
-
-    r2, r8, r32 = best(2), best(8), best(32)
+    # interleave the levels (2,8,32, 2,8,32, ...) so host-performance
+    # drift over the measurement window hits every level equally, then
+    # take the best trial per level
+    all_runs: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    for _ in range(trials):
+        for ncpu in (2, 8, 32):
+            all_runs[ncpu].append(sub(ncpu))
+    r2, r8, r32 = (min(all_runs[n], key=lambda r: r["value"]) for n in (2, 8, 32))
     eff_2_8 = (r2["value"] / r8["value"]) / 4
     eff_8_32 = (r8["value"] / r32["value"]) / 4
     return {
@@ -201,6 +206,7 @@ def run_scaling() -> dict:
         "join_rows_per_sec_8": r8.get("join_rows_per_sec"),
         "scaling_efficiency": round(eff_2_8, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "trials_sec": {n: [r["value"] for r in all_runs[n]] for n in (2, 8, 32)},
         "queries_2": r2["queries"], "queries_8": r8["queries"],
         "queries_32": r32["queries"],
     }

@@ -1,0 +1,144 @@
+"""CLI entry point: ``python -m planetiler_ray <cmd> ...``.
+
+The analog of the reference's ``Planetiler.create(args)...run()`` main
+(``Planetiler.java:791-996``), Ray-Data-flavored.  Owns the Ray session
+(guarded init) — library code never calls ``ray.init``.
+
+Commands:
+
+  synth  --n 10000 --out /tmp/images [--bytes]        # fixture image table
+  build  --input DIR --out DIR [--min-zoom 0] [--max-zoom 14]
+         [--partitions 64] [--format parquet|files|csv|archive] [--resume]
+  join   --input DIR --out DIR [--zoom 14] [--partitions 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_synth(args) -> dict:
+    from .fixtures import images_parquet
+
+    path = images_parquet(args.n, with_bytes=args.bytes)
+    return {"path": path, "n": args.n}
+
+
+def _read_images(input_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(input_dir,
+                                 columns=["image_id", "caption", "phash"])
+
+
+def _input_ids(input_dir: str, max_sample: int = 4000):
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    ids = pads.dataset(input_dir).to_table(columns=["image_id"])["image_id"]
+    ids = ids.to_numpy(zero_copy_only=False)
+    step = max(1, len(ids) // max_sample)
+    return np.asarray(ids[::step])
+
+
+def cmd_build(args) -> dict:
+    from .pipelines.tiles import build_pyramid
+    from .stages.render import RenderConfig
+
+    _init_ray(args.num_cpus)
+    t0 = time.monotonic()
+    cfg = RenderConfig(min_zoom=args.min_zoom, max_zoom=args.max_zoom)
+    images = _read_images(args.input)
+    ids = _input_ids(args.input)
+    if args.format == "parquet":
+        summary = build_pyramid(images, ids, cfg, num_partitions=args.partitions,
+                                checkpoint_dir=args.out,
+                                with_feature_ids=not args.slim)
+        out = dict(summary)
+    else:
+        tiles = build_pyramid(images, ids, cfg, num_partitions=args.partitions,
+                              with_feature_ids=not args.slim)
+        from . import sinks
+        if args.format == "files":
+            n = sinks.write_files(tiles, args.out)
+            out = {"n_tiles": n}
+        elif args.format == "csv":
+            sinks.write_csv(tiles, args.out)
+            out = {"n_tiles": tiles.count()}
+        elif args.format == "archive":
+            out = sinks.write_archive(tiles, args.out)
+        else:
+            raise SystemExit(f"unknown format {args.format}")
+    out["wall_sec"] = round(time.monotonic() - t0, 2)
+    return out
+
+
+def cmd_join(args) -> dict:
+    from .pipelines.tiles import spatial_join
+
+    _init_ray(args.num_cpus)
+    t0 = time.monotonic()
+    join = spatial_join(_read_images(args.input), _input_ids(args.input),
+                        num_partitions=args.partitions, zoom=args.zoom)
+    join.write_parquet(args.out)
+    return {"out": args.out, "wall_sec": round(time.monotonic() - t0, 2)}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="planetiler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="generate the deterministic image fixture table")
+    ps.add_argument("--n", type=int, default=10000)
+    ps.add_argument("--bytes", action="store_true", help="include encoded pixel bytes")
+    ps.add_argument("--out", default=None, help="(cache dir is fixed under /tmp)")
+    ps.set_defaults(fn=cmd_synth)
+
+    pb = sub.add_parser("build", help="build the tile pyramid")
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--min-zoom", type=int, default=0)
+    pb.add_argument("--max-zoom", type=int, default=14)
+    pb.add_argument("--partitions", type=int, default=64)
+    pb.add_argument("--format", default="parquet",
+                    choices=["parquet", "files", "csv", "archive"])
+    pb.add_argument("--slim", action="store_true", help="skip feature-id lists")
+    pb.add_argument("--num-cpus", type=int, default=None)
+    pb.set_defaults(fn=cmd_build)
+
+    pj = sub.add_parser("join", help="z-level spatial join + kNN captions")
+    pj.add_argument("--input", required=True)
+    pj.add_argument("--out", required=True)
+    pj.add_argument("--zoom", type=int, default=14)
+    pj.add_argument("--partitions", type=int, default=64)
+    pj.add_argument("--num-cpus", type=int, default=None)
+    pj.set_defaults(fn=cmd_join)
+
+    args = p.parse_args(argv)
+    result = args.fn(args)
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,7 +108,9 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
     """
     cfg = cfg or RenderConfig()
     bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
-    reduce_fn = partial(reduce_partition, with_feature_ids=with_feature_ids)
+    tpp = getattr(profile, "post_process_tile", None) if profile is not None else None
+    reduce_fn = partial(reduce_partition, with_feature_ids=with_feature_ids,
+                        tile_post_process=tpp)
 
     if checkpoint_dir is None:
         frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,

@@ -68,15 +68,18 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     need the id even for empty partitions).
     Returns a Dataset of the concatenated reduce outputs.
     """
-    block_refs = frags.to_arrow_refs()
-    n_blocks = len(block_refs)
+    # stream blocks out of the fan-out as they complete and launch their
+    # split tasks immediately — overlaps the map side with the exchange
+    # (no barrier until the reduce, which inherently needs every piece)
+    split = ray.remote(num_returns=num_partitions)(_split_block)
+    pieces = []
+    for bundle in frags.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            out = split.remote(block_ref, num_partitions)
+            pieces.append([out] if num_partitions == 1 else out)
+    n_blocks = len(pieces)
     if n_blocks == 0:
         return ray.data.from_items([])
-
-    split = ray.remote(num_returns=num_partitions)(_split_block)
-    pieces = [split.remote(ref, num_partitions) for ref in block_refs]
-    if num_partitions == 1:
-        pieces = [[p] for p in pieces]
 
     @ray.remote
     def reduce_task(part_id: int, *tables: pa.Table) -> pa.Table:

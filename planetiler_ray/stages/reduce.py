@@ -69,8 +69,17 @@ def _segmented_fnv_fold(rec_hash: np.ndarray, starts: np.ndarray,
 
 
 def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
-                     with_feature_ids: bool = True) -> pa.Table:
-    """Reduce all fragments of one partition into encoded tile rows."""
+                     with_feature_ids: bool = True,
+                     tile_post_process=None) -> pa.Table:
+    """Reduce all fragments of one partition into encoded tile rows.
+
+    ``tile_post_process``: optional profile hook
+    (``Profile.post_process_tile`` — the ``postProcessTileFeatures``
+    analog): receives the partition's sorted/limited fragment arrays as
+    a dict (tile, layer, kind, sort_key, idx, ax, ay, bx, by, is_fill)
+    and returns the same dict, possibly with rows dropped or geometry
+    modified — vectorized across every tile in the partition.
+    """
     n = group.num_rows
     if n == 0:
         return _empty_tiles_table(with_feature_ids)
@@ -112,6 +121,20 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     m = len(tile)
     if m == 0:
         return _empty_tiles_table(with_feature_ids)
+
+    if tile_post_process is not None:
+        frags = {"tile": tile, "layer": layer, "kind": kind, "sort_key": sort_key,
+                 "idx": idx, "ax": ax, "ay": ay, "bx": bx, "by": by}
+        if image_id is not None:
+            frags["image_id"] = image_id
+        frags = tile_post_process(frags)
+        tile, layer, kind = frags["tile"], frags["layer"], frags["kind"]
+        sort_key, idx = frags["sort_key"], frags["idx"]
+        ax, ay, bx, by = frags["ax"], frags["ay"], frags["bx"], frags["by"]
+        image_id = frags.get("image_id", image_id if len(tile) == m else None)
+        m = len(tile)
+        if m == 0:
+            return _empty_tiles_table(with_feature_ids)
 
     # 4. encode fixed-width records (quantize px → extent units, MVT scale)
     rec = np.zeros(m, dtype=RECORD_DTYPE)

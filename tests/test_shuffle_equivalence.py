@@ -1,0 +1,28 @@
+"""Cross-check: the explicit exchange and the Dataset groupby shuffle
+produce identical pyramids (partitioning strategy must not affect results)."""
+
+import numpy as np
+
+
+def test_exchange_equals_groupby(ray_session):
+    import ray.data as rd
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.stages.render import RenderConfig
+
+    n = 300
+    path = fixtures.images_parquet(n, with_bytes=False)
+    ids = fixtures.image_ids(n)
+    cfg = RenderConfig(0, 5)
+
+    def run(shuffle):
+        ds = rd.read_parquet(path, columns=["image_id", "caption", "phash"])
+        df = build_pyramid(ds, ids, cfg, num_partitions=6, shuffle=shuffle).to_pandas()
+        return df.sort_values("tile_id").reset_index(drop=True)
+
+    a, b = run("exchange"), run("groupby")
+    assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
+    assert (a["content_hash"].to_numpy() == b["content_hash"].to_numpy()).all()
+    assert (a["n_features"].to_numpy() == b["n_features"].to_numpy()).all()
+    for fa, fb in zip(a["feature_ids"], b["feature_ids"]):
+        assert list(fa) == list(fb)
