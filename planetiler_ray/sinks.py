@@ -137,6 +137,54 @@ def layer_stats(frags: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["z", "layer"]).aggregate(Count(alias_name="n_features"))
 
 
+def write_json(tiles: "ray.data.Dataset", out_dir: str) -> None:
+    """NDJSON stream of ``{x, y, z, encoded}`` rows
+    (``stream/WriteableJsonStreamArchive.java`` analog)."""
+    def enc(batch: pa.Table) -> pa.Table:
+        blobs = _encode_batch(batch)
+        return pa.table({
+            "x": batch["x"], "y": batch["y"], "z": batch["z"],
+            "encoded": pa.array([base64.b64encode(b).decode() for b in blobs],
+                                pa.string()),
+        })
+
+    tiles.map_batches(enc, batch_format="pyarrow").write_json(out_dir)
+
+
+def tile_size_stats(tiles: "ray.data.Dataset", top_n: int = 10) -> dict:
+    """Tileset summary statistics (``util/TilesetSummaryStatistics.java``).
+
+    Per-zoom tile counts / byte sizes plus the global top-N biggest
+    tiles — computed with partial per-batch aggregation, only the small
+    summaries reach the driver.
+    """
+    import pandas as pd
+
+    def per_batch(batch: pa.Table) -> pd.DataFrame:
+        sizes = np.array([len(b) for b in batch["tile_bytes"].to_pylist()],
+                         dtype=np.int64)
+        df = pd.DataFrame({"z": batch["z"].to_numpy(), "size": sizes,
+                           "tile_id": batch["tile_id"].to_numpy()})
+        agg = df.groupby("z").agg(n=("size", "size"), total=("size", "sum"),
+                                  biggest=("size", "max")).reset_index()
+        top = df.nlargest(top_n, "size")[["tile_id", "z", "size"]]
+        agg["kind"] = "agg"
+        top["kind"] = "top"
+        return pd.concat([agg, top], ignore_index=True)
+
+    parts = tiles.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    aggs = parts[parts["kind"] == "agg"].groupby("z").agg(
+        n=("n", "sum"), total_bytes=("total", "sum"), max_bytes=("biggest", "max"))
+    tops = parts[parts["kind"] == "top"].nlargest(top_n, "size")
+    return {
+        "per_zoom": {int(z): {"n": int(r["n"]), "total_bytes": int(r["total_bytes"]),
+                              "max_bytes": int(r["max_bytes"])}
+                     for z, r in aggs.iterrows()},
+        "biggest_tiles": [(int(r["tile_id"]), int(r["z"]), int(r["size"]))
+                          for _, r in tops.iterrows()],
+    }
+
+
 def write_archive(tiles: "ray.data.Dataset", path: str) -> dict:
     """Single-file Hilbert-clustered archive with tile dedup.
 
