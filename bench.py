@@ -105,11 +105,10 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def read_images():
+    def read_images(columns):
         # moderate block count: big blocks keep the exchange's piece count
         # (blocks × partitions) bounded — object-store metadata matters
-        return ray.data.read_parquet(images_dir,
-                                     columns=["image_id", "caption", "phash"],
+        return ray.data.read_parquet(images_dir, columns=columns,
                                      override_num_blocks=32)
 
     # the SAME job at every parallelism level: partition count fixed by the
@@ -119,7 +118,8 @@ def run_bench() -> dict:
     # headline 1: full z0–z14 pyramid
     t0 = time.monotonic()
     cfg = RenderConfig(min_zoom=0, max_zoom=14)
-    tiles = build_pyramid(read_images(), ids, cfg,
+    # pyramid never touches captions → read only the id column
+    tiles = build_pyramid(read_images(["image_id"]), ids, cfg,
                           num_partitions=num_partitions,
                           with_feature_ids=False)
     n_tiles = tiles.count()
@@ -130,7 +130,7 @@ def run_bench() -> dict:
 
     # headline 2: z14 spatial join + kNN captions
     t0 = time.monotonic()
-    join = spatial_join(read_images(), ids,
+    join = spatial_join(read_images(["image_id", "caption"]), ids,
                         num_partitions=num_partitions, zoom=14)
     n_join = join.count()
     timings["spatial_join_z14"] = time.monotonic() - t0

@@ -22,17 +22,23 @@ from ..fixtures import georef_from_ids
 
 
 def georef_batch(batch: pa.Table) -> pa.Table:
-    """Add cx/cy (world centroid), hw/hh (half extents), idx columns."""
+    """Add cx/cy (world centroid), hw/hh (half extents), idx columns.
+
+    Passes through whatever metadata columns are present (caption,
+    phash, …) — callers prune at the read, so a pyramid build that
+    never touches captions reads only ``image_id``.
+    """
     ids = batch["image_id"].to_numpy(zero_copy_only=False)
     g = georef_from_ids(ids)
-    cols = {
-        "image_id": batch["image_id"],
-        "caption": batch["caption"],
-        "phash": batch["phash"],
+    cols = {"image_id": batch["image_id"]}
+    for passthrough in ("caption", "phash"):
+        if passthrough in batch.column_names:
+            cols[passthrough] = batch[passthrough]
+    cols.update({
         "idx": pa.array(g["idx"], type=pa.int64()),
         "cx": pa.array(g["cx"], type=pa.float64()),
         "cy": pa.array(g["cy"], type=pa.float64()),
         "hw": pa.array(g["hw"], type=pa.float64()),
         "hh": pa.array(g["hh"], type=pa.float64()),
-    }
+    })
     return pa.table(cols)
