@@ -84,7 +84,8 @@ def golden_tiles(ids: np.ndarray, min_zoom: int = 0, max_zoom: int = 14,
                         gs = LABEL_GRID_PX / 256.0
                         gx = math.floor((cx * f % f) / gs)
                         gy = math.floor((cy * f) / gs)
-                        grid = (gx << 32) | (gy & 0xFFFFFFFF)
+                        # +1: avoid colliding with the no-group sentinel 0
+                        grid = ((gx << 32) | (gy & 0xFFFFFFFF)) + 1
                     frags[_tms(x, y, z)].append(
                         (1, idx % 1000, idx, str(image_id), grid, (z, x, y)))
 

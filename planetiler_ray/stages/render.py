@@ -155,8 +155,10 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
                 out["kind"].append(np.full(np_, KIND_POINT, np.int8))
                 # sort key: chip index ordering (deterministic density rank)
                 out["sort_key"].append((idx[prow] % 1000).astype(np.int32))
+                # +1 so a real grid cell id of 0 (the x=0,y=0 square) can't
+                # collide with the group_id==0 "no grouping" sentinel
                 grid = label_grid_id(1 << z, LABEL_GRID_PX / 256.0,
-                                     cx[prow] * f, cy[prow] * f)
+                                     cx[prow] * f, cy[prow] * f) + 1
                 out["group_id"].append(np.where(z < cfg.max_zoom, grid, 0))
                 out["ax"].append(pts["px"].astype(np.float32))
                 out["ay"].append(pts["py"].astype(np.float32))

@@ -82,7 +82,8 @@ class TestGeoJsonSource:
         ]
         p = tmp_path / "f.ndjson"
         p.write_text("\n".join(json.dumps(f) for f in feats))
-        df = read_geojson(str(p)).to_pandas()
+        df = read_geojson(str(p)).to_pandas().sort_values("image_id") \
+            .reset_index(drop=True)
         assert df["image_id"].tolist() == ["a", "b"]  # linestring skipped
         assert df["cx"][0] == pytest.approx(0.5) and df["cy"][0] == pytest.approx(0.5)
         assert df["hw"][1] == pytest.approx(2 / 360 / 2)
