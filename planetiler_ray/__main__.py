@@ -89,6 +89,15 @@ def cmd_build(args) -> dict:
     return out
 
 
+def cmd_validate(args) -> dict:
+    from .validator import run_spec
+
+    results = run_spec(args.spec)
+    n_fail = sum(1 for r in results if not r["ok"])
+    return {"n_examples": len(results), "n_failed": n_fail,
+            "failures": [r for r in results if not r["ok"]]}
+
+
 def cmd_join(args) -> dict:
     from .pipelines.tiles import spatial_join
 
@@ -121,6 +130,10 @@ def main(argv=None) -> int:
     pb.add_argument("--slim", action="store_true", help="skip feature-id lists")
     pb.add_argument("--num-cpus", type=int, default=None)
     pb.set_defaults(fn=cmd_build)
+
+    pv = sub.add_parser("validate", help="run a YAML schema spec (profile --tests analog)")
+    pv.add_argument("--spec", required=True)
+    pv.set_defaults(fn=cmd_validate)
 
     pj = sub.add_parser("join", help="z-level spatial join + kNN captions")
     pj.add_argument("--input", required=True)

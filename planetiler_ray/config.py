@@ -1,0 +1,82 @@
+"""Declarative YAML profile config — the custommap analog.
+
+Mirrors the reference's planetiler-custommap schema
+(``SchemaConfig.java:12-24``, ``FeatureItem.java:8-37``): a YAML file
+declares per-layer include/exclude boolean trees over feature
+attributes, which compile to the engine's vectorized expression masks
+(:mod:`planetiler_ray.functions.expression`) wrapped in a
+:class:`~planetiler_ray.profile.Profile`.
+
+Schema (subset):
+
+    profile:
+      name: my-map
+      include_when:            # boolean tree over georef columns
+        and:
+          - {field: caption, match: ["%river%", "%lake%"]}
+          - not: {field: caption, match: ["%old%"]}
+      min_zoom: 0
+      max_zoom: 14
+
+Boolean-tree nodes: ``{field, match: [values-with-%-wildcards]}``,
+``{field, present: true}``, ``{field, cmp: ">=", value: 5}``,
+``{and: [...]}, {or: [...]}, {not: node}``.
+"""
+
+from __future__ import annotations
+
+import yaml
+
+from .functions import expression as E
+from .profile import DefaultProfile
+from .stages.render import RenderConfig
+
+
+def compile_expression(node) -> "E.Expr":
+    if not isinstance(node, dict):
+        raise ValueError(f"bad expression node: {node!r}")
+    if "and" in node:
+        return E.and_(*[compile_expression(n) for n in node["and"]])
+    if "or" in node:
+        return E.or_(*[compile_expression(n) for n in node["or"]])
+    if "not" in node:
+        return E.not_(compile_expression(node["not"]))
+    field = node.get("field")
+    if field is None:
+        raise ValueError(f"expression node needs a field: {node!r}")
+    if "match" in node:
+        return E.match_any(field, list(node["match"]))
+    if node.get("present"):
+        return E.match_field(field)
+    if "cmp" in node:
+        return E.cmp(field, node["cmp"], node["value"])
+    raise ValueError(f"unknown expression node: {node!r}")
+
+
+class ConfiguredProfile(DefaultProfile):
+    """Profile driven by a declarative config dict."""
+
+    def __init__(self, cfg: dict):
+        self.name = cfg.get("name", "configured")
+        self.include = (compile_expression(cfg["include_when"])
+                        if "include_when" in cfg else None)
+        self.exclude = (compile_expression(cfg["exclude_when"])
+                        if "exclude_when" in cfg else None)
+        self.render = RenderConfig(min_zoom=int(cfg.get("min_zoom", 0)),
+                                   max_zoom=int(cfg.get("max_zoom", 14)))
+
+    def process_features(self, georef):
+        import pyarrow.compute as pc
+        mask = None
+        if self.include is not None:
+            mask = self.include(georef)
+        if self.exclude is not None:
+            ex = pc.invert(self.exclude(georef))
+            mask = ex if mask is None else pc.and_(mask, ex)
+        return georef if mask is None else georef.filter(mask)
+
+
+def profile_from_yaml(path: str) -> ConfiguredProfile:
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return ConfiguredProfile(doc.get("profile", doc))

@@ -605,6 +605,43 @@ FROM d GROUP BY user_id
 """
 
 
+def q_distinct_event_types(sf_dir: str):
+    """Set op: distinct values of a column (``ds.unique`` — a shuffle)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+SQL_DISTINCT_EVENT_TYPES = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
+def q_order_status_counts(sf_dir: str):
+    """Distinct-count style aggregate: orders per status with distinct
+    customers (pre-aggregated per batch, merged on the driver)."""
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df.groupby("o_orderstatus").agg(
+            n=("o_orderkey", "size"),
+            custs=("o_custkey", lambda s: set(s))).reset_index()
+
+    parts = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for status, grp in parts.groupby("o_orderstatus"):
+        all_custs = set().union(*grp["custs"])
+        rows.append((status, int(grp["n"].sum()), len(all_custs)))
+    return pd.DataFrame(rows, columns=["o_orderstatus", "n_orders", "n_customers"])
+
+
+SQL_ORDER_STATUS_COUNTS = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_trajectory_simplify(sf_dir: str):
     """Per-user trajectory Douglas-Peucker simplification (rows-only).
 
@@ -653,6 +690,8 @@ QUERIES = {
     "parse_props": q_parse_props,
     "trajectory_lengths": q_trajectory_lengths,
     "trajectory_simplify": q_trajectory_simplify,
+    "distinct_event_types": q_distinct_event_types,
+    "order_status_counts": q_order_status_counts,
 }
 
 ORACLE_SQL = {
@@ -672,4 +711,6 @@ ORACLE_SQL = {
     "expr_filter_parts": SQL_EXPR_FILTER_PARTS,
     "parse_props": SQL_PARSE_PROPS,
     "trajectory_lengths": SQL_TRAJECTORY_LENGTHS,
+    "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+    "order_status_counts": SQL_ORDER_STATUS_COUNTS,
 }
