@@ -66,23 +66,51 @@ def render_fragments(images: "ray.data.Dataset", cfg: RenderConfig,
     return ds.map_batches(fanout, batch_format="pyarrow", batch_size=8192)
 
 
-class _CheckpointedReduce:
-    """Exchange reduce_fn that reduces + atomically persists one partition."""
+class CheckpointedReduceFn:
+    """Exchange reduce_fn wrapper: reduce + atomically persist one partition.
 
-    def __init__(self, store_root: str, with_feature_ids: bool):
+    Generic over the inner reduce (pyramid tile reduce, join reduce, …);
+    the fingerprint hashes the ``content_hash`` column when present,
+    else the row count — recorded in the per-partition lineage.
+    """
+
+    def __init__(self, store_root: str, reduce_fn):
         self.store = CheckpointStore(store_root)
-        self.with_feature_ids = with_feature_ids
+        self.reduce_fn = reduce_fn
 
     def __call__(self, group: pa.Table, part: int) -> pa.Table:
         t0 = time.monotonic()
-        tiles = reduce_partition(group, with_feature_ids=self.with_feature_ids)
-        hashes = tiles["content_hash"].to_numpy().view(np.uint64)
-        fp = 0 if not len(hashes) else int(np.bitwise_xor.reduce(fnv1a_64_u64(hashes)))
-        lineage = self.store.write_partition(part, tiles, group.num_rows,
+        out = self.reduce_fn(group)
+        if "content_hash" in out.column_names and out.num_rows:
+            hashes = out["content_hash"].to_numpy().view(np.uint64)
+            fp = int(np.bitwise_xor.reduce(fnv1a_64_u64(hashes)))
+        else:
+            fp = out.num_rows
+        lineage = self.store.write_partition(part, out, group.num_rows,
                                              time.monotonic() - t0, fp)
         return pa.table({"part": pa.array([part], pa.int32()),
                          "n_tiles": pa.array([lineage["n_tiles"]], pa.int64()),
                          "n_fragments": pa.array([lineage["n_fragments"]], pa.int64())})
+
+
+def checkpointed_exchange(frags, num_partitions: int, reduce_fn,
+                          checkpoint_dir: str, extra_manifest: dict | None = None):
+    """Run the exchange with per-partition checkpointing + resume.
+
+    Completed partitions (lineage present) are skipped BEFORE the
+    shuffle; returns the finalized manifest summary.
+    """
+    store = CheckpointStore(checkpoint_dir)
+    done = store.completed_parts()
+    parts_to_run = np.array([p for p in range(num_partitions) if p not in done],
+                            dtype=np.int64)
+    if len(parts_to_run):
+        reducer = CheckpointedReduceFn(checkpoint_dir, reduce_fn)
+        metrics = exchange_reduce(frags, num_partitions, reducer,
+                                  parts_to_run=parts_to_run, pass_part=True)
+        metrics.materialize()  # drive execution; tiny (one row per partition)
+    return store.finalize({"num_partitions": num_partitions,
+                           "resumed_parts": len(done), **(extra_manifest or {})})
 
 
 def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
@@ -119,19 +147,9 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
             return frags.groupby("part").map_groups(reduce_fn, batch_format="pyarrow")
         return exchange_reduce(frags, num_partitions, reduce_fn)
 
-    store = CheckpointStore(checkpoint_dir)
-    done = store.completed_parts()
-    parts_to_run = np.array([p for p in range(num_partitions) if p not in done],
-                            dtype=np.int64)
-    if len(parts_to_run):
-        frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
-                                 profile=profile)
-        reducer = _CheckpointedReduce(checkpoint_dir, with_feature_ids)
-        metrics = exchange_reduce(frags, num_partitions, reducer,
-                                  parts_to_run=parts_to_run, pass_part=True)
-        metrics.materialize()  # drive execution; tiny (one row per partition)
-    return store.finalize({"num_partitions": num_partitions,
-                           "resumed_parts": len(done)})
+    frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
+                             profile=profile)
+    return checkpointed_exchange(frags, num_partitions, reduce_fn, checkpoint_dir)
 
 
 def read_pyramid(checkpoint_dir: str) -> "ray.data.Dataset":
@@ -188,7 +206,7 @@ def _join_reduce(group: pa.Table, k: int = 3) -> pa.Table:
 
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
                  num_partitions: int = 64, k: int = 3,
-                 zoom: int = 14) -> "ray.data.Dataset":
+                 zoom: int = 14, checkpoint_dir: str | None = None):
     """Footprint × z14-tile intersection join with per-tile kNN captions.
 
     Returns a Dataset of (tile_id, z, x, y, image_id, caption, knn_rank)
@@ -208,4 +226,8 @@ def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
 
     frags = images.map_batches(fanout_with_caption, batch_format="pyarrow",
                                batch_size=8192)
+    if checkpoint_dir is not None:
+        return checkpointed_exchange(frags, num_partitions,
+                                     partial(_join_reduce, k=k), checkpoint_dir,
+                                     {"kind": "spatial_join", "zoom": zoom})
     return exchange_reduce(frags, num_partitions, partial(_join_reduce, k=k))

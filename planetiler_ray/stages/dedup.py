@@ -55,20 +55,68 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
 def shingle_minhash(batch: pa.Table, text_col: str = "text",
                     id_col: str = "doc_id", num_perm: int = 64,
                     shingle: int = 3) -> pa.Table:
-    """Per-doc MinHash signature over word ``shingle``-grams (vectorized)."""
+    """Per-doc MinHash signature over word ``shingle``-grams.
+
+    Fully batch-vectorized: shingle hashes are computed WITHOUT string
+    materialization (rolling combine of per-word hashes), and the k-perm
+    minima use one ``np.minimum.reduceat`` over the whole batch's
+    shingle stream per permutation chunk — no per-doc Python loop in
+    the hot part.
+    """
     a, b = _minhash_params(num_perm)
     ids = batch[id_col].to_numpy()
     words_all = batch[text_col].to_pandas().astype(str).str.lower().str.findall(WORD_RE)
-    sigs = np.empty((len(ids), num_perm), dtype=np.uint64)
+    n_docs = len(ids)
+
+    # flatten every word of the batch, remember per-doc boundaries
+    counts = words_all.map(len).to_numpy(np.int64)
+    flat_words = np.array([w for ws in words_all for w in ws], dtype=object) \
+        if counts.sum() else np.empty(0, dtype=object)
+    word_h = mix64(fnv1a_64_strings(flat_words.astype("U"))) if len(flat_words) \
+        else np.empty(0, np.uint64)
+
+    # shingle hash = combine of `shingle` consecutive word hashes within a doc
+    doc_of = np.repeat(np.arange(n_docs), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     with np.errstate(over="ignore"):
-        for i, words in enumerate(words_all):
-            if len(words) < shingle:
-                sh = ["$".join(words)] if len(words) else [""]
-            else:
-                sh = ["$".join(words[j:j + shingle]) for j in range(len(words) - shingle + 1)]
-            h = mix64(fnv1a_64_strings(np.array(sh)))
-            # k permutations: (a*h + b) — min over shingles
-            sigs[i] = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        sh_parts = []
+        sh_doc_parts = []
+        valid = counts >= shingle
+        if valid.any():
+            # windows: for docs with c words → c-shingle+1 shingles
+            n_sh = np.where(valid, counts - shingle + 1, 0)
+            sh_doc = np.repeat(np.arange(n_docs), n_sh)
+            sh_start = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+            # global index of each shingle's first word
+            local = np.arange(int(n_sh.sum()), dtype=np.int64) - sh_start[sh_doc]
+            first = starts[sh_doc] + local
+            h = np.zeros(len(first), dtype=np.uint64)
+            for k in range(shingle):
+                h = mix64(h ^ word_h[first + k])
+            sh_parts.append(h)
+            sh_doc_parts.append(sh_doc)
+        short = ~valid
+        if short.any():
+            # short docs: one shingle = combine of all their words (or empty)
+            sd = np.nonzero(short)[0]
+            h = np.zeros(len(sd), dtype=np.uint64)
+            for k in range(int(counts[sd].max()) if len(sd) else 0):
+                m = counts[sd] > k
+                h[m] = mix64(h[m] ^ word_h[starts[sd[m]] + k])
+            sh_parts.append(h)
+            sh_doc_parts.append(sd)
+        sh_hash = np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64)
+        sh_docs = np.concatenate(sh_doc_parts) if sh_doc_parts else np.empty(0, np.int64)
+
+        order = np.argsort(sh_docs, kind="stable")
+        sh_hash, sh_docs = sh_hash[order], sh_docs[order]
+        seg = np.searchsorted(sh_docs, np.arange(n_docs))
+        sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+        for p0 in range(0, num_perm, 8):  # chunk perms to bound memory
+            p1 = min(p0 + 8, num_perm)
+            vals = sh_hash[:, None] * a[None, p0:p1] + b[None, p0:p1]
+            sigs[:, p0:p1] = np.minimum.reduceat(vals, seg, axis=0) \
+                if len(sh_hash) else np.uint64(0)
     return pa.table({id_col: ids,
                      "signature": pa.FixedSizeListArray.from_arrays(
                          pa.array(sigs.reshape(-1).view(np.int64)), num_perm)})

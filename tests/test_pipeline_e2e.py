@@ -122,3 +122,25 @@ class TestCheckpointResume:
         b = resumed.sort_values("tile_id").reset_index(drop=True)
         assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
         assert (a["content_hash"].to_numpy() == b["content_hash"].to_numpy()).all()
+
+
+class TestJoinCheckpoint:
+    def test_join_checkpointed_resume(self, ray_session, images_ds, ids, tmp_path):
+        import shutil
+        from planetiler_ray.pipelines.tiles import read_pyramid, spatial_join
+        from planetiler_ray.state.checkpoint import CheckpointStore
+        ckpt = str(tmp_path / "join")
+        s1 = spatial_join(images_ds, ids, num_partitions=5, zoom=9,
+                          checkpoint_dir=ckpt)
+        assert s1["n_parts"] >= 2
+        store = CheckpointStore(ckpt)
+        victim = sorted(store.completed_parts())[0]
+        shutil.rmtree(store.part_dir(victim))
+        s2 = spatial_join(images_ds, ids, num_partitions=5, zoom=9,
+                          checkpoint_dir=ckpt)
+        assert s2["n_tiles"] == s1["n_tiles"]
+        direct = spatial_join(images_ds, ids, num_partitions=5, zoom=9).to_pandas()
+        resumed = read_pyramid(ckpt).to_pandas()
+        a = sorted(zip(direct["tile_id"], direct["image_id"], direct["knn_rank"]))
+        b = sorted(zip(resumed["tile_id"], resumed["image_id"], resumed["knn_rank"]))
+        assert a == b
