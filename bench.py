@@ -13,8 +13,9 @@ reports both throughputs + scaling efficiency.
 Env knobs:
   GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
   RAY_GRAFT_CPUS    num_cpus for ray.init (default 32)
-  GRAFT_BENCH_MULT  image-table replication factor (default 8;
-                    sf0.1 documents → 8×5000 = 40k chips)
+  GRAFT_BENCH_MULT  image-table replication factor (default 64;
+                    sf0.1 documents → 64×5000 = 320k chips — large
+                    enough that compute dominates fixed overheads)
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ def _build_bench_images(sf_dir: str, mult: int) -> str:
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    mult = int(os.environ.get("GRAFT_BENCH_MULT", "8"))
+    mult = int(os.environ.get("GRAFT_BENCH_MULT", "64"))
 
     import ray
 

@@ -82,12 +82,16 @@ def phash64(pixels: np.ndarray) -> int:
     """
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # fast path: exact 8×8 block means via reshape
+        blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
     bits = (blocks > np.median(blocks)).ravel()
     out = 0
     for i, b in enumerate(bits):

@@ -296,7 +296,8 @@ def q_multimodal_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow", batch_size=256) \
         .map_batches(DecodeImages, batch_format="pyarrow", batch_size=128,
-                     concurrency=2)
+                     concurrency=(1, 4))  # autoscaling pool: never starves
+                                          # upstream tasks on small sessions
     out = ds.groupby("fmt").aggregate(
         Count(alias_name="n"),
         Sum("ok", alias_name="n_ok"),
