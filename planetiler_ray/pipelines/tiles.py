@@ -184,7 +184,6 @@ def _join_reduce(group: pa.Table, k: int = 3) -> pa.Table:
     cx = group["cx"].to_numpy()
     cy = group["cy"].to_numpy()
     image_id = group["image_id"].to_numpy(zero_copy_only=False)
-    caption = group["caption"].to_numpy(zero_copy_only=False)
 
     inv = np.ldexp(1.0, -z.astype(np.int64))
     tcx = (x.astype(np.float64) + 0.5) * inv
@@ -192,15 +191,20 @@ def _join_reduce(group: pa.Table, k: int = 3) -> pa.Table:
     dist = np.hypot(cx - tcx, cy - tcy)
 
     order = np.lexsort((image_id, dist, tile))
-    rank = pd.Series(tile[order]).groupby(tile[order], sort=False).cumcount().to_numpy()
+    ts = tile[order]
+    change = np.empty(len(ts), dtype=bool)
+    change[0] = True
+    change[1:] = np.diff(ts) != 0
+    rank = np.arange(len(ts)) - np.flatnonzero(change)[np.cumsum(change) - 1]
     knn = np.where(rank < k, rank + 1, 0).astype(np.int8)
     out_rank = np.empty(len(tile), dtype=np.int8)
     out_rank[order] = knn
+    # rows keep their input order → string columns pass through zero-copy
     return pa.table({
-        "tile_id": tile, "z": z, "x": x, "y": y,
-        "image_id": pa.array(image_id.tolist(), pa.string()),
-        "caption": pa.array(caption.tolist(), pa.string()),
-        "knn_rank": out_rank,
+        "tile_id": group["tile_id"], "z": group["z"],
+        "x": group["x"], "y": group["y"],
+        "image_id": group["image_id"], "caption": group["caption"],
+        "knn_rank": pa.array(out_rank),
     })
 
 
