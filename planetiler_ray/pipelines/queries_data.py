@@ -252,6 +252,24 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-10 (coarse k-means lists, nprobe=4 of 8) for
+    query vectors 0..4 — the ANN scale path.  Rows-only (approximate by
+    design); exactness at nprobe=n_lists is unit-tested."""
+    import pyarrow.parquet as pq
+    from ..stages.ann import ivf_topk, train_ivf_centroids
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).to_pandas()
+    sample = np.stack(qtbl["embedding"].to_numpy()[::3]).astype(np.float64)
+    cent = train_ivf_centroids(sample, n_lists=8)
+    qdf = qtbl[qtbl["vec_id"] < 5].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                   queries, qdf["vec_id"].to_numpy(), cent, k=10, nprobe=4)
+    return out.to_pandas()[["query_id", "neighbor_id", "rnk"]]
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Cosine near-dup pairs via hyperplane LSH buckets (rows-only)."""
     from ..stages.ann import embedding_near_dup_pairs
@@ -318,6 +336,7 @@ DATA_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprints": q_fingerprints,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_decode": q_multimodal_decode,

@@ -86,6 +86,86 @@ def make_planes(dim: int, num_planes: int = 12) -> np.ndarray:
     return np.random.default_rng(_LSH_SEED).standard_normal((num_planes, dim))
 
 
+def train_ivf_centroids(sample: np.ndarray, n_lists: int = 16,
+                        iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Tiny k-means (numpy Lloyd iterations) over a driver-side sample —
+    the IVF coarse quantizer.  Deterministic (seeded init)."""
+    rng = np.random.default_rng(seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
+                             replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: np.ndarray,
+             centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+             emb_col: str = "embedding", id_col: str = "vec_id") -> "ray.data.Dataset":
+    """IVF approximate top-k: inverted-list shuffle + per-list exact search.
+
+    Scale path for ANN: every vector is routed to its nearest-centroid
+    list (the shuffle key); each query probes its ``nprobe`` nearest
+    lists.  Per batch, similarities are computed only against the
+    queries probing that vector's list, then a tiny global top-k per
+    query — recall grows with ``nprobe`` (== n_lists ⇒ exact).
+    """
+    cnorm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True),
+                                   1e-30)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    probe_lists = np.argsort(-(qn @ cnorm.T), axis=1)[:, :nprobe]   # (q, nprobe)
+    # list id → indices of queries probing it
+    q_by_list: dict[int, np.ndarray] = {}
+    for li in np.unique(probe_lists):
+        q_by_list[int(li)] = np.nonzero((probe_lists == li).any(axis=1))[0]
+    ref = ray.put((qn, np.asarray(query_ids), cnorm, q_by_list))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn_, qids, cn_, qbl = ray.get(ref)
+        m = _emb_matrix(batch, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        ids = batch[id_col].to_numpy()
+        vec_list = (m @ cn_.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for li in np.unique(vec_list):
+            qidx = qbl.get(int(li))
+            if qidx is None:
+                continue
+            vm = vec_list == li
+            sims = m[vm] @ qn_[qidx].T          # (n_li, q_li)
+            vids = ids[vm]
+            kk = min(k, len(vids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j, qi in enumerate(qidx):
+                out_q.append(np.full(kk, qids[qi]))
+                out_id.append(vids[top[:, j]])
+                out_sim.append(sims[top[:, j], j])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_id),
+                         "cosine": np.concatenate(out_sim)})
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True], kind="stable").head(k)
+        grp = grp.reset_index(drop=True)
+        grp["rnk"] = np.arange(1, len(grp) + 1, dtype=np.int64)
+        return grp
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
                              cosine_threshold: float = 0.9,
                              num_planes: int = 8,

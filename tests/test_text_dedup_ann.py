@@ -155,3 +155,51 @@ class TestMultimodal:
                              batch_size=3, concurrency=2).to_pandas()
         px = codec.decode_image(out["thumb"][0])
         assert px.shape == (8, 8, 3)
+
+
+class TestIvf:
+    def test_ivf_recall_vs_brute_force(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from planetiler_ray.stages.ann import (brute_force_topk, ivf_topk,
+                                               train_ivf_centroids)
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((400, 16)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(emb.reshape(-1)), 16)})
+        cent = train_ivf_centroids(emb[::4], n_lists=8)
+        q = emb[:3].astype(np.float64)
+        qids = np.array([0, 1, 2])
+        exact = brute_force_topk(rd.from_arrow(t), q, qids, k=5).to_pandas()
+        approx = ivf_topk(rd.from_arrow(t), q, qids, cent, k=5, nprobe=4).to_pandas()
+        recalls = []
+        for qi in qids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6          # nprobe=4 of 8 lists
+        # the query vector itself is always found (it's in its own list)
+        for qi in qids:
+            top1 = approx[approx["query_id"] == qi].sort_values("rnk").iloc[0]
+            assert top1["neighbor_id"] == qi
+
+    def test_ivf_full_probe_is_exact(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from planetiler_ray.stages.ann import (brute_force_topk, ivf_topk,
+                                               train_ivf_centroids)
+        rng = np.random.default_rng(4)
+        emb = rng.standard_normal((200, 8)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(emb.reshape(-1)), 8)})
+        cent = train_ivf_centroids(emb, n_lists=4)
+        q = emb[:2].astype(np.float64)
+        qids = np.array([0, 1])
+        exact = brute_force_topk(rd.from_arrow(t), q, qids, k=5).to_pandas()
+        full = ivf_topk(rd.from_arrow(t), q, qids, cent, k=5, nprobe=4).to_pandas()
+        for qi in qids:
+            e = exact[exact["query_id"] == qi].sort_values("rnk")["neighbor_id"].tolist()
+            f = full[full["query_id"] == qi].sort_values("rnk")["neighbor_id"].tolist()
+            assert e == f
