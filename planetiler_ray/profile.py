@@ -61,3 +61,63 @@ class FilteredProfile(DefaultProfile):
 
     def process_features(self, georef: pa.Table) -> pa.Table:
         return georef.filter(self.expr(georef))
+
+
+class BoxMergeProfile(DefaultProfile):
+    """Example tile post-processor: merge overlapping footprint boxes
+    per tile — the ``FeatureMerge.mergeNearbyPolygons`` hook shape
+    (``FeatureMerge.java:291-394``) driven through
+    ``Profile.post_process_tile``.
+
+    Box clusters within ``min_dist`` px collapse to their cluster
+    extent with merged id ``(min_id//10)*10``; point-layer rows pass
+    through untouched.
+    """
+
+    def __init__(self, min_dist: float = 0.0):
+        self.min_dist = min_dist
+
+    def post_process_tile(self, frags: dict) -> dict:
+        import numpy as np
+
+        from .stages.merge import merge_overlapping_boxes
+
+        tile = frags["tile"]
+        layer = frags["layer"]
+        is_box = layer == 0
+        if not is_box.any():
+            return frags
+        keep_idx = []            # row indices passed through unchanged
+        merged_rows = {k: [] for k in ("tile", "layer", "kind", "sort_key",
+                                       "idx", "ax", "ay", "bx", "by")}
+        box_rows = np.nonzero(is_box)[0]
+        bt = tile[box_rows]
+        bounds = np.flatnonzero(np.diff(bt)) + 1
+        for seg in np.split(box_rows, bounds):
+            if len(seg) < 2:
+                keep_idx.extend(seg.tolist())
+                continue
+            m = merge_overlapping_boxes(frags["idx"][seg],
+                                        frags["ax"][seg], frags["ay"][seg],
+                                        frags["bx"][seg], frags["by"][seg],
+                                        min_dist=self.min_dist)
+            merged_rows["tile"].extend([tile[seg[0]]] * len(m["merged_id"]))
+            merged_rows["layer"].extend([0] * len(m["merged_id"]))
+            merged_rows["kind"].extend([0] * len(m["merged_id"]))
+            merged_rows["sort_key"].extend([0] * len(m["merged_id"]))
+            merged_rows["idx"].extend(m["merged_id"].tolist())
+            merged_rows["ax"].extend(m["mx0"].tolist())
+            merged_rows["ay"].extend(m["my0"].tolist())
+            merged_rows["bx"].extend(m["mx1"].tolist())
+            merged_rows["by"].extend(m["my1"].tolist())
+        keep_idx.extend(np.nonzero(~is_box)[0].tolist())
+        keep_idx = np.array(sorted(keep_idx), dtype=np.int64)
+
+        out = {}
+        for k in merged_rows:
+            kept = frags[k][keep_idx]
+            dtype = frags[k].dtype
+            out[k] = np.concatenate([kept, np.asarray(merged_rows[k], dtype=dtype)])
+        # hook contract: rows must stay tile-sorted for the reduce
+        order = np.lexsort((out["idx"], out["sort_key"], out["layer"], out["tile"]))
+        return {k: v[order] for k, v in out.items()}

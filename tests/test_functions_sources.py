@@ -123,3 +123,28 @@ class TestProfile:
         assert tiles["n_features"].sum() <= 2 * 2 * n_river  # 2 layers, ≤2 tiles/pt
         all_tiles = build_pyramid(ds, ids, RenderConfig(3, 3), num_partitions=2).to_pandas()
         assert tiles["n_features"].sum() < all_tiles["n_features"].sum()
+
+
+class TestBoxMergeProfile:
+    def test_merges_overlapping_boxes_per_tile(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray import fixtures
+        from planetiler_ray.pipelines.tiles import build_pyramid
+        from planetiler_ray.profile import BoxMergeProfile
+        from planetiler_ray.stages.render import RenderConfig
+        n = 200
+        path = fixtures.images_parquet(n, with_bytes=False)
+        ds = rd.read_parquet(path, columns=["image_id"])
+        ids = fixtures.image_ids(n)
+        cfg = RenderConfig(14, 14, emit_points=False)
+        plain = build_pyramid(ds, ids, cfg, num_partitions=4,
+                              with_feature_ids=False).to_pandas()
+        merged = build_pyramid(ds, ids, cfg, num_partitions=4,
+                               with_feature_ids=False,
+                               profile=BoxMergeProfile(min_dist=256.0)).to_pandas()
+        # huge min_dist: every tile's boxes collapse to one merged feature
+        assert (merged["n_features"] == 1).all()
+        assert set(merged["tile_id"]) == set(plain["tile_id"])
+        assert plain["n_features"].sum() >= merged["n_features"].sum()
+        multi = plain[plain["n_features"] > 1]
+        assert len(multi) > 0  # the hotspot fixture guarantees dense tiles
