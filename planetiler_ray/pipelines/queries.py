@@ -416,12 +416,17 @@ def q_nation_revenue(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     o2n = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    okey_to_nation = dict(zip(o2n["o_orderkey"], o2n["c_nationkey"]))
-    bcast = okey_to_nation  # broadcast small side; lookup per batch
+    # broadcast the small side as two sorted numpy arrays → O(log n)
+    # vectorized lookup per batch (np.searchsorted), no per-row Python
+    so = np.argsort(o2n["o_orderkey"].to_numpy())
+    bc_keys = o2n["o_orderkey"].to_numpy()[so]
+    bc_nat = o2n["c_nationkey"].to_numpy()[so].astype(np.int64)
 
     def rev(t: pa.Table) -> pd.DataFrame:
         ok = t["l_orderkey"].to_numpy()
-        nk = np.array([bcast.get(int(k), -1) for k in ok], dtype=np.int64)
+        pos = np.searchsorted(bc_keys, ok)
+        pos = np.clip(pos, 0, len(bc_keys) - 1)
+        nk = np.where(bc_keys[pos] == ok, bc_nat[pos], -1)
         r = (t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()))
         df = pd.DataFrame({"n_nationkey": nk, "revenue": r})
         return df.groupby("n_nationkey", as_index=False)["revenue"].sum()  # partial agg
@@ -541,7 +546,8 @@ def q_parse_props(sf_dir: str):
     def p(batch: pa.Table) -> pa.Table:
         import re
         s = batch["props"].to_pandas().astype(str)
-        nums = s.str.extract(re.compile(r"(\d+)"), expand=False)
+        # ASCII-only digits to match DuckDB's [0-9]+ (\d matches Unicode)
+        nums = s.str.extract(re.compile(r"([0-9]+)"), expand=False)
         k = pd.to_numeric(nums, errors="coerce").fillna(0).astype(np.int64)
         return pa.table({"event_type": batch["event_type"],
                          "k": k.to_numpy()})
@@ -555,7 +561,7 @@ def q_parse_props(sf_dir: str):
 
 SQL_PARSE_PROPS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -618,21 +624,24 @@ SELECT DISTINCT event_type FROM events
 
 
 def q_order_status_counts(sf_dir: str):
-    """Distinct-count style aggregate: orders per status with distinct
-    customers (pre-aggregated per batch, merged on the driver)."""
+    """Distinct-count aggregate as two cascaded groupbys: first collapse
+    to (status, custkey) with per-pair order counts (shuffle moves only
+    distinct pairs), then count pairs + sum orders per status — no
+    driver-side set state (scale-safe for an arbitrary customer count)."""
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        return df.groupby("o_orderstatus").agg(
-            n=("o_orderkey", "size"),
-            custs=("o_custkey", lambda s: set(s))).reset_index()
+        return df.groupby(["o_orderstatus", "o_custkey"], as_index=False) \
+                 .agg(n=("o_orderkey", "size"))
 
-    parts = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for status, grp in parts.groupby("o_orderstatus"):
-        all_custs = set().union(*grp["custs"])
-        rows.append((status, int(grp["n"].sum()), len(all_custs)))
-    return pd.DataFrame(rows, columns=["o_orderstatus", "n_orders", "n_customers"])
+    from ray.data.aggregate import Count, Sum
+    pairs = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderstatus", "o_custkey"]).aggregate(Sum("n", alias_name="n"))
+    out = pairs.groupby("o_orderstatus").aggregate(
+        Sum("n", alias_name="n_orders"),
+        Count(alias_name="n_customers")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out[["o_orderstatus", "n_orders", "n_customers"]]
 
 
 SQL_ORDER_STATUS_COUNTS = """

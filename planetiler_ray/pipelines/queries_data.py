@@ -149,7 +149,8 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_tokens,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+         AS sum_tokens,
        round(avg(CAST(length(text) AS DOUBLE)), 2) AS avg_chars
 FROM documents GROUP BY lang
 """

@@ -169,7 +169,6 @@ def _join_reduce(group: pa.Table, k: int = 3) -> pa.Table:
     the tile center; ties broken by image_id ascending
     (FIXTURES.md §3).  ``knn_rank`` = 1..k for the k nearest, else 0.
     """
-    import pandas as pd
     if group.num_rows == 0:
         return pa.table({"tile_id": pa.array([], pa.int64()),
                          "z": pa.array([], pa.int8()),
