@@ -312,7 +312,7 @@ SELECT event_id, x, y, rnk FROM r WHERE rnk <= 3
 
 
 def q_hilbert_tiles_z8(sf_dir: str):
-    """Hilbert ids of occupied z8 tiles (no SQL analog → rows-only check)."""
+    """Hilbert ids of occupied z8 tiles (SQL oracle: bit-trick curve CTEs)."""
     from ..tilemath.tilecoord import hilbert_encode_tile, tile_of_point
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -324,6 +324,21 @@ def q_hilbert_tiles_z8(sf_dir: str):
     from ray.data.aggregate import Count
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
     return ds.groupby(["hilbert_id", "x", "y"]).aggregate(Count(alias_name="n"))
+
+
+def _sql_hilbert_tiles_z8() -> str:
+    from .sqlgen import hilbert_ctes, zoom_start
+    return f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+t AS (SELECT event_id, CAST(floor(wx*256) AS BIGINT) AS x,
+             CAST(floor(wy*256) AS BIGINT) AS y FROM w),
+{hilbert_ctes(8, 't', 'event_id, x, y').lstrip()}
+SELECT {zoom_start(8)} + CAST(hpos AS BIGINT) AS hilbert_id, x, y, count(*) AS n
+FROM hil_hpos GROUP BY 1, 2, 3
+"""
+
+
+SQL_HILBERT_TILES_Z8 = _sql_hilbert_tiles_z8()
 
 
 # ---------------------------------------------------------------------------
@@ -711,6 +726,7 @@ ORACLE_SQL = {
     "pip_boxes_z7": SQL_PIP_BOXES_Z7,
     "labelgrid_topk_z10": SQL_LABELGRID_TOPK_Z10,
     "knn_tile_z6": SQL_KNN_TILE_Z6,
+    "hilbert_tiles_z8": SQL_HILBERT_TILES_Z8,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "nation_revenue": SQL_NATION_REVENUE,

@@ -343,9 +343,18 @@ DATA_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
 }
 
+from .sqlgen import (sql_doc_fingerprints, sql_lang_id,  # noqa: E402
+                     sql_minhash_lsh_pairs, sql_minhash_signatures,
+                     sql_simhash_docs)
+
 DATA_ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
+    "minhash_signatures": sql_minhash_signatures(),
+    "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+    "simhash_docs": sql_simhash_docs(),
+    "doc_fingerprints": sql_doc_fingerprints(),
+    "lang_id": sql_lang_id(),
     "token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

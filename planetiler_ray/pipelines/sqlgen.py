@@ -1,0 +1,390 @@
+"""DuckDB-SQL builders mirroring the engine's arithmetic kernels.
+
+The driver's correctness gate runs each ``queries()`` pipeline next to
+an ANSI-SQL oracle over the same parquet tables.  Everything the engine
+computes arithmetically (splitmix64, FNV-1a, Hilbert bit-tricks, the
+deterministic image georeferencing, minhash permutations) is re-derived
+here as SQL text so the oracle is an *independent* DuckDB evaluation of
+the same public definitions — validated bit-exact against the numpy
+kernels in ``tests/test_sqlgen_oracle.py``.
+
+Conventions:
+
+- 64-bit unsigned arithmetic runs in UBIGINT; products that would
+  overflow use the 32-bit-half HUGEINT trick (``mulmod``).
+- ``xor(UBIGINT, BIGINT)`` promotes to DOUBLE in DuckDB — every operand
+  of ``xor`` must be UBIGINT.
+- Signed int64 results use the two's-complement wrap (``to_i64``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_INIT = 0xCBF29CE484222325
+FNV_PRIME = 1099511628211
+MIX_C1 = 0xBF58476D1CE4E5B9
+MIX_C2 = 0x94D049BB133111EB
+TWO64 = 1 << 64
+
+
+def mulmod(z: str, c) -> str:
+    """``(z * c) mod 2^64`` with z an UBIGINT sql expr, c a 64-bit constant
+    or UBIGINT column — 32-bit halves in HUGEINT, wrapped back to UBIGINT."""
+    return (f"CAST((( ({z} % 4294967296)::HUGEINT * {c} + "
+            f"((({z} // 4294967296)::HUGEINT * {c}) % 4294967296) * 4294967296 )"
+            f" % 18446744073709551616) AS UBIGINT)")
+
+
+def to_i64(v: str) -> str:
+    """UBIGINT expr → signed BIGINT (two's-complement wrap)."""
+    return (f"CAST(CASE WHEN {v} >= 9223372036854775808 "
+            f"THEN {v}::HUGEINT - 18446744073709551616 "
+            f"ELSE {v}::HUGEINT END AS BIGINT)")
+
+
+def mix64_ctes(prefix: str, src: str, keys: str, expr: str,
+               out: str = "h") -> str:
+    """CTE chain computing splitmix64-finalizer ``mix64(expr)`` from CTE
+    ``src``; final CTE is named ``prefix`` with columns ``keys, out``."""
+    return f"""
+{prefix}_m0 AS (SELECT {keys}, {expr} AS z FROM {src}),
+{prefix}_m1 AS (SELECT {keys}, {mulmod('xor(z, z >> 30)', MIX_C1)} AS z FROM {prefix}_m0),
+{prefix}_m2 AS (SELECT {keys}, {mulmod('xor(z, z >> 27)', MIX_C2)} AS z FROM {prefix}_m1),
+{prefix} AS (SELECT {keys}, xor(z, z >> 31) AS {out} FROM {prefix}_m2)"""
+
+
+def fnv_step(h: str, byte_expr: str) -> str:
+    """One FNV-1a step: ``(h ^ byte) * prime mod 2^64``."""
+    return mulmod(f"xor({h}, CAST({byte_expr} AS UBIGINT))", FNV_PRIME)
+
+
+def fnv_string_expr(col: str) -> str:
+    """FNV-1a 64 over an ASCII string column, via list_reduce lambda."""
+    codes = f"list_transform(range(1, length({col})+1), i -> ascii(substr({col}, i, 1)))"
+    return (f"list_reduce(list_prepend({FNV_INIT}::UBIGINT, {codes}), "
+            f"(h, c) -> {fnv_step('h', 'c')})")
+
+
+def img_id_fnv_ctes(src: str = "documents", key: str = "doc_id") -> str:
+    """CTE chain: FNV-1a over the string ``'img' || lpad(doc_id, 8, '0')``
+    computed digit-arithmetically (11 chained steps), then mix64 → ``u``.
+    Final CTE ``geo_u(doc_id, i, u)``."""
+    steps = [f"geo_f0 AS (SELECT {key} AS doc_id, "
+             f"{fnv_step(f'{FNV_INIT}::UBIGINT', 105)} AS h FROM {src})"]
+    # 'm' 'g' then the 8 decimal digits of doc_id
+    for j, c in enumerate((109, 103), start=1):
+        steps.append(f"geo_f{j} AS (SELECT doc_id, {fnv_step('h', c)} AS h FROM geo_f{j-1})")
+    for d in range(8):
+        j = 3 + d
+        div = 10 ** (7 - d)
+        steps.append(f"geo_f{j} AS (SELECT doc_id, {fnv_step('h', f'48 + (doc_id // {div}) % 10')} AS h FROM geo_f{j-1})")
+    chain = ",\n".join(steps)
+    return f"""{chain},
+{mix64_ctes('geo_uu', 'geo_f10', 'doc_id', 'h', 'u').lstrip()},
+geo_u AS (SELECT doc_id, doc_id AS i, u FROM geo_uu)"""
+
+
+def _interleave16(v: str) -> list[str]:
+    """Interleave steps for a 16-bit value → 32-bit spread (one step per
+    line, to be chained as SQL expressions over alias ``t``)."""
+    return [
+        f"(({v} | ({v} << 8)) & 16711935)",           # 0x00FF00FF
+        "((t | (t << 4)) & 252645135)",               # 0x0F0F0F0F
+        "((t | (t << 2)) & 858993459)",               # 0x33333333
+        "((t | (t << 1)) & 1431655765)",              # 0x55555555
+    ]
+
+
+def hilbert_ctes(level: int, src: str, keys: str, x_col: str = "x",
+                 y_col: str = "y", out: str = "hpos") -> str:
+    """CTE chain computing the per-level Hilbert index of (x, y) — the
+    public bit-trick curve (rawrunprotected/hilbert_curves), matching
+    ``tilemath/hilbert.py`` / reference ``util/Hilbert.java``.  Final CTE
+    ``hil_{out}`` has columns ``keys, out``.  All values < 2^32, UBIGINT."""
+    sh = 16 - level
+    return f"""
+hx0_{out} AS (SELECT {keys},
+    ({x_col}::UBIGINT << {sh}) AS hx, ({y_col}::UBIGINT << {sh}) AS hy FROM {src}),
+hx1_{out} AS (SELECT {keys}, hx, hy,
+    xor(hx, hy) AS a1,
+    xor(65535::UBIGINT, xor(hx, hy)) AS b1,
+    xor(65535::UBIGINT, hx | hy) AS c1,
+    hx & xor(hy, 65535::UBIGINT) AS d1 FROM hx0_{out}),
+hx2_{out} AS (SELECT {keys}, hx, hy,
+    a1 | (b1 >> 1) AS a,
+    xor(a1 >> 1, a1) AS b,
+    xor(xor(c1 >> 1, b1 & (d1 >> 1)), c1) AS c,
+    xor(xor(a1 & (c1 >> 1), d1 >> 1), d1) AS d FROM hx1_{out}),
+hx3_{out} AS (SELECT {keys}, hx, hy,
+    xor(a & (a >> 2), b & (b >> 2)) AS a,
+    xor(a & (b >> 2), b & (xor(a, b) >> 2)) AS b,
+    xor(c, xor(a & (c >> 2), b & (d >> 2))) AS c,
+    xor(d, xor(b & (c >> 2), xor(a, b) & (d >> 2))) AS d FROM hx2_{out}),
+hx4_{out} AS (SELECT {keys}, hx, hy,
+    xor(a & (a >> 4), b & (b >> 4)) AS a,
+    xor(a & (b >> 4), b & (xor(a, b) >> 4)) AS b,
+    xor(c, xor(a & (c >> 4), b & (d >> 4))) AS c,
+    xor(d, xor(b & (c >> 4), xor(a, b) & (d >> 4))) AS d FROM hx3_{out}),
+hx5_{out} AS (SELECT {keys}, hx, hy,
+    xor(c, xor(a & (c >> 8), b & (d >> 8))) AS c,
+    xor(d, xor(b & (c >> 8), xor(a, b) & (d >> 8))) AS d FROM hx4_{out}),
+hx6_{out} AS (SELECT {keys}, hx, hy,
+    xor(c, c >> 1) AS a, xor(d, d >> 1) AS b FROM hx5_{out}),
+hx7_{out} AS (SELECT {keys},
+    xor(hx, hy) AS i0,
+    b | xor(65535::UBIGINT, xor(hx, hy) | a) AS i1 FROM hx6_{out}),
+hx8_{out} AS (SELECT {keys},
+    {_nest_interleave('i0')} AS il0,
+    {_nest_interleave('i1')} AS il1 FROM hx7_{out}),
+hil_{out} AS (SELECT {keys},
+    ((((il1 << 1) | il0) & 4294967295) >> {32 - 2 * level}) AS {out}
+    FROM hx8_{out})"""
+
+
+def _nest_interleave(v: str) -> str:
+    """Fully-nested 16→32-bit interleave expression."""
+    e = f"(({v} | ({v} << 8)) & 16711935)"
+    for shift, mask in ((4, 252645135), (2, 858993459), (1, 1431655765)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def zoom_start(z: int) -> int:
+    """Prefix sum of 4^k for k<z (``TileCoord.startIndexForZoom``)."""
+    return ((4 ** z) - 1) // 3
+
+
+# ---------------------------------------------------------------------------
+# deterministic image georeferencing (fixtures.georef_from_ids in SQL)
+# ---------------------------------------------------------------------------
+
+# city hotspot centers (fixtures.CITY_CENTERS)
+_CITIES = [(-74.0, 40.7), (2.35, 48.85), (139.7, 35.7), (-0.13, 51.5), (151.2, -33.9)]
+
+
+def georef_ctes(src: str = "documents") -> str:
+    """CTE chain deriving the chip placement (cx, cy, hw, hh) from doc_id,
+    mirroring ``fixtures.georef_from_ids`` exactly.  Final CTE
+    ``geo(doc_id, i, cx, cy, hw, hh)``."""
+    clon = "CASE (i // 10) % 5 " + " ".join(
+        f"WHEN {k} THEN CAST({c[0]!r} AS DOUBLE)" for k, c in enumerate(_CITIES)) + " END"
+    clat = "CASE (i // 10) % 5 " + " ".join(
+        f"WHEN {k} THEN CAST({c[1]!r} AS DOUBLE)" for k, c in enumerate(_CITIES)) + " END"
+    return f"""{img_id_fnv_ctes(src)},
+geo_base AS (SELECT doc_id, i, u,
+    (CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END) * pow(2.0, -22) / 2 AS hw,
+    (CASE (i // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END) * pow(2.0, -22) / 2 AS hh,
+    CAST(u % 67108864 AS DOUBLE) / 67108864 AS cx0,
+    -0.05 + 1.1 * (CAST((u // 67108864) % 67108864 AS DOUBLE) / 67108864) AS cy0
+    FROM geo_u),
+geo_hot AS (SELECT doc_id, i, u, hw, hh,
+    CASE WHEN i % 10 < 3 THEN
+        (({clon} + 0.2 * (CAST((u // 1099511627776) % 8192 AS DOUBLE) / 8192 - 0.5)) + 180) / 360
+    ELSE cx0 END AS cx1,
+    CASE WHEN i % 10 < 3 THEN
+        0.5 - 0.25 * ln((1 + sin(radians({clat} + 0.2 * (CAST((u // 1125899906842624) % 8192 AS DOUBLE) / 8192 - 0.5))))
+                      / (1 - sin(radians({clat} + 0.2 * (CAST((u // 1125899906842624) % 8192 AS DOUBLE) / 8192 - 0.5))))) / pi()
+    ELSE cy0 END AS cy1
+    FROM geo_base),
+geo AS (SELECT doc_id, i, hw, hh,
+    CASE WHEN i % 97 = 0 THEN 1.0 - hw * (CAST((u // 1073741824) % 1024 AS DOUBLE) / 1024)
+         ELSE cx1 END AS cx,
+    CASE WHEN i % 97 = 0 THEN least(greatest(cy1, 0.05), 0.95) ELSE cy1 END AS cy
+    FROM geo_hot)"""
+
+
+# ---------------------------------------------------------------------------
+# minhash permutation parameters (shared with stages.dedup)
+# ---------------------------------------------------------------------------
+
+def minhash_params_sql(num_perm: int = 64) -> str:
+    """VALUES list (p, a, b) of the engine's mix64-derived permutation
+    parameters (``stages.dedup._minhash_params``)."""
+    from ..tilemath.hashing import mix64
+    p = np.arange(num_perm, dtype=np.uint64)
+    a = mix64(2 * p + 1) | np.uint64(1)
+    b = mix64(2 * p + 2)
+    rows = ", ".join(f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)"
+                     for i in range(num_perm))
+    return f"perms(p, a, b) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def word_hash_ctes(src: str = "documents", text_col: str = "text",
+                   key: str = "doc_id") -> str:
+    """CTE chain: per-word ``mix64(fnv1a(word))`` with word ordinality.
+    Words = lowercase ``[a-z0-9]+(?:'[a-z]+)?`` matches (stages.text.WORD_RE).
+    Final CTE ``wh(doc_id, ord, nw, h)`` (ord is 0-based; nw = word count)."""
+    words = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+(''[a-z]+)?')"
+    return f"""
+wd_l AS (SELECT {key} AS doc_id, {words} AS ws FROM {src}),
+wd AS (SELECT doc_id, len(ws) AS nw, unnest(range(len(ws))) AS ord,
+              unnest(ws) AS w FROM wd_l),
+wd_f AS (SELECT doc_id, nw, ord, {fnv_string_expr('w')} AS f FROM wd),
+{mix64_ctes('wh', 'wd_f', 'doc_id, nw, ord', 'f', 'h').lstrip()}"""
+
+
+def shingle_hash_ctes(shingle: int = 3) -> str:
+    """CTE chain (requires ``wh`` from :func:`word_hash_ctes`): per-doc
+    3-gram shingle hashes ``sh(doc_id, sh)`` — rolling mix64 combine of
+    consecutive word hashes; docs shorter than ``shingle`` words get one
+    shingle folding all their words (stages.dedup.shingle_minhash)."""
+    assert shingle == 3
+    return f"""
+sh_j AS (SELECT a.doc_id, a.ord, a.h AS h1, b.h AS h2, c.h AS h3
+         FROM wh a JOIN wh b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+                   JOIN wh c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+         WHERE a.nw >= 3),
+{mix64_ctes('sh_s1', 'sh_j', 'doc_id, ord, h2, h3', 'h1', 'm1').lstrip()},
+{mix64_ctes('sh_s2', 'sh_s1', 'doc_id, ord, h3', 'xor(m1, h2)', 'm2').lstrip()},
+{mix64_ctes('sh_s3', 'sh_s2', 'doc_id, ord', 'xor(m2, h3)', 'm3').lstrip()},
+sh_short_w AS (SELECT doc_id, nw, ord, h FROM wh WHERE nw < 3),
+sh_short_1 AS (SELECT doc_id, h FROM sh_short_w WHERE nw >= 1 AND ord = 0),
+{mix64_ctes('sh_sh1', 'sh_short_1', 'doc_id', 'h', 'm1').lstrip()},
+sh_short_2 AS (SELECT a.doc_id, a.m1, b.h AS h2 FROM sh_sh1 a
+               JOIN sh_short_w b ON a.doc_id = b.doc_id AND b.ord = 1),
+{mix64_ctes('sh_sh2', 'sh_short_2', 'doc_id', 'xor(m1, h2)', 'm2').lstrip()},
+sh AS (
+  SELECT doc_id, m3 AS sh FROM sh_s3
+  UNION ALL
+  SELECT a.doc_id, CASE WHEN b.doc_id IS NOT NULL THEN b.m2 ELSE a.m1 END AS sh
+  FROM sh_sh1 a LEFT JOIN sh_sh2 b ON a.doc_id = b.doc_id
+)"""
+
+
+def sig_ctes(num_perm: int = 64) -> str:
+    """CTE chain (requires ``sh``): per-doc per-perm MinHash signature
+    values ``sigv(doc_id, p, v)`` — min over shingles of
+    ``(sh·a_p + b_p) mod 2^64``."""
+    mm = mulmod("sh", "a")
+    return f"""
+{minhash_params_sql(num_perm)},
+sigv AS (SELECT doc_id, p,
+    min(CAST(({mm}::HUGEINT + b) % 18446744073709551616 AS UBIGINT)) AS v
+    FROM sh CROSS JOIN perms GROUP BY doc_id, p)"""
+
+
+def sql_minhash_signatures() -> str:
+    """Oracle for ``minhash_signatures``: (doc_id, minhash0, sig_xor)."""
+    return f"""
+WITH {word_hash_ctes().lstrip()},
+{shingle_hash_ctes().lstrip()},
+{sig_ctes().lstrip()}
+SELECT s0.doc_id, {to_i64('s0.v')} AS minhash0, {to_i64('x.bx')} AS sig_xor
+FROM (SELECT doc_id, v FROM sigv WHERE p = 0) s0
+JOIN (SELECT doc_id, bit_xor(v) AS bx FROM sigv GROUP BY doc_id) x USING (doc_id)
+"""
+
+
+def sql_simhash_docs() -> str:
+    """Oracle for ``simhash_docs``: 64-bit SimHash over the shingle
+    stream — per-bit signed votes, sign vector packed to int64."""
+    return f"""
+WITH {word_hash_ctes().lstrip()},
+{shingle_hash_ctes().lstrip()},
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+bits AS (SELECT doc_id, bb.b AS b,
+                sum(CASE WHEN (sh >> bb.b) & (1::UBIGINT) = 1::UBIGINT
+                         THEN 1 ELSE 0 END) AS ones
+         FROM sh CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+         GROUP BY doc_id, bb.b),
+sv AS (SELECT bits.doc_id,
+              sum(CASE WHEN 2*ones > c THEN (1::UBIGINT << b)::HUGEINT
+                       ELSE 0::HUGEINT END) AS s
+       FROM bits JOIN cnt USING (doc_id) GROUP BY bits.doc_id)
+SELECT doc_id, {to_i64('s')} AS simhash FROM sv
+"""
+
+
+def sql_minhash_lsh_pairs(num_perm: int = 64, bands: int = 8,
+                          threshold: float = 0.3) -> str:
+    """Oracle for ``minhash_lsh_pairs``: banded LSH buckets over the
+    signatures, candidate pairs, est. Jaccard = matching-position
+    fraction (exact k/64 on both sides)."""
+    rpb = num_perm // bands
+    chain = [f"bh_0 AS (SELECT doc_id, p // {rpb} AS band, v AS h "
+             f"FROM sigv WHERE p % {rpb} = 0)"]
+    for c in range(1, rpb):
+        chain.append(
+            f"bh_c{c}_j AS (SELECT a.doc_id, a.band, xor(a.h, s.v) AS z "
+            f"FROM bh_{c-1} a JOIN sigv s ON s.doc_id = a.doc_id "
+            f"AND s.p = a.band*{rpb} + {c})")
+        chain.append(mix64_ctes(f"bh_{c}", f"bh_c{c}_j", "doc_id, band",
+                                "z", "h").lstrip())
+    bh_chain = ",\n".join(chain)
+    return f"""
+WITH {word_hash_ctes().lstrip()},
+{shingle_hash_ctes().lstrip()},
+{sig_ctes(num_perm).lstrip()},
+{bh_chain},
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bh_{rpb-1} a JOIN bh_{rpb-1} b
+           ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+est AS (SELECT c.id_a, c.id_b,
+               avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+        FROM cand c
+        JOIN sigv sa ON sa.doc_id = c.id_a
+        JOIN sigv sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+        GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def sql_doc_fingerprints(window: int = 16) -> str:
+    """Oracle for ``doc_fingerprints``: min-sampled Rabin-Karp rolling
+    hash over the (ASCII) text bytes, FNV-prime base, mix64-finalized."""
+    from ..tilemath.hashing import FNV1_PRIME_64
+    pw = np.empty(window, dtype=np.uint64)
+    pw[0] = 1
+    with np.errstate(over="ignore"):
+        for k in range(1, window):
+            pw[k] = pw[k - 1] * FNV1_PRIME_64
+    terms = " + ".join(
+        f"ascii(substr(text, i + {k}, 1))::HUGEINT * {int(pw[window - 1 - k])}"
+        for k in range(window))
+    return f"""
+WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, greatest(length(text) - {window - 1}, 0) + 1)) AS i
+             FROM documents),
+acc0 AS (SELECT doc_id, CAST(({terms}) % 18446744073709551616 AS UBIGINT) AS z
+         FROM pos),
+{mix64_ctes('fpm', 'acc0', 'doc_id', 'z', 'h').lstrip()},
+fp_long AS (SELECT doc_id, min(h) AS f FROM fpm GROUP BY doc_id),
+shrt AS (SELECT doc_id, CAST(length(text) AS UBIGINT) AS z FROM documents
+         WHERE length(text) < {window}),
+{mix64_ctes('fps', 'shrt', 'doc_id', 'z', 'h').lstrip()},
+allfp AS (SELECT doc_id, f FROM fp_long
+          UNION ALL SELECT doc_id, h AS f FROM fps)
+SELECT doc_id, {to_i64('f')} AS fingerprint FROM allfp
+"""
+
+
+def sql_lang_id() -> str:
+    """Oracle for ``lang_id``: stopword-profile scores per doc, winner =
+    (max score, lexicographically largest lang), 0 → 'und'; counts per
+    predicted language."""
+    from ..stages.text import STOPWORDS
+    sw_rows = ", ".join(f"('{lg}', '{w}')"
+                        for lg in sorted(STOPWORDS) for w in sorted(STOPWORDS[lg]))
+    lang_rows = ", ".join(f"('{lg}')" for lg in sorted(STOPWORDS))
+    return f"""
+WITH wl AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+(''[a-z]+)?') AS ws
+            FROM documents),
+wd AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+sw(lang, word) AS (SELECT * FROM (VALUES {sw_rows})),
+langs(lang) AS (SELECT * FROM (VALUES {lang_rows})),
+hits AS (SELECT wd.doc_id, sw.lang, count(*) AS score
+         FROM wd JOIN sw ON wd.w = sw.word GROUP BY 1, 2),
+sc AS (SELECT d.doc_id, l.lang, coalesce(h.score, 0) AS score
+       FROM (SELECT doc_id FROM documents) d
+       CROSS JOIN langs l
+       LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang),
+best AS (SELECT doc_id, lang, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang DESC) AS rn
+         FROM sc),
+pred AS (SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+         FROM best WHERE rn = 1)
+SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+"""

@@ -17,6 +17,8 @@ Candidate-pair verification happens inside the bucket groups
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -26,14 +28,15 @@ import ray.data
 from ..tilemath.hashing import fnv1a_64_strings, mix64
 from .text import WORD_RE
 
-# deterministic minhash permutation parameters (seed fixed)
-_MINHASH_SEED = 42
-
-
 def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(_MINHASH_SEED)
-    a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+    """Deterministic mix64-derived permutation parameters.
+
+    Arithmetically derivable (no RNG state) so the DuckDB oracle can
+    reproduce them from the same public splitmix64 definition
+    (``pipelines.sqlgen.minhash_params_sql``)."""
+    p = np.arange(num_perm, dtype=np.uint64)
+    a = mix64(2 * p + 1) | np.uint64(1)
+    b = mix64(2 * p + 2)
     return a, b
 
 
@@ -52,18 +55,19 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
         .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
 
 
-def shingle_minhash(batch: pa.Table, text_col: str = "text",
-                    id_col: str = "doc_id", num_perm: int = 64,
-                    shingle: int = 3) -> pa.Table:
-    """Per-doc MinHash signature over word ``shingle``-grams.
+def shingle_hash_stream(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id", shingle: int = 3
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flattened word-``shingle``-gram hash stream for a whole batch.
 
-    Fully batch-vectorized: shingle hashes are computed WITHOUT string
-    materialization (rolling combine of per-word hashes), and the k-perm
-    minima use one ``np.minimum.reduceat`` over the whole batch's
-    shingle stream per permutation chunk — no per-doc Python loop in
-    the hot part.
+    Returns ``(ids, sh_hash, seg)``: per-doc ids, the uint64 shingle
+    hashes of every doc concatenated in doc order, and the start offset
+    of each doc's segment in that stream (docs with < ``shingle`` words
+    contribute one shingle folding all their words).  Shingle hash =
+    rolling ``mix64(h ^ word_hash)`` combine — no string
+    materialization.  Shared by MinHash, SimHash and the SQL oracle
+    (``pipelines.sqlgen.shingle_hash_ctes``).
     """
-    a, b = _minhash_params(num_perm)
     ids = batch[id_col].to_numpy()
     words_all = batch[text_col].to_pandas().astype(str).str.lower().str.findall(WORD_RE)
     n_docs = len(ids)
@@ -75,8 +79,6 @@ def shingle_minhash(batch: pa.Table, text_col: str = "text",
     word_h = mix64(fnv1a_64_strings(flat_words.astype("U"))) if len(flat_words) \
         else np.empty(0, np.uint64)
 
-    # shingle hash = combine of `shingle` consecutive word hashes within a doc
-    doc_of = np.repeat(np.arange(n_docs), counts)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     with np.errstate(over="ignore"):
         sh_parts = []
@@ -108,10 +110,27 @@ def shingle_minhash(batch: pa.Table, text_col: str = "text",
         sh_hash = np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64)
         sh_docs = np.concatenate(sh_doc_parts) if sh_doc_parts else np.empty(0, np.int64)
 
-        order = np.argsort(sh_docs, kind="stable")
-        sh_hash, sh_docs = sh_hash[order], sh_docs[order]
-        seg = np.searchsorted(sh_docs, np.arange(n_docs))
-        sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+    order = np.argsort(sh_docs, kind="stable")
+    sh_hash = sh_hash[order]
+    seg = np.searchsorted(sh_docs[order], np.arange(n_docs))
+    return ids, sh_hash, seg
+
+
+def shingle_minhash(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id", num_perm: int = 64,
+                    shingle: int = 3) -> pa.Table:
+    """Per-doc MinHash signature over word ``shingle``-grams.
+
+    Fully batch-vectorized: shingle hashes from
+    :func:`shingle_hash_stream`, k-perm minima via one
+    ``np.minimum.reduceat`` over the whole batch's shingle stream per
+    permutation chunk — no per-doc Python loop in the hot part.
+    """
+    a, b = _minhash_params(num_perm)
+    ids, sh_hash, seg = shingle_hash_stream(batch, text_col, id_col, shingle)
+    n_docs = len(ids)
+    sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+    with np.errstate(over="ignore"):
         for p0 in range(0, num_perm, 8):  # chunk perms to bound memory
             p1 = min(p0 + 8, num_perm)
             vals = sh_hash[:, None] * a[None, p0:p1] + b[None, p0:p1]
@@ -128,57 +147,141 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       shingle: int = 3) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash + banded LSH.
 
-    Pipeline: signature per doc → explode to (band, band_hash) rows →
-    groupby(band, band_hash) buckets → pairwise signature-Jaccard
-    estimate within buckets → pairs over threshold (deduped).
+    Shuffle-lean pipeline (the LSH exchange moves only 3 small columns,
+    NOT the 64×8-byte signatures):
+
+    1. signatures per doc (one dataset, computed once)
+    2. explode to ``(band, band_hash, id)`` rows → groupby buckets →
+       candidate pairs (vectorized all-pairs within bucket, deduped)
+    3. signature re-join: pairs keyed by ``id_a`` union'd with the
+       signature rows → groupby(key) attaches ``sig_a``; re-key by
+       ``id_b`` and repeat → est. Jaccard = matching-position fraction;
+       keep pairs ≥ threshold
+
+    Two tiny extra shuffles (1 signature per *pair* side) replace the
+    old 8× signature duplication through the big bucket exchange.
     """
     rows_per_band = num_perm // bands
+    sig_t = pa.list_(pa.int64())
 
-    def to_bands(batch: pa.Table) -> pa.Table:
-        sig_tbl = shingle_minhash(batch, text_col, id_col, num_perm, shingle)
-        ids = sig_tbl[id_col].to_numpy()
-        sigs = np.asarray(sig_tbl["signature"].combine_chunks().flatten()
-                          .to_numpy().view(np.uint64)).reshape(len(ids), num_perm)
-        band_rows = {"band": [], "band_hash": [], id_col: [], "sig": []}
+    sigs = ds.map_batches(
+        partial(shingle_minhash, text_col=text_col, id_col=id_col,
+                num_perm=num_perm, shingle=shingle),
+        batch_format="pyarrow")
+
+    def to_band_keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        sg = np.asarray(batch["signature"].combine_chunks().flatten()
+                        .to_numpy().view(np.uint64)).reshape(len(ids), num_perm)
+        out_band, out_hash, out_id = [], [], []
         for bnd in range(bands):
-            chunk = sigs[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
+            chunk = sg[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
             with np.errstate(over="ignore"):
                 bh = chunk[:, 0].copy()
                 for c in range(1, rows_per_band):
                     bh = mix64(bh ^ chunk[:, c])
-            band_rows["band"].append(np.full(len(ids), bnd, np.int32))
-            band_rows["band_hash"].append(bh.view(np.int64))
-            band_rows[id_col].append(ids)
-            band_rows["sig"].append(sigs)
-        return pa.table({
-            "band": np.concatenate(band_rows["band"]),
-            "band_hash": np.concatenate(band_rows["band_hash"]),
-            id_col: np.concatenate(band_rows[id_col]),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(band_rows["sig"], axis=0).reshape(-1).view(np.int64)),
-                num_perm),
-        })
+            out_band.append(np.full(len(ids), bnd, np.int32))
+            out_hash.append(bh.view(np.int64))
+            out_id.append(ids)
+        return pa.table({"band": np.concatenate(out_band),
+                         "band_hash": np.concatenate(out_hash),
+                         id_col: np.concatenate(out_id)})
 
     def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        ids = grp[id_col].to_numpy()
-        sigs = np.stack(grp["sig"].to_numpy()).view(np.uint64)
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        ids = np.sort(grp[id_col].to_numpy())
         ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        m = est >= jaccard_threshold
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m],
-                             "est_jaccard": est[m]})
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    pairs = ds.map_batches(to_bands, batch_format="pyarrow") \
+    cand = sigs.map_batches(to_band_keys, batch_format="pyarrow") \
         .groupby(["band", "band_hash"]) \
-        .map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands → dedup
-    return pairs.groupby(["id_a", "id_b"]).max("est_jaccard") \
-        .map_batches(lambda t: t.rename_columns(["id_a", "id_b", "est_jaccard"]),
-                     batch_format="pyarrow")
+        .map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).count() \
+        .select_columns(["id_a", "id_b"])  # dedup pairs seen in >1 band
+
+    def sig_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch[id_col],
+            "id_a": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "id_b": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "sig": batch["signature"].cast(sig_t),
+            "sig_a": pa.array([None] * batch.num_rows, sig_t),
+        })
+
+    def pair_side(batch: pa.Table, key_col: str) -> pa.Table:
+        return pa.table({
+            "key": batch[key_col],
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "sig": pa.array([None] * batch.num_rows, sig_t),
+            "sig_a": batch["sig_a"] if "sig_a" in batch.column_names
+            else pa.array([None] * batch.num_rows, sig_t),
+        })
+
+    def attach(grp: pa.Table, out_col: str) -> pa.Table:
+        ids_a = grp["id_a"].to_numpy()
+        is_sig = ids_a < 0
+        pairs_m = ~is_sig
+        if not pairs_m.any():
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sig": pa.array([], sig_t),
+                             "sig_a": pa.array([], sig_t)})
+        sig_rows = grp.filter(pa.array(is_sig))
+        pair_rows = grp.filter(pa.array(pairs_m))
+        n = pair_rows.num_rows
+        if sig_rows.num_rows:
+            sig_np = np.asarray(sig_rows["sig"][0].as_py(), dtype=np.int64)
+            attached = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * num_perm),
+                pa.array(np.tile(sig_np, n)))
+        else:
+            attached = pa.array([None] * n, sig_t)
+        cols = {"key": pair_rows["key"], "id_a": pair_rows["id_a"],
+                "id_b": pair_rows["id_b"]}
+        if out_col == "sig_a":
+            cols["sig"] = pa.array([None] * n, sig_t)
+            cols["sig_a"] = attached
+        else:
+            cols["sig"] = attached          # reuse 'sig' slot for sig_b
+            cols["sig_a"] = pair_rows["sig_a"]
+        return pa.table(cols)
+
+    # pass 1: attach sig_a (key = id_a)
+    joined1 = sigs.map_batches(sig_side, batch_format="pyarrow") \
+        .union(cand.map_batches(partial(pair_side, key_col="id_a"),
+                                batch_format="pyarrow")) \
+        .groupby("key").map_groups(partial(attach, out_col="sig_a"),
+                                   batch_format="pyarrow")
+    # pass 2: attach sig_b (key = id_b) and compute the estimate
+    joined2 = sigs.map_batches(sig_side, batch_format="pyarrow") \
+        .union(joined1.map_batches(partial(pair_side, key_col="id_b"),
+                                   batch_format="pyarrow")) \
+        .groupby("key").map_groups(partial(attach, out_col="sig"),
+                                   batch_format="pyarrow")
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows:
+            batch = batch.filter(pc.and_(pc.is_valid(batch["sig_a"]),
+                                         pc.is_valid(batch["sig"])))
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = np.asarray(batch["sig_a"].combine_chunks().flatten()
+                        .to_numpy()).reshape(batch.num_rows, num_perm)
+        sb = np.asarray(batch["sig"].combine_chunks().flatten()
+                        .to_numpy()).reshape(batch.num_rows, num_perm)
+        est = (sa == sb).mean(axis=1)
+        m = est >= jaccard_threshold
+        return pa.table({"id_a": batch["id_a"].to_numpy()[m],
+                         "id_b": batch["id_b"].to_numpy()[m],
+                         "est_jaccard": est[m]})
+
+    return joined2.map_batches(estimate, batch_format="pyarrow")
 
 
 def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..tilemath.hashing import fnv1a_64_strings, mix64
+from ..tilemath.hashing import mix64
 
 WORD_RE = re.compile(r"[a-z0-9]+(?:'[a-z]+)?")
 
@@ -45,18 +45,45 @@ def token_char_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("n_chars_calc", pa.array(n_chars))
 
 
+def _flat_words(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten per-doc word lists → (flat word array 'U', per-doc counts).
+
+    The shared flatten used by the vectorized word-stat kernels: all
+    per-word work then runs batch-wide (np.isin / np.char / reduceat),
+    never per document.
+    """
+    words = s.str.findall(WORD_RE)
+    counts = words.map(len).to_numpy(np.int64)
+    flat = (np.array([w for ws in words for w in ws], dtype="U")
+            if counts.sum() else np.empty(0, "U1"))
+    return flat, counts
+
+
+def _segment_sums(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sum of ``values`` per doc segment given per-doc counts (0-safe)."""
+    out = np.zeros(len(counts), dtype=np.float64)
+    nz = counts > 0
+    if nz.any():
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out[nz] = np.add.reduceat(values.astype(np.float64), starts[nz])
+    return out
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Add quality columns: punct_ratio, stop_ratio, mean_word_len, q_score."""
+    """Add quality columns: punct_ratio, stop_ratio, mean_word_len, q_score.
+
+    Batch-vectorized: one flattened word stream per batch; stopword
+    membership via ``np.isin``, per-doc sums via ``np.add.reduceat``.
+    """
     s = batch[text_col].to_pandas().astype(str)
     n = s.str.len().to_numpy(np.float64)
     n = np.maximum(n, 1)
     punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
-    words = s.str.findall(WORD_RE)
-    stop_all = set().union(*STOPWORDS.values())
-    stop_ratio = words.map(
-        lambda ws: sum(w in stop_all for w in ws) / max(1, len(ws))).to_numpy(np.float64)
-    mean_wl = words.map(
-        lambda ws: sum(map(len, ws)) / max(1, len(ws))).to_numpy(np.float64)
+    flat, counts = _flat_words(s)
+    stop_all = np.sort(np.array(sorted(set().union(*STOPWORDS.values())), dtype="U"))
+    denom = np.maximum(counts, 1).astype(np.float64)
+    stop_ratio = _segment_sums(np.isin(flat, stop_all), counts) / denom
+    mean_wl = _segment_sums(np.char.str_len(flat), counts) / denom
     punct_ratio = punct / n
     # simple composite quality heuristic in [0,1]
     q = (1.0 - np.clip(punct_ratio * 5, 0, 1)) * 0.4 \
@@ -77,45 +104,50 @@ class LangId:
     """
 
     def __init__(self):
-        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-        self.word_re = re.compile(WORD_RE.pattern)
+        # langs ordered DESC so argmax (first max) = the tie-break winner
+        # of max(score, lang): highest score, then lexicographically
+        # largest language code
+        self.langs = sorted(STOPWORDS, reverse=True)
+        self.profiles = [np.sort(np.array(sorted(STOPWORDS[lg]), dtype="U"))
+                         for lg in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].astype(str).str.lower().str.findall(self.word_re)
-
-        def best(ws):
-            if not ws:
-                return "und"
-            scores = {lang: sum(w in prof for w in ws) for lang, prof in self.profiles.items()}
-            lang, score = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
-            return lang if score > 0 else "und"
-
+        flat, counts = _flat_words(batch["text"].astype(str).str.lower())
+        scores = np.stack([_segment_sums(np.isin(flat, prof), counts)
+                           for prof in self.profiles], axis=1)
+        best = scores.argmax(axis=1)
+        top = scores[np.arange(len(best)), best]
+        pred = np.where(top > 0, np.array(self.langs)[best], "und")
         batch = batch.copy()
-        batch["lang_pred"] = words.map(best)
+        batch["lang_pred"] = pred
         return batch
 
 
 def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Add a 64-bit SimHash over word 3-shingles (vectorized per batch).
+    """Add a 64-bit SimHash over word 3-shingles (batch-vectorized).
 
     Standard SimHash (Charikar): sum signed bit votes of shingle hashes,
-    take the sign vector.  Near-duplicate texts → small Hamming distance.
+    take the sign vector.  Shingle hashes come from the shared
+    rolling-mix64 stream (``stages.dedup.shingle_hash_stream``) so the
+    whole batch is one reduceat — no per-doc Python loop — and the SQL
+    oracle (``pipelines.sqlgen``) can re-derive the same hashes.
     """
-    s = batch[text_col].to_pandas().astype(str).str.lower().str.findall(WORD_RE)
-    hashes = []
-    for words in s:
-        if len(words) < 3:
-            sh = ["$".join(words)] if words else [""]
-        else:
-            sh = ["$".join(words[i:i + 3]) for i in range(len(words) - 2)]
-        h = mix64(fnv1a_64_strings(np.array(sh)))  # deterministic across processes
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        hashes.append(np.int64(sim.astype(np.int64)))
-    return batch.append_column("simhash", pa.array(np.array(hashes, dtype=np.int64)))
+    from .dedup import shingle_hash_stream
+    _, sh_hash, seg = shingle_hash_stream(batch, text_col, id_col=batch.column_names[0])
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return batch.append_column("simhash", pa.array([], pa.int64()))
+    counts = np.diff(np.concatenate([seg, [len(sh_hash)]]))
+    bits = ((sh_hash[:, None] >> np.arange(64, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.int32)
+    ones = np.add.reduceat(bits, seg, axis=0) if len(sh_hash) else \
+        np.zeros((n_docs, 64), np.int32)
+    ones[counts == 0] = 0
+    # vote > 0  ⇔  2·ones > count
+    setbit = (2 * ones) > counts[:, None]
+    sim = (setbit.astype(np.uint64) <<
+           np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return batch.append_column("simhash", pa.array(sim.view(np.int64)))
 
 
 def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
@@ -127,19 +159,51 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
     under local edits outside the minimizing window.
     """
     texts = batch[text_col].to_pandas().astype(str)
+    n = len(texts)
+    if n == 0:
+        return batch.append_column("fingerprint", pa.array([], pa.int64()))
     B = np.uint64(1099511628211)
-    out = np.empty(len(texts), dtype=np.int64)
+    pw = np.empty(window, dtype=np.uint64)
+    pw[0] = 1
+    with np.errstate(over="ignore"):
+        for k in range(1, window):
+            pw[k] = pw[k - 1] * B
+
+    try:
+        # batch-wide fast path: whole batch as one padded byte matrix,
+        # all windows of all docs in a few matrix ops
+        arr = np.asarray(texts.to_numpy(), dtype="S")
+    except UnicodeEncodeError:
+        arr = None
+    if arr is not None:
+        width = max(arr.dtype.itemsize, 1)
+        mat = arr.view(np.uint8).reshape(n, width)
+        lens = np.count_nonzero(mat, axis=1)  # NUL-padded → byte lengths
+        out = mix64(lens.astype(np.uint64)).view(np.int64).copy()
+        n_win_max = width - window + 1
+        if n_win_max > 0:
+            acc = np.zeros((n, n_win_max), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for k in range(window):
+                    acc += mat[:, k:k + n_win_max].astype(np.uint64) * pw[window - 1 - k]
+                mixed = mix64(acc)
+            # mask windows past each doc's end, min per row
+            win_idx = np.arange(n_win_max)[None, :]
+            valid = win_idx < (lens[:, None] - window + 1)
+            mixed[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            long_m = lens >= window
+            if long_m.any():
+                out[long_m] = mixed[long_m].min(axis=1).view(np.int64)
+        return batch.append_column("fingerprint", pa.array(out))
+
+    # non-ASCII fallback: per-doc (rare; utf-8 byte semantics preserved)
+    out = np.empty(n, dtype=np.int64)
     for i, t in enumerate(texts):
         b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
         if len(b) < window:
             out[i] = np.int64(mix64(np.array([len(b)], dtype=np.uint64))[0].astype(np.int64))
             continue
-        # vectorized rolling hash: polynomial sum over sliding windows
-        pw = np.empty(window, dtype=np.uint64)
-        pw[0] = 1
         with np.errstate(over="ignore"):
-            for k in range(1, window):
-                pw[k] = pw[k - 1] * B
             n_win = len(b) - window + 1
             acc = np.zeros(n_win, dtype=np.uint64)
             for k in range(window):
