@@ -72,5 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from planetiler_ray.pipelines.queries import ORACLE_SQL
+    from planetiler_ray.pipelines.sqlgen import (sql_image_pyramid_stats,
+                                                 sql_image_spatial_join)
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    out["image_pyramid_stats"] = sql_image_pyramid_stats()
+    out["image_spatial_join_z12"] = sql_image_spatial_join()
+    return out

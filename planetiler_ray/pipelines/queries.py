@@ -667,13 +667,22 @@ FROM orders GROUP BY o_orderstatus
 
 
 def q_trajectory_simplify(sf_dir: str):
-    """Per-user trajectory Douglas-Peucker simplification (rows-only).
+    """Per-user trajectory Douglas-Peucker simplification.
 
     Exercises the line pipeline end-to-end: polyline assembly →
     merge_lines (endpoint joins are no-ops here) → DP simplify at a
-    world-space tolerance; returns per-user before/after vertex counts.
+    world-space tolerance.  Oracle-checkable columns: n_before (point
+    count), the preserved endpoints (exact placement arithmetic on both
+    sides), and ``simp_ok`` — an engine-verified invariant that the
+    simplification kept the endpoints, did not add points, and left
+    every original point within tolerance of the simplified polyline
+    (the DP contract; the oracle asserts it must hold).  n_after itself
+    is covered by the pytest DP rotation-sweep vectors.
     """
     from ..stages.merge import merge_lines
+    from ..tilemath.simplify import _seg_dist_sq
+
+    TOL = 0.01
 
     def pts(batch: pa.Table) -> pa.Table:
         t = _event_world(batch)
@@ -683,14 +692,45 @@ def q_trajectory_simplify(sf_dir: str):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         line = np.column_stack([g["wx"].to_numpy(), g["wy"].to_numpy()])
-        out = merge_lines([line], tolerance=0.01)
+        out = merge_lines([line], tolerance=TOL)
+        simp = out[0] if out else line[:0]
+        ok = (2 <= len(simp) <= len(line)
+              and bool((simp[0] == line[0]).all())
+              and bool((simp[-1] == line[-1]).all()))
+        if ok:
+            d2 = np.full(len(line), np.inf)
+            for s in range(len(simp) - 1):
+                d2 = np.minimum(d2, _seg_dist_sq(line, simp[s], simp[s + 1]))
+            ok = bool((d2 <= TOL * TOL + 1e-18).all())
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
                              "n_before": [len(line)],
-                             "n_after": [len(out[0]) if out else 0]})
+                             "first_wx": [line[0, 0]], "first_wy": [line[0, 1]],
+                             "last_wx": [line[-1, 0]], "last_wy": [line[-1, 1]],
+                             "simp_ok": [ok]})
 
     return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
         .map_batches(pts, batch_format="pyarrow") \
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_TRAJECTORY_SIMPLIFY = f"""
+WITH w AS (
+    SELECT user_id, ts, event_id,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS wy
+    FROM events),
+o AS (SELECT user_id, wx, wy,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM w)
+SELECT user_id, max(n) AS n_before,
+       max(CASE WHEN rn = 1 THEN wx END) AS first_wx,
+       max(CASE WHEN rn = 1 THEN wy END) AS first_wy,
+       max(CASE WHEN rn = n THEN wx END) AS last_wx,
+       max(CASE WHEN rn = n THEN wy END) AS last_wy,
+       true AS simp_ok
+FROM o GROUP BY user_id
+"""
 
 
 from .queries_data import DATA_ORACLE_SQL, DATA_QUERIES  # noqa: E402
@@ -736,6 +776,7 @@ ORACLE_SQL = {
     "expr_filter_parts": SQL_EXPR_FILTER_PARTS,
     "parse_props": SQL_PARSE_PROPS,
     "trajectory_lengths": SQL_TRAJECTORY_LENGTHS,
+    "trajectory_simplify": SQL_TRAJECTORY_SIMPLIFY,
     "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
     "order_status_counts": SQL_ORDER_STATUS_COUNTS,
 }

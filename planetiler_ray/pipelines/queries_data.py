@@ -254,9 +254,13 @@ FROM embeddings GROUP BY label
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF approximate top-10 (coarse k-means lists, nprobe=4 of 8) for
-    query vectors 0..4 — the ANN scale path.  Rows-only (approximate by
-    design); exactness at nprobe=n_lists is unit-tested."""
+    """IVF top-10 (coarse k-means lists) for query vectors 0..4.
+
+    Driver-checked at ``nprobe = n_lists`` where the IVF machinery
+    (list assignment, per-list search, merge) must reproduce brute-force
+    exactly — giving the whole IVF path a SQL oracle.  The approximate
+    ``nprobe < n_lists`` scale path (recall/probe trade-off) is
+    unit-tested in tests/test_text_dedup_ann.py."""
     import pyarrow.parquet as pq
     from ..stages.ann import ivf_topk, train_ivf_centroids
 
@@ -267,7 +271,7 @@ def q_ann_ivf_topk(sf_dir: str):
     qdf = qtbl[qtbl["vec_id"] < 5].sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                   queries, qdf["vec_id"].to_numpy(), cent, k=10, nprobe=4)
+                   queries, qdf["vec_id"].to_numpy(), cent, k=10, nprobe=8)
     return out.to_pandas()[["query_id", "neighbor_id", "rnk"]]
 
 
@@ -288,19 +292,22 @@ def q_multimodal_decode(sf_dir: str):
 
     Bytes are synthesized deterministically per doc_id inside the
     pipeline (the container has no image libs — stub codec, real
-    plumbing), then decoded by the DecodeImages actor pool; aggregates
-    per format.  Rows-only check (no SQL analog).
+    plumbing): pixel ``p`` of image ``i`` is ``(i + p) % 256``, so the
+    decoded-pixel sums (including the fake-JPEG quantization) are
+    reproducible arithmetically by the DuckDB oracle.  Decoded by the
+    DecodeImages actor pool; exact integer pixel sums per format.
     """
     from .. import codec
     from ..stages.multimodal import DecodeImages
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     def synth(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
         ids, blobs, fmts, phs = [], [], [], []
         for i in d:
             w, h = 16 + (int(i) % 3) * 8, 16 + (int(i) % 2) * 8
-            px = np.random.default_rng(int(i)).integers(0, 256, (h, w, 3), dtype=np.uint8)
+            px = ((int(i) + np.arange(h * w * 3)) % 256) \
+                .astype(np.uint8).reshape(h, w, 3)
             fmt = "png" if i % 2 == 0 else "jpeg"
             blob = codec.encode_image(px, fmt)
             ids.append(f"img{int(i):08d}")
@@ -320,10 +327,26 @@ def q_multimodal_decode(sf_dir: str):
     out = ds.groupby("fmt").aggregate(
         Count(alias_name="n"),
         Sum("ok", alias_name="n_ok"),
-        Mean("mean_px", alias_name="avg_mean_px")).to_pandas()
-    out["avg_mean_px"] = round_half_away(out["avg_mean_px"], 2)
+        Sum("sum_px", alias_name="sum_px")).to_pandas()
     out["n_ok"] = out["n_ok"].astype(np.int64)
+    out["sum_px"] = out["sum_px"].astype(np.int64)
     return out
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH img AS (SELECT doc_id AS i, 16 + (doc_id % 3) * 8 AS w,
+                    16 + (doc_id % 2) * 8 AS h,
+                    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+             FROM documents),
+px AS (SELECT i, fmt, unnest(range(w * h * 3)) AS p FROM img),
+dv AS (SELECT i, fmt,
+              CASE WHEN fmt = 'png' THEN (i + p) % 256
+                   ELSE (((i + p) % 256) // 4) * 4 + 2 END AS v
+       FROM px)
+SELECT fmt, count(DISTINCT i) AS n, count(DISTINCT i) AS n_ok,
+       CAST(sum(v) AS BIGINT) AS sum_px
+FROM dv GROUP BY fmt
+"""
 
 
 DATA_QUERIES = {
@@ -343,9 +366,9 @@ DATA_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
 }
 
-from .sqlgen import (sql_doc_fingerprints, sql_lang_id,  # noqa: E402
-                     sql_minhash_lsh_pairs, sql_minhash_signatures,
-                     sql_simhash_docs)
+from .sqlgen import (sql_doc_fingerprints, sql_embedding_near_dup,  # noqa: E402
+                     sql_lang_id, sql_minhash_lsh_pairs,
+                     sql_minhash_signatures, sql_simhash_docs)
 
 DATA_ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -358,5 +381,9 @@ DATA_ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    # IVF at nprobe=n_lists must equal brute force — same oracle
+    "ann_ivf_topk": SQL_ANN_COSINE_TOPK,
     "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+    "embedding_near_dup": sql_embedding_near_dup(),
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
 }

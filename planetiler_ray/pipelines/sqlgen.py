@@ -194,6 +194,97 @@ geo AS (SELECT doc_id, i, hw, hh,
     FROM geo_hot)"""
 
 
+# stripe-clip constants (tilemath/clip.py)
+NB = 4.0 / 256 + 0.1 / 4096          # buffer + neighbor epsilon (tile units)
+EPS_PX = (0.1 / 4096) * 256          # 0.00625
+BPX = 4.0                            # buffer px
+
+
+def sql_image_pyramid_stats(max_zoom: int = 10,
+                            label_grid_limit: int = 4) -> str:
+    """Oracle for the flagship ``image_pyramid_stats`` query: per-zoom
+    tile/feature counts of the z0..max_zoom pyramid over the
+    doc-id-derived image table — box stripe-clip (+buffer, antimeridian
+    wrap, min-pixel gate) and point fan-out with the label-grid density
+    limit, all re-derived in SQL windows."""
+    return f"""
+WITH {georef_ctes().lstrip()},
+zz AS (SELECT unnest(range(0, {max_zoom + 1})) AS z),
+gz AS (SELECT g.*, zz.z, CAST(1 << zz.z AS DOUBLE) AS f,
+              (CAST(1 AS BIGINT) << zz.z) AS nt
+       FROM geo g CROSS JOIN zz),
+bg AS (SELECT * FROM gz WHERE 2 * greatest(hw, hh) * f * 256 >= 1.0 OR z = {max_zoom}),
+bb AS (SELECT i, z, nt, (cx - hw) * f AS x0, (cy - hh) * f AS y0,
+              (cx + hw) * f AS x1, (cy + hh) * f AS y1 FROM bg),
+bxx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {NB!r}) AS BIGINT),
+          least(CAST(floor(x1 + {NB!r}) AS BIGINT),
+                CAST(floor(x0 - {NB!r}) AS BIGINT) + nt - 1))) AS gx FROM bb),
+bxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {NB!r}) AS BIGINT)),
+          least(nt - 1, CAST(floor(y1 + {NB!r}) AS BIGINT)))) AS gy FROM bxx),
+bfr AS (SELECT DISTINCT z, ((gx % nt) + nt) % nt AS x, gy AS y, i
+        FROM bxy
+        WHERE least((x1 - gx) * 256, 256 + {BPX!r}) - greatest((x0 - gx) * 256, -{BPX!r}) > -{EPS_PX!r}
+          AND least((y1 - gy) * 256, 256 + {BPX!r}) - greatest((y0 - gy) * 256, -{BPX!r}) > -{EPS_PX!r}),
+pp AS (SELECT i, z, nt, cx * f AS px, cy * f AS py FROM gz),
+pxx AS (SELECT *, unnest(generate_series(CAST(floor(px - {NB!r}) AS BIGINT),
+                                         CAST(floor(px + {NB!r}) AS BIGINT))) AS gx FROM pp),
+pxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(py - {NB!r}) AS BIGINT)),
+          least(nt - 1, CAST(floor(py + {NB!r}) AS BIGINT)))) AS gy FROM pxx),
+pfr AS (SELECT z, nt, ((gx % nt) + nt) % nt AS x, gy AS y, i, px, py FROM pxy),
+prank AS (SELECT z, x, y, i,
+    row_number() OVER (PARTITION BY z, x, y,
+        CAST(floor((CASE WHEN mod(px, CAST(nt AS DOUBLE)) < 0
+                         THEN mod(px, CAST(nt AS DOUBLE)) + nt
+                         ELSE mod(px, CAST(nt AS DOUBLE)) END) / 0.125) AS BIGINT),
+        CAST(floor(py / 0.125) AS BIGINT)
+        ORDER BY i % 1000, i) AS rn
+    FROM pfr WHERE z < {max_zoom}),
+pkeep AS (SELECT z, x, y, i FROM prank GROUP BY z, x, y, i
+          HAVING min(rn) <= {label_grid_limit}),
+pmax AS (SELECT DISTINCT z, x, y, i FROM pfr WHERE z = {max_zoom}),
+allf AS (SELECT z, x, y, i FROM bfr
+         UNION ALL SELECT z, x, y, i FROM pkeep
+         UNION ALL SELECT z, x, y, i FROM pmax)
+SELECT z, count(DISTINCT (x, y)) AS n_tiles, count(*) AS n_features
+FROM allf GROUP BY z
+"""
+
+
+def sql_image_spatial_join(zoom: int = 12, k: int = 3) -> str:
+    """Oracle for the flagship ``image_spatial_join_z12`` query: box
+    footprint × z-tile intersection join + per-tile kNN caption ranks
+    (distance of chip centroid to tile center, ties by image_id)."""
+    nt = 1 << zoom
+    return f"""
+WITH {georef_ctes().lstrip()},
+bb AS (SELECT doc_id, i, cx, cy,
+              (cx - hw) * {nt} AS x0, (cy - hh) * {nt} AS y0,
+              (cx + hw) * {nt} AS x1, (cy + hh) * {nt} AS y1 FROM geo),
+bxx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {NB!r}) AS BIGINT),
+          least(CAST(floor(x1 + {NB!r}) AS BIGINT),
+                CAST(floor(x0 - {NB!r}) AS BIGINT) + {nt - 1}))) AS gx FROM bb),
+bxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {NB!r}) AS BIGINT)),
+          least({nt - 1}, CAST(floor(y1 + {NB!r}) AS BIGINT)))) AS gy FROM bxx),
+fr AS (SELECT doc_id, i, cx, cy, ((gx % {nt}) + {nt}) % {nt} AS x, gy AS y
+       FROM bxy
+       WHERE least((x1 - gx) * 256, 256 + {BPX!r}) - greatest((x0 - gx) * 256, -{BPX!r}) > -{EPS_PX!r}
+         AND least((y1 - gy) * 256, 256 + {BPX!r}) - greatest((y0 - gy) * 256, -{BPX!r}) > -{EPS_PX!r}),
+rk AS (SELECT doc_id, x, y,
+              row_number() OVER (PARTITION BY x, y
+                  ORDER BY sqrt((cx - (x + 0.5)/{nt}) * (cx - (x + 0.5)/{nt})
+                              + (cy - (y + 0.5)/{nt}) * (cy - (y + 0.5)/{nt})),
+                           doc_id) AS rn
+       FROM fr)
+SELECT CAST({zoom_start(zoom)} + x * {nt} + ({nt - 1} - y) AS BIGINT) AS tile_id,
+       CAST({zoom} AS TINYINT) AS z,
+       CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+       'img' || lpad(CAST(rk.doc_id AS VARCHAR), 8, '0') AS image_id,
+       d.text AS caption,
+       CAST(CASE WHEN rn <= {k} THEN rn ELSE 0 END AS TINYINT) AS knn_rank
+FROM rk JOIN documents d ON d.doc_id = rk.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # minhash permutation parameters (shared with stages.dedup)
 # ---------------------------------------------------------------------------
@@ -356,6 +447,33 @@ shrt AS (SELECT doc_id, CAST(length(text) AS UBIGINT) AS z FROM documents
 allfp AS (SELECT doc_id, f FROM fp_long
           UNION ALL SELECT doc_id, h AS f FROM fps)
 SELECT doc_id, {to_i64('f')} AS fingerprint FROM allfp
+"""
+
+
+def sql_embedding_near_dup(dim: int = 64, num_planes: int = 6,
+                           cosine_threshold: float = 0.2) -> str:
+    """Oracle for ``embedding_near_dup``: Rademacher sign-LSH buckets
+    (the engine's mix64-derived ±1 planes inlined as literals) +
+    in-bucket cosine verify."""
+    from ..stages.ann import make_planes
+    planes = make_planes(dim, num_planes)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(str(float(v)) for v in planes[j]))
+        for j in range(num_planes))
+    return f"""
+WITH planes(j, s) AS (SELECT * FROM (VALUES {rows})),
+bk AS (SELECT e.vec_id,
+              sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.s) > 0
+                       THEN 1 << p.j ELSE 0 END) AS bucket
+       FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.id_a
+JOIN embeddings eb ON eb.vec_id = p.id_b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      >= {cosine_threshold}
 """
 
 

@@ -73,7 +73,11 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray,
 
 def lsh_buckets(batch: pa.Table, planes: np.ndarray,
                 emb_col: str = "embedding") -> np.ndarray:
-    """Random-hyperplane signature per row → int64 bucket key."""
+    """Hyperplane signature per row → int64 bucket key.
+
+    Projects the RAW (unnormalized) embeddings — the sign of the dot
+    product is normalization-invariant, and skipping the division keeps
+    the arithmetic reproducible by the SQL oracle."""
     m = _emb_matrix(batch, emb_col)
     signs = (m @ planes.T) > 0                      # (n, p)
     key = np.zeros(len(m), dtype=np.uint64)
@@ -83,7 +87,14 @@ def lsh_buckets(batch: pa.Table, planes: np.ndarray,
 
 
 def make_planes(dim: int, num_planes: int = 12) -> np.ndarray:
-    return np.random.default_rng(_LSH_SEED).standard_normal((num_planes, dim))
+    """Deterministic Rademacher (±1) hyperplanes derived from the public
+    splitmix64 finalizer — sign-LSH quality comparable to Gaussian
+    planes, and arithmetically reproducible in the DuckDB oracle
+    (``pipelines.sqlgen.rademacher_planes_sql``)."""
+    from ..tilemath.hashing import mix64
+    u = mix64(np.arange(num_planes * dim, dtype=np.uint64) + 1)
+    return np.where((u >> np.uint64(63)).astype(bool), 1.0, -1.0) \
+        .reshape(num_planes, dim)
 
 
 def train_ivf_centroids(sample: np.ndarray, n_lists: int = 16,
@@ -185,7 +196,8 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
 
     def verify(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
         ids = grp[id_col].to_numpy()
         d = int(grp["dim"].iloc[0])
         m = np.stack(grp["nemb"].to_numpy()).reshape(len(ids), d)
@@ -193,10 +205,11 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
         ids, m = ids[order], m[order]
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
-        keep = s >= cosine_threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "cosine": s[keep]})
+        keep = sims[ia, ib] >= cosine_threshold
+        # ids only: the cosine value itself is float-op-order sensitive
+        # (engine matmul vs oracle list_cosine_similarity); membership at
+        # the threshold is the checked contract
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep]})
 
     return ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -44,6 +44,7 @@ class DecodeImages:
         ok = np.zeros(n, bool)
         mean = np.full(n, np.nan)
         std = np.full(n, np.nan)
+        sum_px = np.zeros(n, np.int64)  # exact integer pixel sum (oracle-friendly)
         w = np.zeros(n, np.int32)
         h = np.zeros(n, np.int32)
         ph = np.zeros(n, np.int64)
@@ -57,11 +58,12 @@ class DecodeImages:
             ok[i] = True
             mean[i] = float(px.mean())
             std[i] = float(px.std())
+            sum_px[i] = int(px.sum(dtype=np.int64))
             h[i], w[i] = px.shape[:2]
             ph[i] = self.phash(px)
         return pa.table({
             "image_id": batch["image_id"],
-            "ok": ok, "mean_px": mean, "std_px": std,
+            "ok": ok, "mean_px": mean, "std_px": std, "sum_px": sum_px,
             "dec_w": w, "dec_h": h, "phash_dec": ph,
             "phash_src": batch["phash"],
             "fmt": batch["fmt"],
