@@ -285,6 +285,69 @@ FROM rk JOIN documents d ON d.doc_id = rk.doc_id
 """
 
 
+def _zz(d: str) -> str:
+    """Zigzag of a signed BIGINT sql expr."""
+    return f"(CASE WHEN ({d}) >= 0 THEN 2*({d}) ELSE -2*({d}) - 1 END)"
+
+
+def _q(v: str) -> str:
+    """Engine quantization: float32 storage, float64 math, round-half-up
+    ×16 (px → extent units)."""
+    return f"CAST(floor(CAST(CAST(({v}) AS FLOAT) AS DOUBLE) * 16 + 0.5) AS BIGINT)"
+
+
+def sql_mvt_tile_summary(zoom: int = 6) -> str:
+    """Oracle for ``mvt_tiles_z6``: recomputes per-(tile, layer) feature
+    counts, the sum of MVT geometry command integers (zigzag +
+    quantization + command framing), caption FNV-xor and png counts from
+    the placement arithmetic — checked against the engine's DECODED
+    protobuf tiles."""
+    nt = 1 << zoom
+    qx0 = _q("greatest((x0 - gx) * 256, -4.0)")
+    qy0 = _q("greatest((y0 - gy) * 256, -4.0)")
+    qx1 = _q("least((x1 - gx) * 256, 260.0)")
+    qy1 = _q("least((y1 - gy) * 256, 260.0)")
+    qpx = _q("(px - gx) * 256")
+    qpy = _q("(py - gy) * 256")
+    return f"""
+WITH {georef_ctes().lstrip()},
+bb AS (SELECT doc_id, i, (cx - hw) * {nt} AS x0, (cy - hh) * {nt} AS y0,
+              (cx + hw) * {nt} AS x1, (cy + hh) * {nt} AS y1 FROM geo),
+bxx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {NB!r}) AS BIGINT),
+          least(CAST(floor(x1 + {NB!r}) AS BIGINT),
+                CAST(floor(x0 - {NB!r}) AS BIGINT) + {nt - 1}))) AS gx FROM bb),
+bxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {NB!r}) AS BIGINT)),
+          least({nt - 1}, CAST(floor(y1 + {NB!r}) AS BIGINT)))) AS gy FROM bxx),
+bq AS (SELECT doc_id, i, ((gx % {nt}) + {nt}) % {nt} AS x, gy AS y,
+              {qx0} AS qx0, {qy0} AS qy0, {qx1} AS qx1, {qy1} AS qy1
+       FROM bxy
+       WHERE least((x1 - gx) * 256, 256 + {BPX!r}) - greatest((x0 - gx) * 256, -{BPX!r}) > -{EPS_PX!r}
+         AND least((y1 - gy) * 256, 256 + {BPX!r}) - greatest((y0 - gy) * 256, -{BPX!r}) > -{EPS_PX!r}),
+bgeo AS (SELECT doc_id, i, x, y, 'chips' AS layer,
+                50 + {_zz('qx0')} + {_zz('qy0')} + {_zz('qx1 - qx0')}
+                   + {_zz('qy1 - qy0')} + {_zz('qx0 - qx1')} AS gsum
+         FROM bq),
+pp AS (SELECT doc_id, i, cx * {nt} AS px, cy * {nt} AS py FROM geo),
+pxx AS (SELECT *, unnest(generate_series(CAST(floor(px - {NB!r}) AS BIGINT),
+                                         CAST(floor(px + {NB!r}) AS BIGINT))) AS gx FROM pp),
+pxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(py - {NB!r}) AS BIGINT)),
+          least({nt - 1}, CAST(floor(py + {NB!r}) AS BIGINT)))) AS gy FROM pxx),
+pgeo AS (SELECT DISTINCT doc_id, i, ((gx % {nt}) + {nt}) % {nt} AS x, gy AS y,
+                'labels' AS layer,
+                9 + {_zz(qpx)} + {_zz(qpy)} AS gsum
+         FROM pxy),
+allf AS (SELECT * FROM bgeo UNION ALL SELECT doc_id, i, x, y, layer, gsum FROM pgeo),
+fh AS (SELECT doc_id, {fnv_string_expr('text')} AS cap_fnv FROM documents)
+SELECT CAST({zoom_start(zoom)} + x * {nt} + ({nt - 1} - y) AS BIGINT) AS tile_id,
+       layer, count(*) AS n_features,
+       CAST(sum(gsum) AS BIGINT) AS geom_sum,
+       {to_i64('bit_xor(cap_fnv)')} AS caption_fnv_xor,
+       CAST(sum(CASE WHEN a.doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png
+FROM allf a JOIN fh ON fh.doc_id = a.doc_id
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # minhash permutation parameters (shared with stages.dedup)
 # ---------------------------------------------------------------------------

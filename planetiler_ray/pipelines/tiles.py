@@ -207,6 +207,74 @@ def _join_reduce(group: pa.Table, k: int = 3) -> pa.Table:
     })
 
 
+def mvt_tile_summary(sf_dir: str, zoom: int = 6, num_partitions: int = 16):
+    """Driver query: REAL MVT protobuf round trip, oracle-checked.
+
+    Builds the single-zoom tile layer with per-feature attributes
+    (caption, fmt) encoded as spec-compliant MVT protobufs
+    (``tilemath.mvt_pb``, vectorized), then DECODES every tile with the
+    independent reference decoder and emits per-(tile, layer) stats the
+    DuckDB oracle recomputes from the placement arithmetic: feature
+    count, the sum of raw geometry command integers (covers zigzag,
+    quantization and command framing), and an XOR of FNV-1a caption
+    hashes (covers the keys/values attribute tables).
+    """
+    from functools import partial as _partial
+
+    from ..sources.images import images_from_documents, sample_image_ids
+    from ..stages.georef import georef_batch
+    from ..tilemath.hashing import fnv1a_64_strings
+    from ..tilemath.mvt_pb import decode_feature_attrs, decode_tile
+
+    images = images_from_documents(sf_dir)
+    ids = sample_image_ids(sf_dir)
+    cfg = RenderConfig(min_zoom=zoom, max_zoom=zoom)
+    bounds = sample_partition_bounds(ids, cfg, num_partitions)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        geo = georef_batch(batch)
+        return render_fanout(geo, cfg, bounds, extra_cols=("caption", "fmt"))
+
+    frags = images.map_batches(fanout, batch_format="pyarrow", batch_size=8192)
+    reduce_fn = _partial(reduce_partition, with_feature_ids=False,
+                         mvt_attrs=("caption", "fmt"))
+    tiles = exchange_reduce(frags, num_partitions, reduce_fn)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = {"tile_id": [], "layer": [], "n_features": [],
+                "geom_sum": [], "caption_fnv_xor": [], "n_png": []}
+        tids = batch["tile_id"].to_numpy()
+        for i in range(batch.num_rows):
+            layers = decode_tile(batch["mvt_bytes"][i].as_py())
+            for lname, lay in layers.items():
+                caps = []
+                n_png = 0
+                gsum = 0
+                for f in lay["features"]:
+                    gsum += sum(f["geometry"])
+                    at = decode_feature_attrs(lay, f)
+                    caps.append(at.get("caption", ""))
+                    n_png += at.get("fmt") == "png"
+                fx = np.bitwise_xor.reduce(
+                    fnv1a_64_strings(np.array(caps, dtype="U"))) if caps else np.uint64(0)
+                rows["tile_id"].append(int(tids[i]))
+                rows["layer"].append(lname)
+                rows["n_features"].append(len(lay["features"]))
+                rows["geom_sum"].append(int(gsum))
+                rows["caption_fnv_xor"].append(int(np.int64(np.uint64(fx).astype(np.int64))))
+                rows["n_png"].append(int(n_png))
+        return pa.table({
+            "tile_id": pa.array(rows["tile_id"], pa.int64()),
+            "layer": pa.array(rows["layer"], pa.string()),
+            "n_features": pa.array(rows["n_features"], pa.int64()),
+            "geom_sum": pa.array(rows["geom_sum"], pa.int64()),
+            "caption_fnv_xor": pa.array(rows["caption_fnv_xor"], pa.int64()),
+            "n_png": pa.array(rows["n_png"], pa.int64()),
+        })
+
+    return tiles.map_batches(summarize, batch_format="pyarrow")
+
+
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
                  num_partitions: int = 64, k: int = 3,
                  zoom: int = 14, checkpoint_dir: str | None = None):

@@ -31,7 +31,7 @@ def georef_batch(batch: pa.Table) -> pa.Table:
     ids = batch["image_id"].to_numpy(zero_copy_only=False)
     g = georef_from_ids(ids)
     cols = {"image_id": batch["image_id"]}
-    for passthrough in ("caption", "phash"):
+    for passthrough in ("caption", "phash", "fmt", "w", "h"):
         if passthrough in batch.column_names:
             cols[passthrough] = batch[passthrough]
     cols.update({

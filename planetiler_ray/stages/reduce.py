@@ -70,7 +70,9 @@ def _segmented_fnv_fold(rec_hash: np.ndarray, starts: np.ndarray,
 
 def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
                      with_feature_ids: bool = True,
-                     tile_post_process=None) -> pa.Table:
+                     tile_post_process=None,
+                     mvt_attrs: tuple[str, ...] | None = None,
+                     layer_names: dict[int, str] | None = None) -> pa.Table:
     """Reduce all fragments of one partition into encoded tile rows.
 
     ``tile_post_process``: optional profile hook
@@ -79,6 +81,12 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     a dict (tile, layer, kind, sort_key, idx, ax, ay, bx, by, is_fill)
     and returns the same dict, possibly with rows dropped or geometry
     modified — vectorized across every tile in the partition.
+
+    ``mvt_attrs``: when given, an extra ``mvt_bytes`` column holds a
+    REAL Mapbox-Vector-Tile protobuf per tile (``tilemath.mvt_pb``,
+    batch-vectorized across the whole partition) with the named
+    fragment columns as per-feature attributes
+    (``VectorTile.java:502-599`` semantics).
     """
     n = group.num_rows
     if n == 0:
@@ -116,25 +124,46 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     ay = group["ay"].to_numpy()[osel]
     bx = group["bx"].to_numpy()[osel]
     by = group["by"].to_numpy()[osel]
+    is_fill = (group["is_fill"].to_numpy()[osel]
+               if "is_fill" in group.column_names else np.zeros(len(osel), bool))
     image_id = (group["image_id"].to_numpy(zero_copy_only=False)[osel]
                 if "image_id" in group.column_names else None)
+    attr_vals = {a: group[a].to_numpy(zero_copy_only=False)[osel]
+                 for a in (mvt_attrs or ()) if a in group.column_names}
     m = len(tile)
     if m == 0:
-        return _empty_tiles_table(with_feature_ids)
+        return _empty_tiles_table(with_feature_ids, with_mvt=mvt_attrs is not None)
 
     if tile_post_process is not None:
         frags = {"tile": tile, "layer": layer, "kind": kind, "sort_key": sort_key,
-                 "idx": idx, "ax": ax, "ay": ay, "bx": bx, "by": by}
-        if image_id is not None:
+                 "idx": idx, "ax": ax, "ay": ay, "bx": bx, "by": by,
+                 "is_fill": is_fill, **attr_vals}
+        had_image_id = image_id is not None
+        if had_image_id:
             frags["image_id"] = image_id
         frags = tile_post_process(frags)
         tile, layer, kind = frags["tile"], frags["layer"], frags["kind"]
         sort_key, idx = frags["sort_key"], frags["idx"]
         ax, ay, bx, by = frags["ax"], frags["ay"], frags["bx"], frags["by"]
-        image_id = frags.get("image_id", image_id if len(tile) == m else None)
+        is_fill = frags.get("is_fill", np.zeros(len(tile), bool))
+        if had_image_id:
+            if "image_id" not in frags:
+                # a hook must hand back the id column it was given — falling
+                # back to the stale pre-hook array silently misassigns ids
+                raise ValueError("post_process_tile hook dropped 'image_id'; "
+                                 "hooks must return every id/attr column "
+                                 "they received")
+            image_id = frags["image_id"]
+        for a in list(attr_vals):
+            if a not in frags:
+                raise ValueError(f"post_process_tile hook dropped attr column "
+                                 f"{a!r}; hooks must return every id/attr "
+                                 f"column they received")
+            attr_vals[a] = frags[a]
         m = len(tile)
         if m == 0:
-            return _empty_tiles_table(with_feature_ids)
+            return _empty_tiles_table(with_feature_ids,
+                                      with_mvt=mvt_attrs is not None)
 
     # 4. encode fixed-width records (quantize px → extent units, MVT scale)
     rec = np.zeros(m, dtype=RECORD_DTYPE)
@@ -142,8 +171,11 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     rec["kind"] = kind
     rec["sort_key"] = (sort_key & 0xFFFF).astype(np.uint16)
     rec["id_hash"] = mix64(idx.astype(np.uint64))
+    # quantize in float64 (f32 storage, f64 math — pinned so the SQL
+    # oracle can reproduce it with CAST(... AS FLOAT)::DOUBLE)
     q = lambda v: np.where(np.isnan(v), np.int32(-(1 << 30)),
-                           np.floor(v * SCALE + 0.5)).astype(np.int32)
+                           np.floor(np.asarray(v, np.float64) * SCALE + 0.5)
+                           ).astype(np.int32)
     rec["x0"], rec["y0"], rec["x1"], rec["y1"] = q(ax), q(ay), q(bx), q(by)
 
     rec_hash = fnv1a_64_u64(
@@ -191,6 +223,13 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     }
 
     result = pa.table(cols)
+    if mvt_attrs is not None:
+        from ..tilemath.mvt_pb import encode_tile_batch
+        names = layer_names or {0: "chips", 1: "labels"}
+        _, mvt_arr = encode_tile_batch(
+            tile, layer, kind, idx, ax, ay, bx, by, names,
+            {a: attr_vals[a] for a in mvt_attrs if a in attr_vals})
+        result = result.append_column("mvt_bytes", mvt_arr)
     if with_feature_ids:
         # sorted unique feature id list per tile (golden-output column)
         import pandas as pd
@@ -209,13 +248,16 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     return result.append_column("tile_bytes", tile_bytes)
 
 
-def _empty_tiles_table(with_feature_ids: bool = True) -> pa.Table:
+def _empty_tiles_table(with_feature_ids: bool = True,
+                       with_mvt: bool = False) -> pa.Table:
     t = pa.table({
         "tile_id": pa.array([], pa.int64()), "hilbert_id": pa.array([], pa.int64()),
         "z": pa.array([], pa.int8()), "x": pa.array([], pa.int32()),
         "y": pa.array([], pa.int32()), "n_features": pa.array([], pa.int32()),
         "content_hash": pa.array([], pa.int64()),
     })
+    if with_mvt:
+        t = t.append_column("mvt_bytes", pa.array([], pa.large_binary()))
     if with_feature_ids:
         t = t.append_column("feature_ids", pa.array([], pa.list_(pa.string())))
     return t.append_column("tile_bytes", pa.array([], pa.large_binary()))

@@ -1,0 +1,505 @@
+"""Real Mapbox Vector Tile (MVT 2.1) protobuf encoding, batch-vectorized.
+
+Replaces the custom record container: tiles written by the sinks are
+spec-compliant ``vector_tile.Tile`` protobufs any MVT client can read
+(reference semantics: ``VectorTile.java:97-210,502-599``; wire format
+per the public vector-tile-spec 2.1 / vector_tile.proto).
+
+Encoder design (NO per-feature Python in the hot path):
+
+1. every varint in the whole batch of tiles — geometry command ints,
+   ids, tag pairs, all length prefixes — is encoded in ONE
+   :func:`tilemath.varint.encode_varints` call over a single stream;
+2. message framing is pure arithmetic: a protobuf length prefix's size
+   is computable from the value, so layer/feature lengths are derived
+   bottom-up with numpy before any bytes exist;
+3. final assembly is one flattened gather (``concat_pieces``) over a
+   byte pool, ordered by a packed (tile, layer, section, item, sub)
+   sort key.
+
+Feature geometry kinds: 0 = axis-aligned box → polygon (one CW ring),
+1 = point, 2 = polyline (MoveTo + LineTo run).  Attribute values are
+emitted per feature (no per-layer value dedup — legal per spec;
+decoders must not assume uniqueness).
+
+A pure-Python reference :func:`decode_tile` (independent of the
+encoder's vectorized path) backs the golden round-trip tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .mvt import EXTENT, SCALE
+from .varint import concat_pieces, encode_varints, varint_lengths, zigzag
+
+KIND_BOX = 0
+KIND_POINT = 1
+KIND_LINE = 2
+
+_GEOM_TYPE = {KIND_BOX: 3, KIND_POINT: 1, KIND_LINE: 2}  # MVT GeomType
+
+# framing tag bytes (field << 3 | wire_type)
+_T_LAYER = 0x1A        # Tile.layers,   field 3, len-delim
+_T_NAME = 0x0A         # Layer.name,    field 1, len-delim
+_T_FEATURE = 0x12      # Layer.features field 2, len-delim
+_T_KEYS = 0x1A         # Layer.keys     field 3, len-delim
+_T_VALUES = 0x22       # Layer.values   field 4, len-delim
+_T_EXTENT = 0x28       # Layer.extent   field 5, varint
+_T_VERSION = 0x78      # Layer.version  field 15, varint
+_F_ID = 0x08           # Feature.id     field 1, varint
+_F_TAGS = 0x12         # Feature.tags   field 2, packed
+_F_TYPE = 0x18         # Feature.type   field 3, varint
+_F_GEOM = 0x22         # Feature.geometry field 4, packed
+_V_STRING = 0x0A       # Value.string_value field 1
+
+
+def _vlen(v: np.ndarray) -> np.ndarray:
+    return varint_lengths(np.asarray(v, dtype=np.uint64))
+
+
+def quant(v: np.ndarray) -> np.ndarray:
+    """Pixel coords → extent units, round-half-up in float64 (same as the
+    reduce; NaN → 0, used only for point rows' unused corners)."""
+    with np.errstate(invalid="ignore"):
+        return np.floor(np.nan_to_num(np.asarray(v, dtype=np.float64))
+                        * SCALE + 0.5).astype(np.int64)
+
+
+def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
+                      kind: np.ndarray, feat_id: np.ndarray,
+                      ax: np.ndarray, ay: np.ndarray,
+                      bx: np.ndarray, by: np.ndarray,
+                      layer_names: dict[int, str],
+                      attrs: dict[str, np.ndarray] | None = None,
+                      ) -> tuple[np.ndarray, pa.LargeBinaryArray]:
+    """Encode fragments (sorted by tile, layer) into one MVT blob per tile.
+
+    ``tile_ids`` is the per-fragment tile id (consecutive runs).  Box
+    coords are (ax, ay)..(bx, by) px; points use (ax, ay).  ``attrs``
+    maps attr name → per-fragment string values (nulls → '').
+    Returns (unique tile ids in order, LargeBinaryArray of tile bytes).
+    """
+    n = len(tile_ids)
+    if n == 0:
+        return np.empty(0, np.int64), pa.array([], pa.large_binary())
+    attrs = attrs or {}
+    key_names = list(attrs)
+    K = len(key_names)
+
+    # --- tile / layer segmentation (input sorted by tile, layer) ---
+    t_change = np.empty(n, bool)
+    t_change[0] = True
+    t_change[1:] = np.diff(tile_ids) != 0
+    tile_idx = np.cumsum(t_change) - 1                    # per-fragment tile ordinal
+    n_tiles = int(tile_idx[-1]) + 1
+    l_change = t_change | np.concatenate([[True], np.diff(layer) != 0])
+    lay_idx = np.cumsum(l_change) - 1                     # per-fragment (tile,layer) ordinal
+    n_lays = int(lay_idx[-1]) + 1
+    lay_starts = np.flatnonzero(l_change)
+    lay_tile = tile_idx[lay_starts]                       # per-layer tile ordinal
+    lay_layer = layer[lay_starts].astype(np.int64)        # per-layer layer id
+    feat_pos = np.arange(n) - lay_starts[lay_idx]         # position within its layer
+
+    # --- geometry command ints (already zigzagged params), fixed shapes ---
+    qx0, qy0 = quant(ax), quant(ay)
+    qx1, qy1 = quant(bx), quant(by)
+    is_box = kind == KIND_BOX
+    is_pt = kind == KIND_POINT
+    gcount = np.where(is_box, 11, 3).astype(np.int64)
+    gW = 11
+    gmat = np.zeros((n, gW), dtype=np.uint64)
+    gmat[:, 0] = 9                                        # MoveTo ×1
+    gmat[:, 1] = zigzag(qx0)
+    gmat[:, 2] = zigzag(qy0)
+    if is_box.any():
+        b = is_box
+        gmat[b, 3] = 26                                   # LineTo ×3
+        gmat[b, 4] = zigzag(qx1[b] - qx0[b])
+        gmat[b, 5] = zigzag(np.zeros(int(b.sum()), np.int64))
+        gmat[b, 6] = zigzag(np.zeros(int(b.sum()), np.int64))
+        gmat[b, 7] = zigzag(qy1[b] - qy0[b])
+        gmat[b, 8] = zigzag(qx0[b] - qx1[b])
+        gmat[b, 9] = zigzag(np.zeros(int(b.sum()), np.int64))
+        gmat[b, 10] = 15                                  # ClosePath
+    gvalid = np.arange(gW)[None, :] < gcount[:, None]
+    geom_ints = gmat[gvalid]                              # flat, doc order
+    geom_int_lens = _vlen(geom_ints)
+    gseg = np.concatenate([[0], np.cumsum(gcount)[:-1]])
+    geom_len = np.add.reduceat(geom_int_lens, gseg)       # bytes per fragment
+    geom_len[gcount == 0] = 0
+
+    # --- tag pairs: (key_idx, value_idx) per attr, value = pos*K + k ---
+    if K:
+        tag_ints = np.empty((n, 2 * K), dtype=np.uint64)
+        for k in range(K):
+            tag_ints[:, 2 * k] = k
+            tag_ints[:, 2 * k + 1] = (feat_pos * K + k).astype(np.uint64)
+        tag_ints = tag_ints.reshape(-1)
+        tag_int_lens = _vlen(tag_ints)
+        tseg = np.arange(n) * 2 * K
+        tags_len = np.add.reduceat(tag_int_lens, tseg) if n else np.zeros(0, np.int64)
+    else:
+        tag_ints = np.empty(0, np.uint64)
+        tags_len = np.zeros(n, np.int64)
+
+    # --- feature message lengths (bottom-up arithmetic) ---
+    fid = np.asarray(feat_id, dtype=np.uint64)
+    ftype = np.array([_GEOM_TYPE[KIND_BOX], _GEOM_TYPE[KIND_POINT],
+                      _GEOM_TYPE[KIND_LINE]])[kind.astype(np.int64)].astype(np.uint64)
+    feat_len = (1 + _vlen(fid)                            # id
+                + 1 + 1                                   # type (tag + 1-byte varint)
+                + 1 + _vlen(geom_len) + geom_len)         # geometry
+    if K:
+        feat_len = feat_len + 1 + _vlen(tags_len) + tags_len
+
+    # --- attr value messages (string values, one per feature per attr) ---
+    if K:
+        enc_cols = [np.char.encode(np.asarray(attrs[nm]).astype("U"), "utf-8")
+                    for nm in key_names]
+        # interleave columns feature-major: value index = pos*K + k
+        flat_strs = np.stack(enc_cols, axis=1).reshape(-1)     # "S" dtype
+        str_lens = np.char.str_len(flat_strs).astype(np.int64)
+        val_len = 1 + _vlen(str_lens) + str_lens          # Value.string_value framed
+    else:
+        flat_strs = np.empty(0, "S1")
+        str_lens = np.empty(0, np.int64)
+        val_len = np.empty(0, np.int64)
+
+    # --- per-layer aggregates ---
+    name_bytes = {lid: nm.encode("utf-8") for lid, nm in layer_names.items()}
+    lay_name_len = np.array([len(name_bytes[int(lid)]) for lid in lay_layer])
+    feat_framed = 1 + _vlen(feat_len) + feat_len
+    lay_feat_bytes = np.zeros(n_lays, np.int64)
+    np.add.at(lay_feat_bytes, lay_idx, feat_framed)
+    keys_enc = [kn.encode("utf-8") for kn in key_names]
+    keys_framed_const = sum(1 + int(varint_lengths(np.array([len(kb)]))[0]) + len(kb)
+                            for kb in keys_enc)
+    if K:
+        val_framed = 1 + _vlen(val_len) + val_len
+        lay_val_bytes = np.zeros(n_lays, np.int64)
+        np.add.at(lay_val_bytes, lay_idx.repeat(K), val_framed)
+    else:
+        lay_val_bytes = np.zeros(n_lays, np.int64)
+    EXT_FR = 1 + int(varint_lengths(np.array([EXTENT]))[0])   # 0x28 + varint(4096)
+    VER_FR = 2                                                # 0x78 + varint(2)
+    lay_len = (1 + _vlen(lay_name_len) + lay_name_len
+               + lay_feat_bytes + keys_framed_const + lay_val_bytes
+               + EXT_FR + VER_FR)
+
+    # ------------------------------------------------------------------
+    # byte pool: [0] 256 identity bytes  [1] all varints  [2] strings
+    # ------------------------------------------------------------------
+    varint_stream = np.concatenate([
+        np.asarray(lay_len, np.uint64),                   # per layer
+        np.asarray(lay_name_len, np.uint64),
+        feat_len.astype(np.uint64), fid, ftype,
+        tags_len.astype(np.uint64) if K else np.empty(0, np.uint64),
+        geom_len.astype(np.uint64),
+        tag_ints, geom_ints,
+        np.asarray(val_len, np.uint64) if K else np.empty(0, np.uint64),
+        np.asarray(str_lens, np.uint64) if K else np.empty(0, np.uint64),
+        np.array([EXTENT, 2], np.uint64),
+    ])
+    vbuf, vlens = encode_varints(varint_stream)
+    voff = np.concatenate([[0], np.cumsum(vlens)])
+    # slice indices into the varint stream, in the order concatenated above
+    c = [0]
+
+    def take(count):
+        s = c[0]
+        c[0] += count
+        return np.arange(s, s + count)
+
+    vi_laylen = take(n_lays)
+    vi_layname = take(n_lays)
+    vi_featlen = take(n)
+    vi_fid = take(n)
+    vi_ftype = take(n)
+    vi_tagslen = take(n if K else 0)
+    vi_geomlen = take(n)
+    vi_tagints = take(len(tag_ints))
+    vi_geomints = take(len(geom_ints))
+    vi_vallen = take(n * K)
+    vi_strlen = take(n * K)
+    vi_extent = take(1)
+    vi_version = take(1)
+
+    # ------------------------------------------------------------------
+    # byte pool layout: [identity 256] [varint buffer] [string pool]
+    # ------------------------------------------------------------------
+    ident = np.arange(256, dtype=np.uint8)
+    base_v = 256
+    base_s = 256 + len(vbuf)
+    spool_parts = []
+    s_cursor = 0
+    layname_off = {}
+    for lid, nm in name_bytes.items():
+        layname_off[lid] = s_cursor
+        spool_parts.append(np.frombuffer(nm, np.uint8))
+        s_cursor += len(nm)
+    keys_off = []
+    for kb in keys_enc:
+        keys_off.append(s_cursor)
+        spool_parts.append(np.frombuffer(kb, np.uint8))
+        s_cursor += len(kb)
+    if K and flat_strs.dtype.itemsize:
+        # padded byte matrix → masked gather (vectorized utf-8 pool)
+        width = flat_strs.dtype.itemsize
+        smat = flat_strs.view(np.uint8).reshape(len(flat_strs), width)
+        svalid = np.arange(width)[None, :] < str_lens[:, None]
+        str_off = s_cursor + np.concatenate([[0], np.cumsum(str_lens)[:-1]])
+        spool_parts.append(smat[svalid])
+        s_cursor += int(str_lens.sum())
+    else:
+        str_off = np.zeros(n * K, np.int64)
+    pool = np.concatenate([ident, vbuf] + spool_parts)
+
+    def vpiece(vi):
+        """(start, len) arrays for varint stream slots vi."""
+        return base_v + voff[vi], vlens[vi]
+
+    # ------------------------------------------------------------------
+    # pieces: (sort_key, src_start, length)
+    # key = ((tile*64 + layer_ord)*8 + section) << 27 | item*64 + slot
+    # sections: 0 hdr, 1 name, 2 features, 3 keys, 4 values, 5 extent/ver
+    # ------------------------------------------------------------------
+    def skey(tile_o, lay_o, section, slotted):
+        return ((((np.asarray(tile_o, np.int64) * 64 + lay_o) * 8 + section)
+                 << np.int64(27)) + slotted)
+
+    ks, ss, ls = [], [], []
+
+    def add(keys_, starts_, lens_):
+        ks.append(np.asarray(keys_, np.int64))
+        ss.append(np.asarray(starts_, np.int64))
+        ls.append(np.asarray(lens_, np.int64))
+
+    # ordinal of layer within its tile
+    first_of_tile = np.concatenate([[True], np.diff(lay_tile) != 0])
+    tile_first = np.flatnonzero(first_of_tile)
+    lay_ord = np.arange(n_lays) - tile_first[np.cumsum(first_of_tile) - 1]
+
+    z = np.zeros(n_lays, np.int64)
+    one = np.ones(n_lays)
+    # section 0: layer header: 0x1A + varint(lay_len)
+    add(skey(lay_tile, lay_ord, 0, z), np.full(n_lays, _T_LAYER), one)
+    st, ln = vpiece(vi_laylen)
+    add(skey(lay_tile, lay_ord, 0, z + 1), st, ln)
+    # section 1: name: 0x0A + varint(len) + bytes
+    add(skey(lay_tile, lay_ord, 1, z), np.full(n_lays, _T_NAME), one)
+    st, ln = vpiece(vi_layname)
+    add(skey(lay_tile, lay_ord, 1, z + 1), st, ln)
+    add(skey(lay_tile, lay_ord, 1, z + 2),
+        base_s + np.array([layname_off[int(l)] for l in lay_layer]),
+        lay_name_len)
+
+    # section 2: features — fixed slot pattern, item = feat_pos*64 + slot
+    ftile = tile_idx
+    ford = lay_ord[lay_idx]
+    fbase = feat_pos * 64
+    onef = np.ones(n)
+
+    def fadd(slot, starts_, lens_):
+        add(skey(ftile, ford, 2, fbase + slot), starts_, lens_)
+
+    fadd(0, np.full(n, _T_FEATURE), onef)
+    st, ln = vpiece(vi_featlen)
+    fadd(1, st, ln)
+    fadd(2, np.full(n, _F_ID), onef)
+    st, ln = vpiece(vi_fid)
+    fadd(3, st, ln)
+    if K:
+        fadd(4, np.full(n, _F_TAGS), onef)
+        st, ln = vpiece(vi_tagslen)
+        fadd(5, st, ln)
+        # packed tag ints: slots 6..6+2K-1 (K ≤ 8 fits the pattern)
+        assert 2 * K <= 16
+        tag_slot = vi_tagints.reshape(n, 2 * K)
+        for j in range(2 * K):   # loop over ATTR COLUMNS (tiny), not rows
+            st, ln = vpiece(tag_slot[:, j])
+            fadd(6 + j, st, ln)
+    fadd(22, np.full(n, _F_TYPE), onef)
+    st, ln = vpiece(vi_ftype)
+    fadd(23, st, ln)
+    fadd(24, np.full(n, _F_GEOM), onef)
+    st, ln = vpiece(vi_geomlen)
+    fadd(25, st, ln)
+    gi_frag = np.repeat(np.arange(n), gcount)             # fragment of each geom int
+    gi_slot = np.arange(len(geom_ints)) - gseg[gi_frag] + 26
+    st, ln = vpiece(vi_geomints)
+    add(skey(ftile[gi_frag], ford[gi_frag], 2, fbase[gi_frag] + gi_slot), st, ln)
+
+    # section 3: keys (constant per layer; key names are short, < 128 B)
+    for j, kb in enumerate(keys_enc):
+        assert len(kb) < 128
+        add(skey(lay_tile, lay_ord, 3, z + j * 4), np.full(n_lays, _T_KEYS), one)
+        add(skey(lay_tile, lay_ord, 3, z + j * 4 + 1), np.full(n_lays, len(kb)), one)
+        add(skey(lay_tile, lay_ord, 3, z + j * 4 + 2),
+            np.full(n_lays, base_s + keys_off[j]), np.full(n_lays, len(kb)))
+
+    # section 4: values — item = (feat_pos*K + k)*8 + slot, feature-major
+    if K:
+        vtile = np.repeat(tile_idx, K)
+        vord = np.repeat(ford, K)
+        vbase = (feat_pos[:, None] * K + np.arange(K)[None, :]).reshape(-1) * 8
+        onev = np.ones(n * K)
+        add(skey(vtile, vord, 4, vbase), np.full(n * K, _T_VALUES), onev)
+        st, ln = vpiece(vi_vallen)
+        add(skey(vtile, vord, 4, vbase + 1), st, ln)
+        add(skey(vtile, vord, 4, vbase + 2), np.full(n * K, _V_STRING), onev)
+        st, ln = vpiece(vi_strlen)
+        add(skey(vtile, vord, 4, vbase + 3), st, ln)
+        add(skey(vtile, vord, 4, vbase + 4), base_s + str_off, str_lens)
+
+    # section 5: extent + version
+    add(skey(lay_tile, lay_ord, 5, z), np.full(n_lays, _T_EXTENT), one)
+    st, ln = vpiece(np.repeat(vi_extent, n_lays))
+    add(skey(lay_tile, lay_ord, 5, z + 1), st, ln)
+    add(skey(lay_tile, lay_ord, 5, z + 2), np.full(n_lays, _T_VERSION), one)
+    st, ln = vpiece(np.repeat(vi_version, n_lays))
+    add(skey(lay_tile, lay_ord, 5, z + 3), st, ln)
+
+    keys_all = np.concatenate(ks)
+    starts_all = np.concatenate(ss)
+    lens_all = np.concatenate(ls)
+    order = np.argsort(keys_all, kind="stable")
+    out = concat_pieces(pool, starts_all[order], lens_all[order])
+
+    # per-tile offsets: tile bytes = layer pieces of that tile
+    piece_tile = (keys_all[order] >> np.int64(27)) // (64 * 8)
+    piece_lens = lens_all[order]
+    tile_bytes_len = np.zeros(n_tiles, np.int64)
+    np.add.at(tile_bytes_len, piece_tile, piece_lens)
+    offsets = np.zeros(n_tiles + 1, np.int64)
+    np.cumsum(tile_bytes_len, out=offsets[1:])
+    arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_tiles,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())])
+    return tile_ids[np.flatnonzero(t_change)], arr
+
+
+# ---------------------------------------------------------------------------
+# independent reference decoder (tests / golden verification)
+# ---------------------------------------------------------------------------
+
+def _read_varint(b: bytes, i: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        byte = b[i]
+        i += 1
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val & 0xFFFFFFFFFFFFFFFF, i
+        shift += 7
+
+
+def decode_tile(data: bytes) -> dict:
+    """Decode an MVT protobuf → {layer_name: {"features": [...], "keys":
+    [...], "values": [...], "extent": int, "version": int}}.  Plain
+    sequential decoder, independent of the vectorized encoder."""
+    layers = {}
+    i = 0
+    while i < len(data):
+        tag, i = _read_varint(data, i)
+        if tag == _T_LAYER:
+            ln, i = _read_varint(data, i)
+            layer = _decode_layer(data[i:i + ln])
+            layers[layer["name"]] = layer
+            i += ln
+        else:
+            raise ValueError(f"unexpected tile tag {tag:#x}")
+    return layers
+
+
+def _decode_layer(b: bytes) -> dict:
+    out = {"name": None, "features": [], "keys": [], "values": [],
+           "extent": None, "version": None}
+    i = 0
+    while i < len(b):
+        tag, i = _read_varint(b, i)
+        field, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln, i = _read_varint(b, i)
+            chunk = b[i:i + ln]
+            i += ln
+            if field == 1:
+                out["name"] = chunk.decode("utf-8")
+            elif field == 2:
+                out["features"].append(_decode_feature(chunk))
+            elif field == 3:
+                out["keys"].append(chunk.decode("utf-8"))
+            elif field == 4:
+                out["values"].append(_decode_value(chunk))
+            else:
+                raise ValueError(f"unexpected layer field {field}")
+        else:
+            val, i = _read_varint(b, i)
+            if field == 5:
+                out["extent"] = val
+            elif field == 15:
+                out["version"] = val
+            else:
+                raise ValueError(f"unexpected layer field {field}")
+    return out
+
+
+def _decode_feature(b: bytes) -> dict:
+    out = {"id": None, "tags": [], "type": None, "geometry": []}
+    i = 0
+    while i < len(b):
+        tag, i = _read_varint(b, i)
+        field, wt = tag >> 3, tag & 7
+        if field == 1:
+            out["id"], i = _read_varint(b, i)
+        elif field == 2 and wt == 2:
+            ln, i = _read_varint(b, i)
+            end = i + ln
+            while i < end:
+                v, i = _read_varint(b, i)
+                out["tags"].append(v)
+        elif field == 3:
+            out["type"], i = _read_varint(b, i)
+        elif field == 4 and wt == 2:
+            ln, i = _read_varint(b, i)
+            end = i + ln
+            while i < end:
+                v, i = _read_varint(b, i)
+                out["geometry"].append(v)
+        else:
+            raise ValueError(f"unexpected feature field {field}")
+    return out
+
+
+def _decode_value(b: bytes) -> object:
+    i = 0
+    tag, i = _read_varint(b, i)
+    field, wt = tag >> 3, tag & 7
+    if field == 1 and wt == 2:
+        ln, i = _read_varint(b, i)
+        return b[i:i + ln].decode("utf-8")
+    if field == 3:
+        return struct.unpack("<d", b[i:i + 8])[0]
+    if field in (4, 5):
+        v, i = _read_varint(b, i)
+        return v
+    if field == 6:
+        v, i = _read_varint(b, i)
+        return (v >> 1) ^ -(v & 1)
+    if field == 7:
+        v, i = _read_varint(b, i)
+        return bool(v)
+    raise ValueError(f"unexpected value field {field}")
+
+
+def decode_feature_attrs(layer: dict, feature: dict) -> dict:
+    """Resolve a decoded feature's tag pairs → {key: value}."""
+    out = {}
+    t = feature["tags"]
+    for j in range(0, len(t), 2):
+        out[layer["keys"][t[j]]] = layer["values"][t[j + 1]]
+    return out
