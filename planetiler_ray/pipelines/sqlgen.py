@@ -285,6 +285,76 @@ FROM rk JOIN documents d ON d.doc_id = rk.doc_id
 """
 
 
+def sql_line_tile_summary(zoom: int = 4) -> str:
+    """Oracle for ``line_tiles_z4``: per-tile part/vertex counts and MVT
+    geometry command sums of the stripe-clipped trajectory polylines —
+    Liang-Barsky interval clipping, part stitching and zigzag-delta
+    encoding re-derived in SQL windows."""
+    nt = 1 << zoom
+    buf = 4.0 / 256
+    qax = _q("(ax + t0 * dx - gx) * 256")
+    qay = _q("(ay + t0 * dy - gy) * 256")
+    qex = _q("(ax + t1 * dx - gx) * 256")
+    qey = _q("(ay + t1 * dy - gy) * 256")
+    return f"""
+WITH w AS (
+    SELECT user_id, ts, event_id,
+           (((event_id * 2654435761) % 4294967296) / 4294967296.0) * {nt} AS px,
+           (0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0)) * {nt} AS py
+    FROM events),
+o AS (SELECT user_id, px, py,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM w),
+seg AS (SELECT user_id, rn AS s, px AS ax, py AS ay,
+               lead(px) OVER (PARTITION BY user_id ORDER BY rn) AS bx,
+               lead(py) OVER (PARTITION BY user_id ORDER BY rn) AS by
+        FROM o QUALIFY bx IS NOT NULL),
+sd AS (SELECT *, bx - ax AS dx, by - ay AS dy FROM seg),
+cx AS (SELECT *, unnest(generate_series(
+           CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT),
+           least(CAST(floor(greatest(ax, bx) + {buf + 0.1/4096!r}) AS BIGINT),
+                 CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT) + {nt - 1}))) AS gx
+       FROM sd),
+cy AS (SELECT *, unnest(generate_series(
+           greatest(0, CAST(floor(least(ay, by) - {buf + 0.1/4096!r}) AS BIGINT)),
+           least({nt - 1}, CAST(floor(greatest(ay, by) + {buf + 0.1/4096!r}) AS BIGINT)))) AS gy
+       FROM cx),
+lb AS (SELECT *,
+    greatest(0.0,
+      CASE WHEN dx != 0 THEN least((gx - {buf} - ax) / dx, (gx + 1 + {buf} - ax) / dx)
+           WHEN ax >= gx - {buf} AND ax <= gx + 1 + {buf} THEN -1e308 ELSE 1e308 END,
+      CASE WHEN dy != 0 THEN least((gy - {buf} - ay) / dy, (gy + 1 + {buf} - ay) / dy)
+           WHEN ay >= gy - {buf} AND ay <= gy + 1 + {buf} THEN -1e308 ELSE 1e308 END) AS t0,
+    least(1.0,
+      CASE WHEN dx != 0 THEN greatest((gx - {buf} - ax) / dx, (gx + 1 + {buf} - ax) / dx)
+           WHEN ax >= gx - {buf} AND ax <= gx + 1 + {buf} THEN 1e308 ELSE -1e308 END,
+      CASE WHEN dy != 0 THEN greatest((gy - {buf} - ay) / dy, (gy + 1 + {buf} - ay) / dy)
+           WHEN ay >= gy - {buf} AND ay <= gy + 1 + {buf} THEN 1e308 ELSE -1e308 END) AS t1
+    FROM cy),
+kept AS (SELECT * FROM lb WHERE t0 <= t1),
+marked AS (SELECT *,
+    CASE WHEN lag(s) OVER wd IS NULL OR s != lag(s) OVER wd + 1
+              OR lag(t1) OVER wd < 1.0 OR t0 > 0.0 THEN 1 ELSE 0 END AS brk,
+    {qax} AS qax, {qay} AS qay, {qex} AS qex, {qey} AS qey
+    FROM kept WINDOW wd AS (PARTITION BY user_id, gx, gy ORDER BY s)),
+pts_p AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, gx, gy ORDER BY s) AS pid
+          FROM marked),
+contrib AS (SELECT user_id, gx, gy, pid, brk,
+    CASE WHEN brk = 1
+         THEN {_zz('qax')} + {_zz('qay')} + {_zz('qex - qax')} + {_zz('qey - qay')}
+         ELSE {_zz('qex - lag(qex) OVER wp')} + {_zz('qey - lag(qey) OVER wp')} END AS c
+    FROM pts_p WINDOW wp AS (PARTITION BY user_id, gx, gy, pid ORDER BY s)),
+partagg AS (SELECT user_id, gx, gy, pid, count(*) AS nseg, sum(c) AS dsum
+            FROM contrib GROUP BY 1, 2, 3, 4)
+SELECT CAST({zoom_start(zoom)} + (((gx % {nt}) + {nt}) % {nt}) * {nt}
+            + ({nt - 1} - gy) AS BIGINT) AS tile_id,
+       count(*) AS n_parts,
+       CAST(sum(nseg + 1) AS BIGINT) AS n_vertices,
+       CAST(sum(9 + (2 + nseg * 8) + dsum) AS BIGINT) AS geom_sum
+FROM partagg GROUP BY 1
+"""
+
+
 def _zz(d: str) -> str:
     """Zigzag of a signed BIGINT sql expr."""
     return f"(CASE WHEN ({d}) >= 0 THEN 2*({d}) ELSE -2*({d}) - 1 END)"

@@ -275,6 +275,99 @@ def mvt_tile_summary(sf_dir: str, zoom: int = 6, num_partitions: int = 16):
     return tiles.map_batches(summarize, batch_format="pyarrow")
 
 
+def line_tile_summary(sf_dir: str, zoom: int = 4):
+    """Driver query: the LINE layer end-to-end, oracle-checked.
+
+    Per-user trajectories (events ordered by ts, event_id with the
+    arithmetic placement) become polylines, stripe-clipped into tiles
+    with Liang-Barsky interval math (``tilemath.clip.slice_lines`` — the
+    ``render/TiledGeometry.java`` line path), shuffled by tile, encoded
+    as a real MVT ``lines`` layer (MoveTo + LineTo runs), DECODED with
+    the independent reference decoder, and summarized per tile.  The
+    DuckDB oracle recomputes part/vertex counts and the geometry command
+    sum from the same clipping arithmetic in SQL windows.
+    """
+    import pandas as pd
+
+    from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_lines
+    from ..tilemath.mvt_pb import KIND_LINE, decode_tile, encode_tile_batch
+    from ..tilemath.tilecoord import tms_encode
+    from .queries import _event_world
+
+    f = float(1 << zoom)
+    buf = DEFAULT_BUFFER_PX / 256.0
+
+    def pts(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "event_id": t["event_id"], "wx": t["wx"], "wy": t["wy"]})
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"])
+        px = g["wx"].to_numpy() * f
+        py = g["wy"].to_numpy() * f
+        r = slice_lines(px, py, np.array([0, len(px)]), zoom, buf)
+        n_parts = len(r["x"])
+        if n_parts == 0:
+            return pa.table({"tile_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "part_seq": pa.array([], pa.int64()),
+                             "vx": pa.array([], pa.list_(pa.float32())),
+                             "vy": pa.array([], pa.list_(pa.float32()))})
+        tid = tms_encode(r["x"], r["y"], np.full(n_parts, zoom, np.int64))
+        off = pa.array(r["part_offsets"].astype(np.int32))
+        vx = pa.ListArray.from_arrays(off, pa.array(r["vx"].astype(np.float32)))
+        vy = pa.ListArray.from_arrays(off, pa.array(r["vy"].astype(np.float32)))
+        return pa.table({
+            "tile_id": pa.array(tid),
+            "user_id": pa.array(np.full(n_parts, int(g["user_id"].iloc[0]),
+                                        np.int64)),
+            "part_seq": pa.array(np.arange(n_parts, dtype=np.int64)),
+            "vx": vx, "vy": vy})
+
+    parts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def per_tile(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in
+                             ("tile_id", "n_parts", "n_vertices", "geom_sum")})
+        order = np.lexsort((grp["part_seq"].to_numpy(),
+                            grp["user_id"].to_numpy(),
+                            grp["tile_id"].to_numpy()))
+        grp = grp.take(pa.array(order))
+        tid = grp["tile_id"].to_numpy()
+        uid = grp["user_id"].to_numpy()
+        vx_l = grp["vx"].combine_chunks()
+        vy_l = grp["vy"].combine_chunks()
+        voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+        vx = vx_l.flatten().to_numpy()
+        vy = vy_l.flatten().to_numpy()
+        n = len(tid)
+        _, blobs = encode_tile_batch(
+            tid, np.full(n, 2, np.int8), np.full(n, KIND_LINE, np.int8),
+            uid, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
+            {2: "lines"}, line_verts=(vx, vy, voff))
+        out = {"tile_id": [], "n_parts": [], "n_vertices": [], "geom_sum": []}
+        utid = tid[np.concatenate([[True], np.diff(tid) != 0])] if n else []
+        for t_id, blob in zip(utid, blobs):
+            lay = decode_tile(blob.as_py())["lines"]
+            nv = sum((len(ft["geometry"]) - 2) // 2 for ft in lay["features"])
+            gs = sum(sum(ft["geometry"]) for ft in lay["features"])
+            out["tile_id"].append(int(t_id))
+            out["n_parts"].append(len(lay["features"]))
+            out["n_vertices"].append(int(nv))
+            out["geom_sum"].append(int(gs))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return parts.groupby("tile_id").map_groups(per_tile, batch_format="pyarrow")
+
+
+def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
                  num_partitions: int = 64, k: int = 3,
                  zoom: int = 14, checkpoint_dir: str | None = None):

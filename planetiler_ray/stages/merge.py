@@ -169,55 +169,261 @@ def merge_overlapping_boxes(ids: np.ndarray, x0: np.ndarray, y0: np.ndarray,
     return {k: v[keep] for k, v in out.items()}
 
 
-def merge_lines(lines: list[np.ndarray], min_length: float = 0.0,
-                tolerance: float = -1.0) -> list[np.ndarray]:
-    """Merge polylines at touching endpoints; prune stubs; simplify.
+class LineMerger:
+    """Graph-based polyline merger — the ``util/LoopLineMerger.java``
+    re-expression (semantics per ``:40-386``; incremental, not a port).
 
-    LoopLineMerger-style semantics (``util/LoopLineMerger.java:40-386``):
+    Steps, in the reference's order (``getMergedLineStrings``):
 
-    1. join lines end-to-end at endpoints where exactly two line ends
-       meet (degree-2 nodes)
-    2. remove dangling stubs shorter than ``min_length``
-    3. Douglas-Peucker simplify at ``tolerance`` (skipped when < 0)
-
-    Endpoints match exactly (callers quantize coordinates first, as the
-    reference does with its 1/16-px grid, ``LoopLineMerger.java:77-84``).
+    1. node the input: split lines at quantized points shared with other
+       lines, build an edge graph between endpoint nodes
+    2. ``degree_two_merge`` — join the two edges at every degree-2 node,
+       preserving segment direction (incremental queue, linear — no full
+       registry rebuild per join)
+    3. ``break_loops`` (``loopMinLength``) — at each multi-edge node,
+       collect the edges that close a cycle shorter than the threshold
+       (bounded A* for the return path) and keep only the shortest
+    4. ``remove_short_stubs`` (``stubMinLength``) — priority queue by
+       length; a stub touches a degree-1 node or is a self-loop;
+       removal cascades through re-merged degree-2 nodes
+    5. simplify (Douglas-Peucker, endpoints pinned) + drop duplicate
+       edges + re-merge
+    6. ``remove_short_edges`` (``minLength``)
     """
-    # node registry: endpoint tuple → list of (line_idx, is_start)
-    from collections import defaultdict
 
-    segs = [np.asarray(l, dtype=np.float64) for l in lines if len(l) >= 2]
-    alive = [True] * len(segs)
+    def __init__(self, min_length: float = 0.0, loop_min_length: float = 0.0,
+                 stub_min_length: float = 0.0, tolerance: float = -1.0,
+                 precision: float = 16.0):
+        self.min_length = min_length
+        self.loop_min_length = loop_min_length
+        self.stub_min_length = stub_min_length
+        self.tolerance = tolerance
+        self.precision = precision
+        self.edges: dict[int, dict] = {}
+        self.adj: dict[tuple, set] = {}
+        self._next = 0
 
-    def length(c: np.ndarray) -> float:
+    # -- graph plumbing ----------------------------------------------------
+    def _q(self, coords: np.ndarray) -> np.ndarray:
+        if self.precision and self.precision > 0:
+            return np.round(coords * self.precision) / self.precision
+        return np.asarray(coords, np.float64)
+
+    @staticmethod
+    def _length(c: np.ndarray) -> float:
         d = np.diff(c, axis=0)
         return float(np.hypot(d[:, 0], d[:, 1]).sum())
 
-    changed = True
-    while changed:
-        changed = False
-        nodes: dict[tuple, list] = defaultdict(list)
-        for i, s in enumerate(segs):
-            if not alive[i]:
-                continue
-            nodes[tuple(s[0])].append((i, True))
-            nodes[tuple(s[-1])].append((i, False))
-        for node, ends in nodes.items():
-            if len(ends) != 2:
-                continue
-            (i, i_start), (j, j_start) = ends
-            if i == j or not (alive[i] and alive[j]):
-                continue
-            a = segs[i] if not i_start else segs[i][::-1]
-            b = segs[j] if j_start else segs[j][::-1]
-            segs[i] = np.vstack([a, b[1:]])
-            alive[j] = False
-            changed = True
-            break  # node registry is stale → rebuild
+    def _add_edge(self, coords: np.ndarray) -> int | None:
+        # drop consecutive duplicate points introduced by quantization
+        if len(coords) >= 2:
+            same = (np.diff(coords, axis=0) == 0).all(axis=1)
+            if same.any():
+                coords = coords[np.concatenate([[True], ~same])]
+        if len(coords) < 2:
+            return None
+        eid = self._next
+        self._next += 1
+        a, b = tuple(coords[0]), tuple(coords[-1])
+        e = {"id": eid, "coords": coords, "a": a, "b": b,
+             "len": self._length(coords), "removed": False}
+        self.edges[eid] = e
+        self.adj.setdefault(a, set()).add((eid, 0))
+        self.adj.setdefault(b, set()).add((eid, 1))
+        return eid
 
-    merged = [s for i, s in enumerate(segs) if alive[i]]
-    if min_length > 0:
-        merged = [s for s in merged if length(s) >= min_length]
-    if tolerance >= 0:
-        merged = [douglas_peucker(s, tolerance) for s in merged]
-    return merged
+    def _remove_edge(self, eid: int):
+        e = self.edges[eid]
+        if e["removed"]:
+            return
+        e["removed"] = True
+        self.adj[e["a"]].discard((eid, 0))
+        self.adj[e["b"]].discard((eid, 1))
+
+    def _degree(self, node: tuple) -> int:
+        return len(self.adj.get(node, ()))
+
+    # -- construction ------------------------------------------------------
+    def add_lines(self, lines: list[np.ndarray]):
+        qlines = [self._q(np.asarray(l, np.float64)) for l in lines if len(l) >= 2]
+        # usage count of each quantized vertex across all lines → split at
+        # interior vertices shared with any other use (the nodeLines step)
+        counts: dict[tuple, int] = {}
+        for l in qlines:
+            for p in map(tuple, l):
+                counts[p] = counts.get(p, 0) + 1
+        for l in qlines:
+            cut = [0]
+            for k in range(1, len(l) - 1):
+                if counts[tuple(l[k])] > 1:
+                    cut.append(k)
+            cut.append(len(l) - 1)
+            for s, t in zip(cut[:-1], cut[1:]):
+                self._add_edge(l[s:t + 1])
+
+    # -- step 2: degree-2 merge (incremental) ------------------------------
+    def _merge_at(self, node: tuple) -> int | None:
+        ends = list(self.adj.get(node, ()))
+        if len(ends) != 2:
+            return None
+        (e1, end1), (e2, end2) = ends
+        if e1 == e2:
+            return None          # self-loop: degree is really > 2
+        a = self.edges[e1]
+        b = self.edges[e2]
+        # orient: ...→node from edge1, node→... from edge2
+        ca = a["coords"] if end1 == 1 else a["coords"][::-1]
+        cb = b["coords"] if end2 == 0 else b["coords"][::-1]
+        self._remove_edge(e1)
+        self._remove_edge(e2)
+        return self._add_edge(np.vstack([ca, cb[1:]]))
+
+    def degree_two_merge(self):
+        queue = list(self.adj.keys())
+        while queue:
+            node = queue.pop()
+            self._merge_at(node)
+
+    # -- step 3: loop removal ---------------------------------------------
+    def _astar(self, start: tuple, end: tuple, exclude: tuple,
+               max_len: float) -> float:
+        """Shortest path start→end avoiding ``exclude``, bounded."""
+        import heapq
+        if max_len < 0:
+            return float("inf")
+        if start == end:
+            return 0.0
+        h = lambda p: float(np.hypot(p[0] - end[0], p[1] - end[1]))
+        best = {start: 0.0}
+        heap = [(h(start), 0.0, start)]
+        while heap:
+            f, g, node = heapq.heappop(heap)
+            if node == end:
+                return g
+            if g > best.get(node, float("inf")):
+                continue
+            for eid, endix in self.adj.get(node, ()):
+                e = self.edges[eid]
+                nxt = e["b"] if endix == 0 else e["a"]
+                if nxt == exclude:
+                    continue
+                ng = g + e["len"]
+                if ng > max_len or ng >= best.get(nxt, float("inf")):
+                    continue
+                best[nxt] = ng
+                heapq.heappush(heap, (ng + h(nxt), ng, nxt))
+        return float("inf")
+
+    def break_loops(self):
+        for node in list(self.adj.keys()):
+            for cur_eid, cur_end in list(self.adj.get(node, ())):
+                if self._degree(node) <= 1:
+                    break
+                cur = self.edges[cur_eid]
+                if cur["removed"]:
+                    continue
+                cur_to = cur["b"] if cur_end == 0 else cur["a"]
+                loops = []
+                for other_eid, other_end in list(self.adj.get(node, ())):
+                    other = self.edges[other_eid]
+                    other_to = other["b"] if other_end == 0 else other["a"]
+                    dist = other["len"] + self._astar(
+                        other_to, cur_to, node,
+                        self.loop_min_length - other["len"])
+                    if dist <= self.loop_min_length:
+                        loops.append((dist, other_eid))
+                if len(loops) > 1:
+                    loops.sort()
+                    for _, eid in loops[1:]:
+                        self._remove_edge(eid)
+
+    # -- step 4: stub removal ---------------------------------------------
+    def _is_stub(self, eid: int) -> bool:
+        e = self.edges.get(eid)
+        if e is None or e["removed"] or e["len"] >= self.stub_min_length:
+            return False
+        return (self._degree(e["a"]) == 1 or self._degree(e["b"]) == 1
+                or e["a"] == e["b"])
+
+    def remove_short_stubs(self):
+        import heapq
+        heap = [(self.edges[eid]["len"], eid) for eid in self.edges
+                if self._is_stub(eid)]
+        heapq.heapify(heap)
+        while heap:
+            _, eid = heapq.heappop(heap)
+            e = self.edges[eid]
+            if e["removed"]:
+                continue
+            if self._is_stub(eid):
+                self._remove_edge(eid)
+            for node in {e["a"], e["b"]}:
+                merged = self._merge_at(node)
+                if merged is not None and self._is_stub(merged):
+                    heapq.heappush(heap, (self.edges[merged]["len"], merged))
+                ends = list(self.adj.get(node, ()))
+                if len(ends) == 1 and self._is_stub(ends[0][0]):
+                    heapq.heappush(heap, (self.edges[ends[0][0]]["len"],
+                                          ends[0][0]))
+
+    # -- steps 5-6 ---------------------------------------------------------
+    def simplify_edges(self):
+        for eid in list(self.edges):
+            e = self.edges[eid]
+            if e["removed"]:
+                continue
+            c = douglas_peucker(e["coords"], self.tolerance)
+            c = self._q(c)
+            self._remove_edge(eid)
+            self._add_edge(c)
+        self._remove_duplicates()
+        self.degree_two_merge()
+
+    def _remove_duplicates(self):
+        seen = set()
+        for eid in list(self.edges):
+            e = self.edges[eid]
+            if e["removed"]:
+                continue
+            key = tuple(map(tuple, e["coords"]))
+            rkey = tuple(map(tuple, e["coords"][::-1]))
+            if key in seen or rkey in seen:
+                self._remove_edge(eid)
+            else:
+                seen.add(key)
+
+    def remove_short_edges(self):
+        for eid in list(self.edges):
+            e = self.edges[eid]
+            if not e["removed"] and e["len"] < self.min_length:
+                self._remove_edge(eid)
+
+    def merged(self) -> list[np.ndarray]:
+        self.degree_two_merge()
+        if self.loop_min_length > 0:
+            self.break_loops()
+            self.degree_two_merge()
+        if self.stub_min_length > 0:
+            self.remove_short_stubs()
+        if self.tolerance >= 0:
+            self.simplify_edges()
+        if self.min_length > 0:
+            self.remove_short_edges()
+        return [e["coords"] for e in self.edges.values() if not e["removed"]]
+
+
+def merge_lines(lines: list[np.ndarray], min_length: float = 0.0,
+                tolerance: float = -1.0, loop_min_length: float = 0.0,
+                stub_min_length: float = 0.0,
+                precision: float = 0.0) -> list[np.ndarray]:
+    """Merge polylines at touching endpoints; remove loops/stubs; simplify.
+
+    Thin wrapper over :class:`LineMerger` (``util/LoopLineMerger.java``
+    semantics).  ``precision=0`` keeps coordinates exact (legacy callers
+    quantize beforehand); pass 16.0 for the reference's 1/16-px grid.
+    """
+    m = LineMerger(min_length=min_length, loop_min_length=loop_min_length,
+                   stub_min_length=stub_min_length, tolerance=tolerance,
+                   precision=precision)
+    m.add_lines(lines)
+    return m.merged()

@@ -169,3 +169,162 @@ def slice_boxes(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray,
         "fy1": fy1[keep],
         "is_fill": is_fill[keep],
     }
+
+
+def slice_lines(px: np.ndarray, py: np.ndarray, line_offsets: np.ndarray,
+                z: int, buffer: float, extents=None) -> dict[str, np.ndarray]:
+    """Clip polylines (tile units) into per-tile sub-polyline fragments.
+
+    The line analog of the stripe clipper
+    (``render/TiledGeometry.java:406-699`` for LINE geometries): every
+    segment is tested against each candidate tile's buffered window
+    ``[t−buffer, t+1+buffer]``, cut with Liang-Barsky interval clipping
+    (exact parametric interpolation), and consecutive surviving segments
+    of the same line in the same tile are stitched back into parts.
+    Fully vectorized over the whole batch of segments.
+
+    Inputs: flat vertex arrays ``px, py`` and ``line_offsets`` (start
+    index of each line, length n_lines+1).
+
+    Returns flat VERTEX arrays describing the output parts:
+      ``line``   — input line index per part
+      ``x, y``   — tile coords per part (x wrapped)
+      ``part_offsets`` — start of each part in the vertex stream
+      ``vx, vy`` — vertex coords in local tile px (0..256 ± buffer·256)
+    """
+    n_tiles = 1 << z
+    nb = buffer + NEIGHBOR_BUFFER_EPS
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    line_offsets = np.asarray(line_offsets, np.int64)
+    n_lines = len(line_offsets) - 1
+
+    # segments: consecutive vertex pairs within each line
+    npts = np.diff(line_offsets)
+    nseg = np.maximum(npts - 1, 0)
+    seg_first = np.repeat(line_offsets[:-1], nseg) + \
+        (np.arange(int(nseg.sum())) -
+         np.repeat(np.concatenate([[0], np.cumsum(nseg)[:-1]]), nseg))
+    seg_line = np.repeat(np.arange(n_lines), nseg)
+    ax, ay = px[seg_first], py[seg_first]
+    bx, by = px[seg_first + 1], py[seg_first + 1]
+
+    # candidate tiles per segment: bbox expanded by the neighbor buffer
+    min_x = np.floor(np.minimum(ax, bx) - nb).astype(np.int64)
+    max_x = np.floor(np.maximum(ax, bx) + nb).astype(np.int64)
+    np.clip(max_x, None, min_x + n_tiles - 1, out=max_x)
+    min_y = np.floor(np.minimum(ay, by) - nb).astype(np.int64)
+    max_y = np.floor(np.maximum(ay, by) + nb).astype(np.int64)
+    ext_min_y, ext_max_y = 0, n_tiles
+    if extents is not None:
+        fz = extents.for_zoom(z)
+        ext_min_y, ext_max_y = fz.min_y, fz.max_y
+    np.clip(min_y, ext_min_y, None, out=min_y)
+    np.clip(max_y, None, ext_max_y - 1, out=max_y)
+
+    srow1, xs = _expand_ranges(min_x, max_x)
+    srow2, ys = _expand_ranges(min_y[srow1], max_y[srow1])
+    srow = srow1[srow2]
+    xs = xs[srow2]
+
+    # Liang-Barsky against the buffered window [t−buf, t+1+buf]²
+    A_x, A_y = ax[srow], ay[srow]
+    D_x, D_y = bx[srow] - A_x, by[srow] - A_y
+    w0x = xs - buffer
+    w1x = xs + 1.0 + buffer
+    w0y = ys - buffer
+    w1y = ys + 1.0 + buffer
+    t0 = np.zeros(len(srow))
+    t1 = np.ones(len(srow))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for d, w0, w1, a in ((D_x, w0x, w1x, A_x), (D_y, w0y, w1y, A_y)):
+            tl = np.where(d != 0, (w0 - a) / np.where(d == 0, 1.0, d), -np.inf)
+            th = np.where(d != 0, (w1 - a) / np.where(d == 0, 1.0, d), np.inf)
+            lo = np.minimum(tl, th)
+            hi = np.maximum(tl, th)
+            # zero-direction axis: inside iff a within window
+            inside0 = (a >= w0) & (a <= w1)
+            lo = np.where(d == 0, np.where(inside0, -np.inf, np.inf), lo)
+            hi = np.where(d == 0, np.where(inside0, np.inf, -np.inf), hi)
+            t0 = np.maximum(t0, lo)
+            t1 = np.minimum(t1, hi)
+    keep = t0 <= t1
+    srow, xs, ys = srow[keep], xs[keep], ys[keep]
+    t0, t1 = t0[keep], t1[keep]
+    A_x, A_y, D_x, D_y = A_x[keep], A_y[keep], D_x[keep], D_y[keep]
+
+    # clipped endpoints (local px, relative to the unwrapped column)
+    cx0 = (A_x + t0 * D_x - xs) * 256.0
+    cy0 = (A_y + t0 * D_y - ys) * 256.0
+    cx1 = (A_x + t1 * D_x - xs) * 256.0
+    cy1 = (A_y + t1 * D_y - ys) * 256.0
+
+    # order by (line, tile, segment) → stitch consecutive segments
+    seg_in_line = srow - np.repeat(np.concatenate([[0], np.cumsum(nseg)[:-1]]),
+                                   nseg)[srow] if len(srow) else srow
+    order = np.lexsort((seg_in_line, ys, xs, seg_line[srow]))
+    srow, xs, ys = srow[order], xs[order], ys[order]
+    t0, t1 = t0[order], t1[order]
+    cx0, cy0, cx1, cy1 = cx0[order], cy0[order], cx1[order], cy1[order]
+    sline = seg_line[srow]
+    sseg = seg_in_line[order]
+
+    n = len(srow)
+    if n == 0:
+        return {"line": np.empty(0, np.int64), "x": np.empty(0, np.int64),
+                "y": np.empty(0, np.int64),
+                "part_offsets": np.zeros(1, np.int64),
+                "vx": np.empty(0, np.float64), "vy": np.empty(0, np.float64)}
+
+    # part break: new (line, tile), non-consecutive segment, or the
+    # previous segment exited the window before its end / this one
+    # enters after its start
+    new_group = np.empty(n, bool)
+    new_group[0] = True
+    new_group[1:] = ((np.diff(sline) != 0) | (np.diff(xs) != 0) |
+                     (np.diff(ys) != 0))
+    brk = new_group.copy()
+    cont = ~new_group
+    prev_t1 = np.empty(n)
+    prev_t1[1:] = t1[:-1]
+    prev_seg = np.empty(n, np.int64)
+    prev_seg[1:] = sseg[:-1]
+    brk[1:] |= (sseg[1:] != prev_seg[1:] + 1) | (prev_t1[1:] < 1.0) | (t0[1:] > 0.0)
+
+    part_id = np.cumsum(brk) - 1
+    n_parts = int(part_id[-1]) + 1
+    part_start = np.flatnonzero(brk)
+
+    # vertices per segment: 2 at a part start, 1 (the end point) after
+    nverts = np.where(brk, 2, 1)
+    voff = np.concatenate([[0], np.cumsum(nverts)])
+    total_v = int(voff[-1])
+    vx = np.empty(total_v)
+    vy = np.empty(total_v)
+    vx[voff[:-1][brk]] = cx0[brk]
+    vy[voff[:-1][brk]] = cy0[brk]
+    end_pos = voff[1:] - 1
+    vx[end_pos] = cx1
+    vy[end_pos] = cy1
+
+    part_offsets = np.concatenate([voff[:-1][brk], [total_v]])
+    wrapped_x = np.mod(xs[part_start], n_tiles)
+    keep_p = np.ones(n_parts, bool)
+    if extents is not None:
+        fz = extents.for_zoom(z)
+        keep_p = fz.test_x(wrapped_x) & fz.test_y(ys[part_start])
+    if not keep_p.all():
+        # drop filtered parts (rebuild vertex stream)
+        lens = np.diff(part_offsets)
+        keep_v = np.repeat(keep_p, lens)
+        vx, vy = vx[keep_v], vy[keep_v]
+        part_offsets = np.concatenate([[0], np.cumsum(lens[keep_p])])
+        part_start = part_start[keep_p]
+        wrapped_x = wrapped_x[keep_p]
+    return {
+        "line": sline[part_start],
+        "x": wrapped_x,
+        "y": ys[part_start],
+        "part_offsets": part_offsets,
+        "vx": vx, "vy": vy,
+    }

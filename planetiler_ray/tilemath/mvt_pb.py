@@ -75,12 +75,17 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
                       bx: np.ndarray, by: np.ndarray,
                       layer_names: dict[int, str],
                       attrs: dict[str, np.ndarray] | None = None,
+                      line_verts: tuple[np.ndarray, np.ndarray,
+                                        np.ndarray] | None = None,
                       ) -> tuple[np.ndarray, pa.LargeBinaryArray]:
     """Encode fragments (sorted by tile, layer) into one MVT blob per tile.
 
     ``tile_ids`` is the per-fragment tile id (consecutive runs).  Box
-    coords are (ax, ay)..(bx, by) px; points use (ax, ay).  ``attrs``
-    maps attr name → per-fragment string values (nulls → '').
+    coords are (ax, ay)..(bx, by) px; points use (ax, ay); LINE
+    fragments (kind 2) take their vertices from ``line_verts = (vx, vy,
+    frag_vert_offsets)`` — flat px coords plus each fragment's [start,
+    end) range (empty for non-line fragments).  ``attrs`` maps attr
+    name → per-fragment string values (nulls → '').
     Returns (unique tile ids in order, LargeBinaryArray of tile bytes).
     """
     n = len(tile_ids)
@@ -104,31 +109,64 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     lay_layer = layer[lay_starts].astype(np.int64)        # per-layer layer id
     feat_pos = np.arange(n) - lay_starts[lay_idx]         # position within its layer
 
-    # --- geometry command ints (already zigzagged params), fixed shapes ---
+    # --- geometry command ints (already zigzagged params) ---
     qx0, qy0 = quant(ax), quant(ay)
     qx1, qy1 = quant(bx), quant(by)
     is_box = kind == KIND_BOX
     is_pt = kind == KIND_POINT
-    gcount = np.where(is_box, 11, 3).astype(np.int64)
-    gW = 11
-    gmat = np.zeros((n, gW), dtype=np.uint64)
-    gmat[:, 0] = 9                                        # MoveTo ×1
-    gmat[:, 1] = zigzag(qx0)
-    gmat[:, 2] = zigzag(qy0)
-    if is_box.any():
-        b = is_box
-        gmat[b, 3] = 26                                   # LineTo ×3
-        gmat[b, 4] = zigzag(qx1[b] - qx0[b])
-        gmat[b, 5] = zigzag(np.zeros(int(b.sum()), np.int64))
-        gmat[b, 6] = zigzag(np.zeros(int(b.sum()), np.int64))
-        gmat[b, 7] = zigzag(qy1[b] - qy0[b])
-        gmat[b, 8] = zigzag(qx0[b] - qx1[b])
-        gmat[b, 9] = zigzag(np.zeros(int(b.sum()), np.int64))
-        gmat[b, 10] = 15                                  # ClosePath
-    gvalid = np.arange(gW)[None, :] < gcount[:, None]
-    geom_ints = gmat[gvalid]                              # flat, doc order
-    geom_int_lens = _vlen(geom_ints)
+    is_line = kind == KIND_LINE
+    if line_verts is not None:
+        lvx, lvy, lvoff = line_verts
+        lvoff = np.asarray(lvoff, np.int64)
+        qvx, qvy = quant(lvx), quant(lvy)
+        nv = np.diff(lvoff)
+    else:
+        qvx = qvy = np.empty(0, np.int64)
+        lvoff = np.zeros(n + 1, np.int64)
+        nv = np.zeros(n, np.int64)
+    # ints per fragment: box 11, point 3, line 2·nv + 2 (MoveTo + LineTo run)
+    gcount = np.where(is_box, 11,
+                      np.where(is_pt, 3, 2 * np.maximum(nv, 2) + 2)).astype(np.int64)
     gseg = np.concatenate([[0], np.cumsum(gcount)[:-1]])
+    total_g = int(gcount.sum())
+    gints = np.zeros(total_g, dtype=np.uint64)
+    gints[gseg] = 9                                       # MoveTo ×1 (all kinds)
+    bp = is_box | is_pt
+    gints[gseg[bp] + 1] = zigzag(qx0[bp])
+    gints[gseg[bp] + 2] = zigzag(qy0[bp])
+    if is_box.any():
+        b = np.flatnonzero(is_box)
+        s = gseg[b]
+        gints[s + 3] = 26                                 # LineTo ×3
+        gints[s + 4] = zigzag(qx1[b] - qx0[b])
+        gints[s + 7] = zigzag(qy1[b] - qy0[b])
+        gints[s + 8] = zigzag(qx0[b] - qx1[b])
+        gints[s + 10] = 15                                # ClosePath
+    if is_line.any():
+        lf = np.flatnonzero(is_line)
+        s = gseg[lf]
+        first = lvoff[lf]                                 # first vertex index
+        gints[s + 1] = zigzag(qvx[first])
+        gints[s + 2] = zigzag(qvy[first])
+        gints[s + 3] = (2 | ((np.maximum(nv[lf], 2) - 1) << 3)).astype(np.uint64)
+        # deltas for vertices 1..nv-1 of each line fragment: global vertex
+        # index per line fragment, fully vectorized
+        nvl = nv[lf]
+        vglob = (np.arange(int(nvl.sum())) -
+                 np.repeat(np.concatenate([[0], np.cumsum(nvl)[:-1]]), nvl)
+                 + np.repeat(lvoff[lf], nvl))
+        vfrag = np.repeat(lf, nvl)
+        not_first = vglob != lvoff[vfrag]
+        j = vglob[not_first]
+        fj = vfrag[not_first]
+        # position within the int stream: 4 + 2·(ordinal-1)
+        pos = gseg[fj] + 4 + 2 * (j - lvoff[fj] - 1)
+        gints[pos] = zigzag(qvx[j] - qvx[j - 1])
+        gints[pos + 1] = zigzag(qvy[j] - qvy[j - 1])
+        # degenerate single-vertex lines: pad with a zero-delta LineTo
+        # (np.maximum(nv, 2) above reserved the space; zeros are valid)
+    geom_ints = gints
+    geom_int_lens = _vlen(geom_ints)
     geom_len = np.add.reduceat(geom_int_lens, gseg)       # bytes per fragment
     geom_len[gcount == 0] = 0
 

@@ -1,0 +1,153 @@
+"""Tests for the polyline stripe-clip kernel and the LoopLineMerger
+re-expression (``render/TiledGeometry.java`` line path,
+``util/LoopLineMerger.java:40-386`` semantics)."""
+
+import numpy as np
+import pytest
+
+from planetiler_ray.stages.merge import LineMerger, merge_lines
+from planetiler_ray.tilemath.clip import slice_lines
+
+L = lambda *pts: np.array(pts, float)
+BUF = 4.0 / 256
+
+
+def parts_of(r):
+    out = []
+    for i in range(len(r["x"])):
+        s, e = r["part_offsets"][i], r["part_offsets"][i + 1]
+        out.append((int(r["line"][i]), int(r["x"][i]), int(r["y"][i]),
+                    np.column_stack([r["vx"][s:e], r["vy"][s:e]])))
+    return out
+
+
+class TestSliceLines:
+    def test_horizontal_across_three_tiles(self):
+        r = slice_lines(np.array([0.5, 2.5]), np.array([0.5, 0.5]),
+                        np.array([0, 2]), 2, BUF)
+        ps = parts_of(r)
+        assert [(p[1], p[2]) for p in ps] == [(0, 0), (1, 0), (2, 0)]
+        # middle tile gets the full buffered crossing
+        mid = ps[1][3]
+        assert mid[0].tolist() == [-4.0, 128.0]
+        assert mid[-1].tolist() == [260.0, 128.0]
+
+    def test_interior_line_keeps_all_vertices(self):
+        r = slice_lines(np.array([0.1, 0.2, 0.3, 0.4]),
+                        np.array([0.1, 0.2, 0.1, 0.2]),
+                        np.array([0, 4]), 0, BUF)
+        (p,) = parts_of(r)
+        assert len(p[3]) == 4
+        assert np.allclose(p[3][:, 0], [25.6, 51.2, 76.8, 102.4])
+
+    def test_reentry_creates_two_parts(self):
+        r = slice_lines(np.array([0.2, 1.5, 0.2]), np.array([0.2, 0.2, 0.8]),
+                        np.array([0, 3]), 1, 0.0)
+        ps = parts_of(r)
+        tiles = [(p[1], p[2]) for p in ps]
+        assert tiles.count((0, 0)) == 2          # exits then re-enters
+        assert (1, 0) in tiles
+
+    def test_multiple_lines(self):
+        # two independent lines in different tiles
+        px = np.array([0.25, 0.3, 1.25, 1.3])
+        py = np.array([0.25, 0.3, 0.25, 0.3])
+        r = slice_lines(px, py, np.array([0, 2, 4]), 1, BUF)
+        ps = parts_of(r)
+        assert {(p[0], p[1]) for p in ps} == {(0, 0), (1, 1)}
+
+    def test_antimeridian_wrap(self):
+        # line crossing x=2 at z1 wraps into column 0
+        r = slice_lines(np.array([1.9, 2.1]), np.array([0.5, 0.5]),
+                        np.array([0, 2]), 1, 0.0)
+        ps = parts_of(r)
+        assert {p[1] for p in ps} == {0, 1}
+
+    def test_out_of_world_y_dropped(self):
+        r = slice_lines(np.array([0.5, 0.6]), np.array([-0.5, -0.4]),
+                        np.array([0, 2]), 2, BUF)
+        assert len(r["x"]) == 0
+
+    def test_clip_interpolation_exact(self):
+        # 45° diagonal entering tile (1,1) at z2: window [1-buf, 2+buf]
+        r = slice_lines(np.array([0.5, 1.5]), np.array([0.5, 1.5]),
+                        np.array([0, 2]), 2, 0.0)
+        for (_, x, y, v) in parts_of(r):
+            if (x, y) == (1, 1):
+                assert np.allclose(v[0], [0.0, 0.0])
+                assert np.allclose(v[-1], [128.0, 128.0])
+
+
+class TestLineMerger:
+    def test_endpoint_merge_direction(self):
+        out = merge_lines([L((0, 0), (1, 0)), L((1, 0), (2, 0))])
+        assert len(out) == 1
+        assert out[0][0].tolist() == [0, 0] and out[0][-1].tolist() == [2, 0]
+
+    def test_no_merge_at_junction(self):
+        out = merge_lines([L((0, 0), (1, 0)), L((1, 0), (2, 0)),
+                           L((1, 0), (1, 1))])
+        assert len(out) == 3
+
+    def test_short_ring_removed(self):
+        # ring shorter than loop_min_length vanishes, tail survives
+        out = merge_lines([L((0, 0), (1, 0)), L((0, 0), (0.5, 2), (1, 0)),
+                           L((1, 0), (3, 0))], loop_min_length=6.0)
+        assert len(out) == 1 and len(out[0]) == 2
+
+    def test_two_arm_loop_keeps_shorter(self):
+        out = merge_lines([L((-2, 0), (0, 0)), L((0, 0), (1, 0)),
+                           L((0, 0), (0.5, 2), (1, 0)), L((1, 0), (3, 0))],
+                          loop_min_length=6.0)
+        assert len(out) == 1
+        assert out[0].tolist() == [[-2, 0], [0, 0], [1, 0], [3, 0]]
+
+    def test_long_loop_survives(self):
+        out = merge_lines([L((-2, 0), (0, 0)), L((0, 0), (1, 0)),
+                           L((0, 0), (0.5, 2), (1, 0)), L((1, 0), (3, 0))],
+                          loop_min_length=2.0)
+        assert len(out) == 4
+
+    def test_stub_removed_then_remerged(self):
+        out = merge_lines([L((0, 0), (5, 0)), L((5, 0), (10, 0)),
+                           L((5, 0), (5, 0.1))], stub_min_length=1.0)
+        assert len(out) == 1 and len(out[0]) == 3
+
+    def test_stub_cascade(self):
+        # removing the outer stub makes the next one a stub too
+        out = merge_lines([L((0, 0), (10, 0)), L((10, 0), (10.4, 0)),
+                           L((10.4, 0), (10.8, 0)), L((10.4, 0), (10.4, 5))],
+                          stub_min_length=1.0)
+        total = sum(len(o) for o in out)
+        # both short stubs gone; long line and the (10.4,5) spur remain?
+        # spur length 5 ≥ 1 → survives; chain (10,0)-(10.4,0) merged or kept
+        assert all(
+            LineMerger._length(o) >= 1.0 or len(o) == 0 for o in out)
+
+    def test_simplify_pins_endpoints(self):
+        out = merge_lines([L((0, 0), (1, 0.001), (2, 0)),
+                           L((2, 0), (3, 0.001), (4, 0), (4, 2))],
+                          tolerance=0.01)
+        (m,) = out
+        assert m[0].tolist() == [0, 0] and m[-1].tolist() == [4, 2]
+        # interior collinear wiggles removed, corner at (4,0) kept
+        assert any((p == [4, 0]).all() for p in m)
+
+    def test_min_length_filter(self):
+        assert merge_lines([L((0, 0), (0.5, 0))], min_length=1.0) == []
+
+    def test_split_at_shared_interior_vertex(self):
+        # line B ends at an interior vertex of line A → A is split there
+        out = merge_lines([L((0, 0), (1, 0), (2, 0)), L((1, 0), (1, 1))])
+        assert len(out) == 3
+
+    def test_duplicate_edges_dropped_after_simplify(self):
+        out = merge_lines([L((0, 0), (1, 0.001), (2, 0)),
+                           L((0, 0), (1, -0.001), (2, 0))], tolerance=0.01)
+        assert len(out) == 1
+
+    def test_precision_quantization(self):
+        # near-coincident endpoints snap together on the 1/16 grid
+        out = merge_lines([L((0, 0), (1, 0)), L((1.01, 0), (2, 0))],
+                          precision=16.0)
+        assert len(out) == 1
