@@ -16,11 +16,12 @@ Formats (registry mirrors ``archive/TileArchiveConfig.java:233-256``):
 - :func:`layer_stats`    — per-(z, layer) feature counts/bytes, the
   ``util/TileSizeStats.java`` sidecar analog
 
-Tile payload: the compact fixed-width records from the reduce
-(``stages/reduce.RECORD_DTYPE``) are transcoded to real MVT-style
-geometry commands (zigzag deltas, extent 4096 — ``tilemath/mvt.py``)
-at the sink, then gzipped — matching the reference's encode-then-
-compress order (``archive/TileArchiveWriter.java:273-335``).
+Tile payload: REAL Mapbox Vector Tile protobufs.  Tiles carrying an
+``mvt_bytes`` column (attrs-bearing reduce) are written as-is; tiles
+with only the compact fixed-width records are transcoded to MVT in one
+vectorized pass per batch (``records_to_mvt_pb_batch``), then gzipped —
+matching the reference's encode-then-compress order
+(``archive/TileArchiveWriter.java:273-335``, ``VectorTile.java:97-210``).
 """
 
 from __future__ import annotations
@@ -36,41 +37,58 @@ import pyarrow as pa
 import ray.data
 
 from .stages.reduce import RECORD_DTYPE
-from .tilemath.mvt import CLOSE_PATH, LINE_TO, MOVE_TO, zigzag_encode
 
 
-def records_to_mvt(tile_bytes: bytes) -> bytes:
-    """Transcode one tile's fixed-width records → MVT-style command buffer.
+def records_to_mvt_pb_batch(batch: pa.Table,
+                            layer_names: dict[int, str] | None = None
+                            ) -> list[bytes]:
+    """Transcode a whole batch of tiles' fixed-width records → REAL MVT
+    protobufs in one vectorized pass (``tilemath.mvt_pb``).
 
-    Layout: uint32 n_features, then per feature: u8 layer, u8 kind,
-    u16 n_cmds, int32 commands (zigzag deltas at extent 4096).
+    The record coords are already quantized extent units; dividing by
+    SCALE is exact in binary so the encoder's quantization round-trips
+    them bit-for-bit.  No per-feature Python — the record buffers are
+    concatenated zero-copy via the arrow offsets.
     """
-    rec = np.frombuffer(tile_bytes, dtype=RECORD_DTYPE)
-    parts = [struct.pack("<I", len(rec))]
-    for r in rec:
-        if r["kind"] == 0:  # box ring: MoveTo + 3 LineTo + Close
-            x0, y0, x1, y1 = int(r["x0"]), int(r["y0"]), int(r["x1"]), int(r["y1"])
-            cmds = np.array([
-                (MOVE_TO & 7) | (1 << 3), zigzag_encode(x0), zigzag_encode(y0),
-                (LINE_TO & 7) | (3 << 3),
-                zigzag_encode(x1 - x0), 0, 0, zigzag_encode(y1 - y0),
-                zigzag_encode(x0 - x1), 0, (CLOSE_PATH & 7) | (1 << 3),
-            ], dtype=np.int32)
-        else:  # point: single MoveTo
-            cmds = np.array([(MOVE_TO & 7) | (1 << 3),
-                             zigzag_encode(int(r["x0"])), zigzag_encode(int(r["y0"]))],
-                            dtype=np.int32)
-        parts.append(struct.pack("<BBH", int(r["layer"]), int(r["kind"]), len(cmds)))
-        parts.append(cmds.tobytes())
-    return b"".join(parts)
+    from .tilemath.mvt import SCALE
+    from .tilemath.mvt_pb import encode_tile_batch
+
+    arr = batch["tile_bytes"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_tiles = len(arr)
+    if n_tiles == 0:
+        return []
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                         count=n_tiles + 1, offset=arr.offset * 8)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0]:offs[-1]]
+    rec = data.view(RECORD_DTYPE)
+    counts = (np.diff(offs) // RECORD_DTYPE.itemsize).astype(np.int64)
+    tile_rep = np.repeat(batch["tile_id"].to_numpy(), counts)
+    inv = 1.0 / SCALE
+    _, blobs = encode_tile_batch(
+        tile_rep, rec["layer"].astype(np.int8), rec["kind"].astype(np.int8),
+        rec["id_hash"].astype(np.uint64).view(np.int64),
+        rec["x0"].astype(np.float64) * inv, rec["y0"].astype(np.float64) * inv,
+        rec["x1"].astype(np.float64) * inv, rec["y1"].astype(np.float64) * inv,
+        layer_names or {0: "chips", 1: "labels", 2: "lines"})
+    out = [b""] * n_tiles
+    present = np.flatnonzero(counts > 0)
+    for j, i in enumerate(present):   # O(n_tiles) blob handles, no per-feature work
+        out[i] = blobs[j].as_py()
+    return out
 
 
 def _encode_batch(batch: pa.Table, compress: bool = True) -> list[bytes]:
-    out = []
-    for tb in batch["tile_bytes"].to_pylist():
-        raw = records_to_mvt(tb)
-        out.append(gzip.compress(raw, 6) if compress else raw)
-    return out
+    """Per-tile REAL MVT protobuf bytes (gzipped) for a batch of tiles.
+
+    Prefers a ``mvt_bytes`` column (attrs-bearing tiles encoded in the
+    reduce); otherwise transcodes the compact records vectorized."""
+    if "mvt_bytes" in batch.column_names:
+        raws = batch["mvt_bytes"].to_pylist()
+    else:
+        raws = records_to_mvt_pb_batch(batch)
+    return [gzip.compress(r, 6) if compress else r for r in raws]
 
 
 def write_files(tiles: "ray.data.Dataset", out_dir: str) -> int:
@@ -233,6 +251,120 @@ def write_archive(tiles: "ray.data.Dataset", path: str) -> dict:
     os.replace(tmp, path)
     return {"n_tiles": len(index), "n_unique_blobs": len(blob_offsets),
             "n_dedup": n_dedup, "bytes": os.path.getsize(path)}
+
+
+def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
+                          num_shards: int = 16,
+                          sample_cap: int = 100_000) -> dict:
+    """Hilbert-range-sharded archive: per-range parts written BY WORKERS,
+    the driver writes only a tiny root index.
+
+    The scale path for :func:`write_archive` (which materializes blobs
+    on the driver and is only for bounded outputs): shard bounds are
+    equal-frequency quantiles of a bounded hilbert-id sample, each shard
+    is one ``part-NNNNN.arc`` single-file archive (hilbert-sorted,
+    content-hash-deduplicated within the shard) written inside the
+    ``map_groups`` task that owns it, and the root index records the
+    hilbert range → part mapping.  No stage holds more than one shard's
+    blobs; a failed run can re-write only the missing parts.
+    """
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def downsample(b: pa.Table) -> pa.Table:
+        # ≤64 evenly-spaced ids per block → the driver sees a bounded,
+        # whole-range sample no matter the dataset size
+        step = max(1, b.num_rows // 64)
+        return b.select(["hilbert_id"]).take(
+            pa.array(np.arange(0, b.num_rows, step)))
+
+    sample = tiles.map_batches(downsample, batch_format="pyarrow") \
+        .to_pandas()["hilbert_id"].to_numpy()[:sample_cap]
+    if len(sample) == 0:
+        bounds = np.array([], dtype=np.int64)
+    else:
+        qs = np.quantile(sample, np.linspace(0, 1, num_shards + 1)[1:-1])
+        bounds = np.unique(qs.astype(np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hil = batch["hilbert_id"].to_numpy()
+        shard = np.searchsorted(bounds, hil, side="right").astype(np.int32)
+        return batch.append_column("shard", pa.array(shard))
+
+    def write_shard(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "n_tiles": pa.array([], pa.int64()),
+                             "n_blobs": pa.array([], pa.int64()),
+                             "min_hilbert": pa.array([], pa.int64()),
+                             "max_hilbert": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64())})
+        shard = int(grp["shard"][0].as_py())
+        order = np.argsort(grp["hilbert_id"].to_numpy(), kind="stable")
+        grp = grp.take(pa.array(order))
+        blobs = _encode_batch(grp)
+        hs = grp["content_hash"].to_numpy()
+        tids = grp["tile_id"].to_numpy()
+        hils = grp["hilbert_id"].to_numpy()
+        index = []
+        blob_offsets: dict[int, tuple[int, int]] = {}
+        data_parts: list[bytes] = []
+        pos = 0
+        for tid, hil, h, blob in zip(tids, hils, hs, blobs):
+            key = int(h)
+            if key in blob_offsets:
+                off, ln = blob_offsets[key]
+            else:
+                off, ln = pos, len(blob)
+                blob_offsets[key] = (off, ln)
+                data_parts.append(blob)
+                pos += ln
+            index.append((int(tid), int(hil), off, ln))
+        header = json.dumps({"n_tiles": len(index),
+                             "n_blobs": len(blob_offsets),
+                             "format": "planetiler-ray-archive-v1"}).encode() + b"\n"
+        idx = np.array(index, dtype=np.int64)
+        part_path = os.path.join(out_dir, f"part-{shard:05d}.arc")
+        tmp = part_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(header)
+            f.write(struct.pack("<Q", len(idx)))
+            f.write(idx.tobytes())
+            for p in data_parts:
+                f.write(p)
+        os.replace(tmp, part_path)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n_tiles": pa.array([len(index)], pa.int64()),
+                         "n_blobs": pa.array([len(blob_offsets)], pa.int64()),
+                         "min_hilbert": pa.array([int(hils.min())], pa.int64()),
+                         "max_hilbert": pa.array([int(hils.max())], pa.int64()),
+                         "bytes": pa.array([os.path.getsize(part_path)],
+                                           pa.int64())})
+
+    summary = tiles.map_batches(assign, batch_format="pyarrow") \
+        .groupby("shard").map_groups(write_shard, batch_format="pyarrow") \
+        .to_pandas()
+    root = {"format": "planetiler-ray-archive-sharded-v1",
+            "bounds": bounds.tolist(),
+            "shards": summary.sort_values("shard").to_dict("records")}
+    with open(os.path.join(out_dir, "root.json"), "w") as f:
+        json.dump(root, f, default=int)
+    return {"n_shards": len(summary), "n_tiles": int(summary["n_tiles"].sum()),
+            "bytes": int(summary["bytes"].sum())}
+
+
+def read_sharded_archive_tile(out_dir: str, tile_id: int,
+                              hilbert_id: int) -> bytes:
+    """Random-access read from a sharded archive via the root index."""
+    import json
+
+    with open(os.path.join(out_dir, "root.json")) as f:
+        root = json.load(f)
+    bounds = np.array(root["bounds"], dtype=np.int64)
+    shard = int(np.searchsorted(bounds, hilbert_id, side="right"))
+    return read_archive_tile(os.path.join(out_dir, f"part-{shard:05d}.arc"),
+                             tile_id)
 
 
 def read_archive_index(path: str) -> np.ndarray:

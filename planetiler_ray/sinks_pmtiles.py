@@ -1,0 +1,250 @@
+"""PMTiles v3 archive sink — spec-compliant single-file format.
+
+The real-format counterpart of the reference's
+``pmtiles/WriteablePmtiles.java:40-309``: Hilbert tile-id addressing
+(identical to our ``hilbert_id``: per-zoom Hilbert index + 4^z prefix
+sum), varint-delta directories, run-length dedup of consecutive
+identical tiles, gzip-compressed directories/metadata, and the 127-byte
+v3 header — per the public PMTiles v3 specification.
+
+The write is an ordered single-writer over ``iter_batches`` of the
+hilbert-sorted Dataset (the analog of the reference's in-order writer
+thread): tile DATA streams straight to disk — only the entry list
+(16 bytes/tile) is held in memory, never the blobs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .sinks import _encode_batch
+from .tilemath.varint import encode_varints
+
+MAGIC = b"PMTiles"
+VERSION = 3
+HEADER_LEN = 127
+COMPRESSION_GZIP = 2
+TILETYPE_MVT = 1
+MAX_ROOT_ENTRIES = 4096
+
+
+def _serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """Entries (tile_id, offset, length, run_length) → spec bytes.
+
+    Column order per spec: count, tile-id deltas, run lengths, lengths,
+    offsets (offset+1, or 0 = previous offset + length).
+    """
+    n = len(entries)
+    tid = np.array([e[0] for e in entries], dtype=np.uint64)
+    off = np.array([e[1] for e in entries], dtype=np.uint64)
+    ln = np.array([e[2] for e in entries], dtype=np.uint64)
+    rl = np.array([e[3] for e in entries], dtype=np.uint64)
+    deltas = np.empty(n, np.uint64)
+    if n:
+        deltas[0] = tid[0]
+        deltas[1:] = tid[1:] - tid[:-1]
+    # offset encoding: 0 when contiguous with the previous entry
+    off_enc = off + np.uint64(1)
+    if n > 1:
+        contiguous = off[1:] == off[:-1] + ln[:-1]
+        off_enc[1:][contiguous] = 0
+    stream = np.concatenate([np.array([n], np.uint64), deltas, rl, ln, off_enc])
+    buf, _ = encode_varints(stream)
+    return buf.tobytes()
+
+
+def _read_varint(b: bytes, i: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        byte = b[i]
+        i += 1
+        val |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return val, i
+        shift += 7
+
+
+def _deserialize_directory(data: bytes) -> list[tuple[int, int, int, int]]:
+    n, i = _read_varint(data, 0)
+    deltas, rls, lens, offs = [], [], [], []
+    for _ in range(n):
+        v, i = _read_varint(data, i)
+        deltas.append(v)
+    for _ in range(n):
+        v, i = _read_varint(data, i)
+        rls.append(v)
+    for _ in range(n):
+        v, i = _read_varint(data, i)
+        lens.append(v)
+    for _ in range(n):
+        v, i = _read_varint(data, i)
+        offs.append(v)
+    out = []
+    tid = 0
+    for k in range(n):
+        tid += deltas[k]
+        if offs[k] == 0 and k > 0:
+            off = out[-1][1] + out[-1][2]
+        else:
+            off = offs[k] - 1
+        out.append((tid, off, lens[k], rls[k]))
+    return out
+
+
+def write_pmtiles(tiles: "ray.data.Dataset", path: str,
+                  metadata: dict | None = None,
+                  min_zoom: int = 0, max_zoom: int = 14) -> dict:
+    """Write a PMTiles v3 archive from a tile Dataset.
+
+    Requires columns hilbert_id, content_hash, z and tile payload
+    (``mvt_bytes`` or record ``tile_bytes``).  Consecutive identical
+    tiles collapse into run-length entries (the ocean dedup of
+    ``WriteablePmtiles.java:132``); offsets stay monotonic so the
+    archive is ``clustered``.
+    """
+    ordered = tiles.sort("hilbert_id")
+    entries: list[tuple[int, int, int, int]] = []   # (tile_id, off, len, run)
+    data_tmp = path + ".data.tmp"
+    pos = 0
+    n_addressed = 0
+    n_contents = 0
+    prev_hash = None
+    with open(data_tmp, "wb") as df:
+        for batch in ordered.iter_batches(batch_size=4096,
+                                          batch_format="pyarrow"):
+            blobs = _encode_batch(batch)
+            hils = batch["hilbert_id"].to_numpy()
+            hashes = batch["content_hash"].to_numpy()
+            for hil, h, blob in zip(hils, hashes, blobs):
+                n_addressed += 1
+                if (prev_hash is not None and int(h) == prev_hash
+                        and entries and entries[-1][0] + entries[-1][3] == hil):
+                    # extend the run of identical consecutive tiles
+                    t, o, l, r = entries[-1]
+                    entries[-1] = (t, o, l, r + 1)
+                    continue
+                df.write(blob)
+                entries.append((int(hil), pos, len(blob), 1))
+                pos += len(blob)
+                n_contents += 1
+                prev_hash = int(h)
+
+    # directories: root only, or root → leaves of MAX_ROOT_ENTRIES
+    if len(entries) <= MAX_ROOT_ENTRIES:
+        root_bytes = gzip.compress(_serialize_directory(entries), 6)
+        leaves_bytes = b""
+    else:
+        leaves = []
+        root_entries = []
+        leaf_pos = 0
+        for s in range(0, len(entries), MAX_ROOT_ENTRIES):
+            chunk = entries[s:s + MAX_ROOT_ENTRIES]
+            lb = gzip.compress(_serialize_directory(chunk), 6)
+            root_entries.append((chunk[0][0], leaf_pos, len(lb), 0))
+            leaves.append(lb)
+            leaf_pos += len(lb)
+        root_bytes = gzip.compress(_serialize_directory(root_entries), 6)
+        leaves_bytes = b"".join(leaves)
+
+    meta = {"name": "planetiler_ray", "format": "pbf", **(metadata or {})}
+    meta_bytes = gzip.compress(json.dumps(meta).encode(), 6)
+
+    root_off = HEADER_LEN
+    meta_off = root_off + len(root_bytes)
+    leaf_off = meta_off + len(meta_bytes)
+    data_off = leaf_off + len(leaves_bytes)
+
+    header = bytearray(HEADER_LEN)
+    header[0:7] = MAGIC
+    header[7] = VERSION
+    struct.pack_into("<QQQQQQQQ", header, 8,
+                     root_off, len(root_bytes), meta_off, len(meta_bytes),
+                     leaf_off, len(leaves_bytes), data_off, pos)
+    struct.pack_into("<QQQ", header, 72, n_addressed, len(entries), n_contents)
+    header[96] = 1                       # clustered
+    header[97] = COMPRESSION_GZIP        # internal compression
+    header[98] = COMPRESSION_GZIP        # tile compression
+    header[99] = TILETYPE_MVT
+    header[100] = min_zoom
+    header[101] = max_zoom
+    struct.pack_into("<iiii", header, 102, -180 * 10**7, -85 * 10**7,
+                     180 * 10**7, 85 * 10**7)
+    header[118] = min_zoom
+    struct.pack_into("<ii", header, 119, 0, 0)
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.write(root_bytes)
+        f.write(meta_bytes)
+        f.write(leaves_bytes)
+        with open(data_tmp, "rb") as df:
+            while chunk := df.read(1 << 20):
+                f.write(chunk)
+    os.remove(data_tmp)
+    os.replace(tmp, path)
+    return {"n_addressed": n_addressed, "n_entries": len(entries),
+            "n_contents": n_contents, "bytes": os.path.getsize(path)}
+
+
+def read_pmtiles_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        h = f.read(HEADER_LEN)
+    assert h[0:7] == MAGIC and h[7] == VERSION
+    vals = struct.unpack_from("<QQQQQQQQ", h, 8)
+    n_add, n_ent, n_cont = struct.unpack_from("<QQQ", h, 72)
+    return {"root_off": vals[0], "root_len": vals[1],
+            "meta_off": vals[2], "meta_len": vals[3],
+            "leaf_off": vals[4], "leaf_len": vals[5],
+            "data_off": vals[6], "data_len": vals[7],
+            "n_addressed": n_add, "n_entries": n_ent, "n_contents": n_cont,
+            "clustered": bool(h[96]), "tile_type": h[99],
+            "min_zoom": h[100], "max_zoom": h[101]}
+
+
+def read_pmtiles_tile(path: str, hilbert_id: int) -> bytes | None:
+    """Random-access read (decompressed MVT) by PMTiles tile id."""
+    hdr = read_pmtiles_header(path)
+    with open(path, "rb") as f:
+        f.seek(hdr["root_off"])
+        root = _deserialize_directory(gzip.decompress(f.read(hdr["root_len"])))
+
+        def lookup(entries, depth=0):
+            lo, hi = 0, len(entries) - 1
+            best = None
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                if entries[mid][0] <= hilbert_id:
+                    best = entries[mid]
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            if best is None:
+                return None
+            tid, off, ln, run = best
+            if run == 0:              # leaf pointer
+                f.seek(hdr["leaf_off"] + off)
+                leaf = _deserialize_directory(gzip.decompress(f.read(ln)))
+                return lookup(leaf, depth + 1)
+            if hilbert_id < tid + max(run, 1):
+                f.seek(hdr["data_off"] + off)
+                return gzip.decompress(f.read(ln))
+            return None
+
+        return lookup(root)
+
+
+def read_pmtiles_metadata(path: str) -> dict:
+    hdr = read_pmtiles_header(path)
+    with open(path, "rb") as f:
+        f.seek(hdr["meta_off"])
+        return json.loads(gzip.decompress(f.read(hdr["meta_len"])))

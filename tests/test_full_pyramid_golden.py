@@ -75,13 +75,15 @@ class TestPsnrInvariant:
 
 
 class TestMvtRoundTrip:
-    def test_records_to_mvt_decodes(self, ray_session):
+    def test_records_to_real_mvt_decodes(self, ray_session):
+        import pyarrow as pa
         import ray.data as rd
         from planetiler_ray.pipelines.tiles import build_pyramid
-        from planetiler_ray.sinks import records_to_mvt
+        from planetiler_ray.sinks import records_to_mvt_pb_batch
         from planetiler_ray.stages.reduce import RECORD_DTYPE
         from planetiler_ray.stages.render import RenderConfig
-        from planetiler_ray.tilemath.mvt import decode_commands
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
+        from planetiler_ray.tilemath.varint import unzigzag
 
         n = 60
         path = fixtures.images_parquet(n, with_bytes=False)
@@ -89,23 +91,27 @@ class TestMvtRoundTrip:
         tiles = build_pyramid(ds, fixtures.image_ids(n), RenderConfig(3, 3),
                               num_partitions=2).to_pandas()
         row = tiles.sort_values("n_features", ascending=False).iloc[0]
-        buf = records_to_mvt(row["tile_bytes"])
-        (nf,) = struct.unpack("<I", buf[:4])
-        assert nf == row["n_features"]
+        one = pa.table({"tile_id": pa.array([int(row["tile_id"])], pa.int64()),
+                        "tile_bytes": pa.array([row["tile_bytes"]],
+                                               pa.large_binary())})
+        buf = records_to_mvt_pb_batch(one)[0]
+        layers = decode_tile(buf)
+        feats = [(name, f) for name, lay in layers.items()
+                 for f in lay["features"]]
+        assert len(feats) == row["n_features"]
         rec = np.frombuffer(row["tile_bytes"], dtype=RECORD_DTYPE)
-        # walk the per-feature command streams and decode them
-        off = 4
-        for r in rec:
-            layer, kind, n_cmds = struct.unpack_from("<BBH", buf, off)
-            off += 4
-            cmds = np.frombuffer(buf, dtype=np.int32, count=n_cmds, offset=off)
-            off += 4 * n_cmds
-            decoded = decode_commands(cmds)
-            if kind == 0:
-                assert decoded[0][0] == "ring"
-                ring = decoded[0][1]
-                assert ring[:, 0].min() == r["x0"] and ring[:, 0].max() == r["x1"]
-                assert ring[:, 1].min() == r["y0"] and ring[:, 1].max() == r["y1"]
-            else:
-                assert decoded[0][1][0].tolist() == [r["x0"], r["y0"]]
-        assert off == len(buf)
+        # records are (layer, then sort order) — features decode in order
+        # within each layer; verify geometry against the record coords
+        by_layer = {"chips": [r for r in rec if r["layer"] == 0],
+                    "labels": [r for r in rec if r["layer"] == 1]}
+        for name, lay in layers.items():
+            for r, f in zip(by_layer[name], lay["features"]):
+                g = f["geometry"]
+                x0, y0 = unzigzag(np.array(g[1:3]))
+                assert (x0, y0) == (r["x0"], r["y0"])
+                if r["kind"] == 0:
+                    assert f["type"] == 3 and g[10] == 15
+                    dx, _, _, dy = unzigzag(np.array(g[4:8]))
+                    assert dx == r["x1"] - r["x0"] and dy == r["y1"] - r["y0"]
+                else:
+                    assert f["type"] == 1 and len(g) == 3

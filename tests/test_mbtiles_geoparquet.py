@@ -24,15 +24,25 @@ def tiles(ray_session):
 
 class TestMbtiles:
     def test_write_and_read_back(self, tiles, tmp_path):
-        from planetiler_ray.sinks import records_to_mvt
+        import pyarrow as pa
+        from planetiler_ray.sinks import records_to_mvt_pb_batch
         from planetiler_ray.sinks_mbtiles import read_mbtiles_tile, write_mbtiles
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
         import gzip
         path = str(tmp_path / "out.mbtiles")
         info = write_mbtiles(tiles, path, metadata={"name": "test"})
         assert info["n_tiles"] == tiles.count()
         df = tiles.to_pandas().iloc[0]
         blob = read_mbtiles_tile(path, int(df["z"]), int(df["x"]), int(df["y"]))
-        assert gzip.decompress(blob) == records_to_mvt(df["tile_bytes"])
+        one = pa.table({"tile_id": pa.array([int(df["tile_id"])], pa.int64()),
+                        "tile_bytes": pa.array([df["tile_bytes"]],
+                                               pa.large_binary())})
+        raw = gzip.decompress(blob)
+        assert raw == records_to_mvt_pb_batch(one)[0]
+        # the stored payload really is MVT protobuf (format 'pbf' is honest)
+        layers = decode_tile(raw)
+        assert sum(len(l["features"]) for l in layers.values()) \
+            == int(df["n_features"])
         assert read_mbtiles_tile(path, 14, 0, 0) is None
 
     def test_compact_schema_and_metadata(self, tiles, tmp_path):

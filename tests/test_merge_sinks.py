@@ -133,8 +133,9 @@ class TestSinks:
         df = tiles.to_pandas().iloc[0]
         p = tmp_path / "files" / str(df["z"]) / str(df["x"]) / f"{df['y']}.mvt.gz"
         raw = gzip.decompress(p.read_bytes())
-        (nf,) = struct.unpack("<I", raw[:4])
-        assert nf == df["n_features"]
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
+        layers = decode_tile(raw)
+        assert sum(len(l["features"]) for l in layers.values()) == df["n_features"]
 
     def test_write_csv_roundtrip(self, tiles, tmp_path, ray_session):
         import base64
@@ -148,8 +149,9 @@ class TestSinks:
         assert gzip.decompress(blob)[:4]  # valid gzip with payload
 
     def test_archive_roundtrip_and_dedup(self, tiles, tmp_path):
+        import pyarrow as pa
         from planetiler_ray.sinks import (read_archive_index, read_archive_tile,
-                                          records_to_mvt, write_archive)
+                                          records_to_mvt_pb_batch, write_archive)
         path = str(tmp_path / "tiles.arc")
         info = write_archive(tiles, path)
         assert info["n_tiles"] == tiles.count()
@@ -159,7 +161,10 @@ class TestSinks:
         df = tiles.to_pandas()
         row = df.iloc[len(df) // 2]
         got = read_archive_tile(path, int(row["tile_id"]))
-        assert got == records_to_mvt(row["tile_bytes"])
+        one = pa.table({"tile_id": pa.array([int(row["tile_id"])], pa.int64()),
+                        "tile_bytes": pa.array([row["tile_bytes"]],
+                                               pa.large_binary())})
+        assert got == records_to_mvt_pb_batch(one)[0]
 
     def test_dedup_tiles(self, tiles, ray_session):
         from planetiler_ray.sinks import dedup_tiles

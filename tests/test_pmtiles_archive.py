@@ -1,0 +1,123 @@
+"""Tests for the PMTiles v3 sink and the Hilbert-sharded archive."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiles(ray_session):
+    import ray.data as rd
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.stages.render import RenderConfig
+    n = 200
+    path = fixtures.images_parquet(n, with_bytes=False)
+    ds = rd.read_parquet(path, columns=["image_id", "caption", "phash"])
+    return build_pyramid(ds, fixtures.image_ids(n), RenderConfig(0, 5),
+                         num_partitions=4).materialize()
+
+
+class TestPmtiles:
+    def test_header_and_random_access(self, tiles, tmp_path):
+        from planetiler_ray.sinks_pmtiles import (read_pmtiles_header,
+                                                  read_pmtiles_metadata,
+                                                  read_pmtiles_tile,
+                                                  write_pmtiles)
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
+
+        path = str(tmp_path / "t.pmtiles")
+        info = write_pmtiles(tiles, path, metadata={"name": "test"},
+                             min_zoom=0, max_zoom=5)
+        assert info["n_addressed"] == tiles.count()
+        hdr = read_pmtiles_header(path)
+        assert hdr["clustered"] and hdr["tile_type"] == 1
+        assert hdr["n_addressed"] == tiles.count()
+        assert read_pmtiles_metadata(path)["name"] == "test"
+
+        df = tiles.to_pandas()
+        for _, row in df.sample(8, random_state=0).iterrows():
+            raw = read_pmtiles_tile(path, int(row["hilbert_id"]))
+            assert raw is not None
+            layers = decode_tile(raw)
+            assert sum(len(l["features"]) for l in layers.values()) \
+                == row["n_features"]
+        # absent tile id
+        missing = int(df["hilbert_id"].max()) + 10**6
+        assert read_pmtiles_tile(path, missing) is None
+
+    def test_directory_round_trip(self):
+        from planetiler_ray.sinks_pmtiles import (_deserialize_directory,
+                                                  _serialize_directory)
+        entries = [(5, 0, 10, 1), (6, 10, 20, 2), (9, 30, 5, 1),
+                   (1000, 35, 7, 1)]
+        assert _deserialize_directory(_serialize_directory(entries)) == entries
+
+    def test_leaf_directories(self, ray_session, tmp_path):
+        # force > MAX_ROOT_ENTRIES entries with synthetic tiny tiles
+        import pyarrow as pa
+        import ray.data as rd
+        from planetiler_ray import sinks_pmtiles as P
+        n = 9000
+        tbl = pa.table({
+            "tile_id": pa.array(np.arange(n), pa.int64()),
+            "hilbert_id": pa.array(np.arange(n) * 3, pa.int64()),
+            "z": pa.array(np.full(n, 7), pa.int8()),
+            "content_hash": pa.array(np.arange(n), pa.int64()),
+            "mvt_bytes": pa.array([b"x%d" % i for i in range(n)],
+                                  pa.large_binary()),
+        })
+        ds = rd.from_arrow(tbl)
+        path = str(tmp_path / "leaf.pmtiles")
+        info = P.write_pmtiles(ds, path)
+        assert info["n_entries"] == n
+        hdr = P.read_pmtiles_header(path)
+        assert hdr["leaf_len"] > 0
+        got = P.read_pmtiles_tile(path, 3 * 4567)
+        assert gzip.decompress(gzip.compress(b"x4567")) == b"x4567"
+        assert got == b"x4567"
+
+    def test_run_length_dedup(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+        from planetiler_ray import sinks_pmtiles as P
+        # consecutive identical content → one entry with run_length 3
+        tbl = pa.table({
+            "tile_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "hilbert_id": pa.array([10, 11, 12, 20], pa.int64()),
+            "z": pa.array([3, 3, 3, 3], pa.int8()),
+            "content_hash": pa.array([7, 7, 7, 9], pa.int64()),
+            "mvt_bytes": pa.array([b"same", b"same", b"same", b"other"],
+                                  pa.large_binary()),
+        })
+        path = str(tmp_path / "rl.pmtiles")
+        info = P.write_pmtiles(rd.from_arrow(tbl), path)
+        assert info["n_entries"] == 2 and info["n_contents"] == 2
+        assert P.read_pmtiles_tile(path, 11) == b"same"
+        assert P.read_pmtiles_tile(path, 20) == b"other"
+        assert P.read_pmtiles_tile(path, 13) is None
+
+
+class TestShardedArchive:
+    def test_shards_and_random_access(self, tiles, tmp_path):
+        from planetiler_ray.sinks import (read_sharded_archive_tile,
+                                          write_archive_sharded)
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
+
+        out = str(tmp_path / "arc")
+        info = write_archive_sharded(tiles, out, num_shards=4)
+        assert info["n_tiles"] == tiles.count()
+        root = json.load(open(os.path.join(out, "root.json")))
+        assert len(root["shards"]) >= 2          # really sharded
+        parts = [p for p in os.listdir(out) if p.endswith(".arc")]
+        assert len(parts) == len(root["shards"])
+        df = tiles.to_pandas()
+        for _, row in df.sample(6, random_state=1).iterrows():
+            raw = read_sharded_archive_tile(out, int(row["tile_id"]),
+                                            int(row["hilbert_id"]))
+            layers = decode_tile(raw)
+            assert sum(len(l["features"]) for l in layers.values()) \
+                == row["n_features"]
