@@ -94,13 +94,18 @@ class CheckpointedReduceFn:
 
 
 def checkpointed_exchange(frags, num_partitions: int, reduce_fn,
-                          checkpoint_dir: str, extra_manifest: dict | None = None):
+                          checkpoint_dir: str, extra_manifest: dict | None = None,
+                          run_config: dict | None = None):
     """Run the exchange with per-partition checkpointing + resume.
 
     Completed partitions (lineage present) are skipped BEFORE the
-    shuffle; returns the finalized manifest summary.
+    shuffle; returns the finalized manifest summary.  ``run_config``
+    (bounds, partition count, input fingerprint) is recorded on first
+    run — resuming with a different configuration is refused.
     """
     store = CheckpointStore(checkpoint_dir)
+    if run_config is not None:
+        store.check_run_config(run_config)
     done = store.completed_parts()
     parts_to_run = np.array([p for p in range(num_partitions) if p not in done],
                             dtype=np.int64)
@@ -138,7 +143,9 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
     bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
     tpp = getattr(profile, "post_process_tile", None) if profile is not None else None
     reduce_fn = partial(reduce_partition, with_feature_ids=with_feature_ids,
-                        tile_post_process=tpp)
+                        tile_post_process=tpp,
+                        skip_filled_tiles=cfg.skip_filled_tiles,
+                        max_point_buffer=cfg.max_point_buffer)
 
     if checkpoint_dir is None:
         frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
@@ -149,7 +156,27 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
 
     frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
                              profile=profile)
-    return checkpointed_exchange(frags, num_partitions, reduce_fn, checkpoint_dir)
+    return checkpointed_exchange(frags, num_partitions, reduce_fn,
+                                 checkpoint_dir,
+                                 run_config=_run_config("pyramid", bounds,
+                                                        num_partitions, cfg,
+                                                        sample_ids))
+
+
+def _run_config(kind: str, bounds: np.ndarray, num_partitions: int,
+                cfg: "RenderConfig", sample_ids: np.ndarray) -> dict:
+    """Resume-guard fingerprint: partition bounds + count + an input-id
+    hash, recorded in the checkpoint store (ADVICE: refuse to resume a
+    checkpoint written by a different run configuration)."""
+    from ..tilemath.hashing import fnv1a_64_strings
+
+    ids = np.asarray(sample_ids)
+    fp = int(np.bitwise_xor.reduce(fnv1a_64_strings(ids.astype("U")))) \
+        if len(ids) else 0
+    return {"kind": kind, "num_partitions": num_partitions,
+            "bounds": bounds.tolist(),
+            "zooms": [cfg.min_zoom, cfg.max_zoom],
+            "input_fp": fp, "n_sample": int(len(ids))}
 
 
 def read_pyramid(checkpoint_dir: str) -> "ray.data.Dataset":
@@ -393,5 +420,9 @@ def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
     if checkpoint_dir is not None:
         return checkpointed_exchange(frags, num_partitions,
                                      partial(_join_reduce, k=k), checkpoint_dir,
-                                     {"kind": "spatial_join", "zoom": zoom})
+                                     {"kind": "spatial_join", "zoom": zoom},
+                                     run_config=_run_config("spatial_join",
+                                                            bounds,
+                                                            num_partitions, cfg,
+                                                            sample_ids))
     return exchange_reduce(frags, num_partitions, partial(_join_reduce, k=k))

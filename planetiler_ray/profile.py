@@ -113,11 +113,21 @@ class BoxMergeProfile(DefaultProfile):
         keep_idx.extend(np.nonzero(~is_box)[0].tolist())
         keep_idx = np.array(sorted(keep_idx), dtype=np.int64)
 
+        # hook contract: EVERY key received passes through — known
+        # geometry keys get the merged values, any other column (ids,
+        # attrs, is_fill, …) gets kept-row values + sentinels for the
+        # synthesized merged rows
+        n_merged = len(merged_rows["tile"])
         out = {}
-        for k in merged_rows:
-            kept = frags[k][keep_idx]
-            dtype = frags[k].dtype
-            out[k] = np.concatenate([kept, np.asarray(merged_rows[k], dtype=dtype)])
-        # hook contract: rows must stay tile-sorted for the reduce
+        for k, arr in frags.items():
+            kept = arr[keep_idx]
+            if k in merged_rows:
+                filler = np.asarray(merged_rows[k], dtype=arr.dtype)
+            elif arr.dtype == object:
+                filler = np.full(n_merged, "", dtype=object)
+            else:
+                filler = np.zeros(n_merged, dtype=arr.dtype)
+            out[k] = np.concatenate([kept, filler])
+        # rows must stay tile-sorted for the reduce
         order = np.lexsort((out["idx"], out["sort_key"], out["layer"], out["tile"]))
         return {k: v[order] for k, v in out.items()}

@@ -360,17 +360,28 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         if len(grp) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         ids = grp[id_col].to_numpy()
-        sets = [set(s) for s in grp["shingles"]]
         order = np.argsort(ids)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = order[i], order[j]
-                inter = len(sets[a] & sets[b])
-                jac = inter / max(1, len(sets[a] | sets[b]))
-                if jac >= threshold:
-                    rows.append((ids[a], ids[b], jac))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        ids = ids[order]
+        shingle_lists = grp["shingles"].to_numpy()[order]
+        # bucket-level membership matrix: factorize all shingles once,
+        # pairwise intersections = one integer matmul (no per-pair loop)
+        flat = np.concatenate([np.unique(np.asarray(s, np.int64))
+                               for s in shingle_lists])
+        doc_of = np.repeat(np.arange(len(ids)),
+                           [len(np.unique(np.asarray(s, np.int64)))
+                            for s in shingle_lists])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        memb = np.zeros((len(ids), len(uniq)), dtype=np.int32)
+        memb[doc_of, inv] = 1
+        sizes = memb.sum(axis=1)
+        inter = memb @ memb.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        inter_p = inter[ia, ib]
+        union_p = np.maximum(sizes[ia] + sizes[ib] - inter_p, 1)
+        jac = inter_p / union_p
+        keep = jac >= threshold
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "jaccard": jac[keep]})
 
     return ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("block").map_groups(verify, batch_format="pandas")

@@ -72,7 +72,9 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
                      with_feature_ids: bool = True,
                      tile_post_process=None,
                      mvt_attrs: tuple[str, ...] | None = None,
-                     layer_names: dict[int, str] | None = None) -> pa.Table:
+                     layer_names: dict[int, str] | None = None,
+                     skip_filled_tiles: bool = False,
+                     max_point_buffer: float | None = None) -> pa.Table:
     """Reduce all fragments of one partition into encoded tile rows.
 
     ``tile_post_process``: optional profile hook
@@ -164,6 +166,43 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
         if m == 0:
             return _empty_tiles_table(with_feature_ids,
                                       with_mvt=mvt_attrs is not None)
+
+    # output-shaping flags (config/PlanetilerConfig.java:55-71)
+    def _filter_rows(mask: np.ndarray):
+        nonlocal tile, layer, kind, sort_key, idx, ax, ay, bx, by, is_fill
+        nonlocal image_id, m
+        tile, layer, kind = tile[mask], layer[mask], kind[mask]
+        sort_key, idx = sort_key[mask], idx[mask]
+        ax, ay, bx, by = ax[mask], ay[mask], bx[mask], by[mask]
+        is_fill = is_fill[mask]
+        if image_id is not None:
+            image_id = image_id[mask]
+        for a in attr_vals:
+            attr_vals[a] = attr_vals[a][mask]
+        m = len(tile)
+
+    if max_point_buffer is not None:
+        # removePointsOutsideBuffer (FeatureMerge.java:678-695)
+        b = float(max_point_buffer)
+        is_pt = kind == 1
+        bad = is_pt & ((ax < -b) | (ax > 256.0 + b) | (ay < -b) | (ay > 256.0 + b))
+        if bad.any():
+            _filter_rows(~bad)
+            if m == 0:
+                return _empty_tiles_table(with_feature_ids,
+                                          with_mvt=mvt_attrs is not None)
+    if skip_filled_tiles and m:
+        # drop tiles whose every fragment is an interior fill
+        tb = np.flatnonzero(np.diff(tile)) + 1
+        ts = np.concatenate([[0], tb])
+        tc = np.diff(np.concatenate([ts, [m]]))
+        all_fill = np.add.reduceat(is_fill.astype(np.int64), ts) == tc
+        if all_fill.any():
+            drop_tiles = np.repeat(all_fill, tc)
+            _filter_rows(~drop_tiles)
+            if m == 0:
+                return _empty_tiles_table(with_feature_ids,
+                                          with_mvt=mvt_attrs is not None)
 
     # 4. encode fixed-width records (quantize px → extent units, MVT scale)
     rec = np.zeros(m, dtype=RECORD_DTYPE)

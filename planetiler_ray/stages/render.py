@@ -75,18 +75,38 @@ def label_grid_keep_mask(tile, layer, gid, sort_key, idx, limit: int) -> np.ndar
 
 
 class RenderConfig:
-    """Pipeline configuration (the 'profile' analog, declarative subset)."""
+    """Pipeline configuration (the 'profile' analog, declarative subset).
+
+    Output-shaping flags mirror ``config/PlanetilerConfig.java:55-71``:
+
+    - ``exclude_ids``: feature idx values dropped at the fan-out
+    - ``skip_filled_tiles``: tiles whose every fragment is an interior
+      fill are dropped in the reduce
+    - ``max_point_buffer``: points farther than this many px outside
+      the tile are dropped in the reduce
+      (``FeatureMerge.removePointsOutsideBuffer``, ``:678-695``)
+
+    Per-feature zoom windows (``util/ZoomFunction`` semantics): when the
+    georef batch has ``feat_min_zoom`` / ``feat_max_zoom`` columns, each
+    feature is only rendered at zooms inside its own window.
+    """
 
     def __init__(self, min_zoom: int = 0, max_zoom: int = 14,
                  buffer_px: float = DEFAULT_BUFFER_PX, min_pixel_size: float = 1.0,
                  bounds: tuple[float, float, float, float] = (0.0, 0.0, 1.0, 1.0),
-                 emit_points: bool = True):
+                 emit_points: bool = True,
+                 exclude_ids: frozenset[int] | None = None,
+                 skip_filled_tiles: bool = False,
+                 max_point_buffer: float | None = None):
         self.min_zoom = min_zoom
         self.max_zoom = max_zoom
         self.buffer = buffer_px / 256.0
         self.min_pixel_size = min_pixel_size
         self.extents = TileExtents.compute_from_world_bounds(max_zoom, bounds)
         self.emit_points = emit_points
+        self.exclude_ids = exclude_ids
+        self.skip_filled_tiles = skip_filled_tiles
+        self.max_point_buffer = max_point_buffer
 
 
 def render_fanout(batch: pa.Table, cfg: RenderConfig,
@@ -102,12 +122,20 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
     The output is sorted by ``part`` so the exchange can slice blocks
     zero-copy.
     """
+    if cfg.exclude_ids:
+        mask = ~np.isin(batch["idx"].to_numpy(),
+                        np.fromiter(cfg.exclude_ids, dtype=np.int64))
+        batch = batch.filter(pa.array(mask))
     ids = batch["image_id"].to_numpy(zero_copy_only=False)
     idx = batch["idx"].to_numpy()
     cx = batch["cx"].to_numpy()
     cy = batch["cy"].to_numpy()
     hw = batch["hw"].to_numpy()
     hh = batch["hh"].to_numpy()
+    feat_minz = (batch["feat_min_zoom"].to_numpy()
+                 if "feat_min_zoom" in batch.column_names else None)
+    feat_maxz = (batch["feat_max_zoom"].to_numpy()
+                 if "feat_max_zoom" in batch.column_names else None)
 
     out: dict[str, list[np.ndarray]] = {k: [] for k in (
         "row", "z", "x", "y", "layer", "kind", "sort_key", "group_id",
@@ -117,10 +145,17 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
 
     for z in range(cfg.max_zoom, cfg.min_zoom - 1, -1):
         f = float(1 << z)
+        # per-feature zoom window (ZoomFunction minzoom/maxzoom analog)
+        zoom_ok = np.ones(len(idx), dtype=bool)
+        if feat_minz is not None:
+            zoom_ok &= feat_minz <= z
+        if feat_maxz is not None:
+            zoom_ok &= z <= feat_maxz
         # min-pixel-size gate (FeatureRenderer.java:73-95): boxes (the
         # polygon layer) smaller than min_pixel_size px at this zoom are
         # skipped except at maxzoom; POINTS are never size-gated.
-        gate = (world_size * f * 256.0 >= cfg.min_pixel_size) | (z == cfg.max_zoom)
+        gate = ((world_size * f * 256.0 >= cfg.min_pixel_size)
+                | (z == cfg.max_zoom)) & zoom_ok
         gi = np.nonzero(gate)[0]
 
         boxes = slice_boxes((cx[gi] - hw[gi]) * f, (cy[gi] - hh[gi]) * f,
@@ -143,10 +178,11 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
             out["is_fill"].append(boxes["is_fill"])
 
         if cfg.emit_points:
-            pts = slice_points(cx * f, cy * f, z, cfg.buffer, cfg.extents)
+            pi = np.nonzero(zoom_ok)[0]
+            pts = slice_points(cx[pi] * f, cy[pi] * f, z, cfg.buffer, cfg.extents)
             np_ = len(pts["row"])
             if np_:
-                prow = pts["row"]
+                prow = pi[pts["row"]]
                 out["row"].append(prow)
                 out["z"].append(np.full(np_, z, np.int8))
                 out["x"].append(pts["x"].astype(np.int32))

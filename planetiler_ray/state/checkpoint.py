@@ -47,6 +47,31 @@ class CheckpointStore:
                 done.add(int(name.split("=")[1]))
         return done
 
+    def check_run_config(self, config: dict) -> None:
+        """Record the run configuration on first use; REFUSE to resume
+        when it changed (partition bounds / partition count / input
+        fingerprint) — resuming over stale partitions would silently
+        mix two different runs in one manifest."""
+        import hashlib
+
+        blob = json.dumps(config, sort_keys=True, default=str).encode()
+        h = hashlib.sha256(blob).hexdigest()
+        p = os.path.join(self.root, "run_config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                rec = json.load(f)
+            if rec["hash"] != h:
+                raise ValueError(
+                    f"checkpoint dir {self.root} was written by a different "
+                    f"run configuration (recorded {rec['hash'][:12]}, "
+                    f"current {h[:12]}); use a fresh checkpoint dir or "
+                    f"delete the old one")
+            return
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"hash": h, "config": config}, f, indent=1, default=str)
+        os.replace(tmp, p)
+
     def write_partition(self, part: int, table: pa.Table, n_fragments: int,
                         wall_sec: float, fingerprint: int) -> dict:
         """Atomically persist one partition's output + lineage row."""
