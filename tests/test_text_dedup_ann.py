@@ -203,3 +203,16 @@ class TestIvf:
             e = exact[exact["query_id"] == qi].sort_values("rnk")["neighbor_id"].tolist()
             f = full[full["query_id"] == qi].sort_values("rnk")["neighbor_id"].tolist()
             assert e == f
+
+
+class TestLshVerifyPaths:
+    def test_driver_and_distributed_verify_agree(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.stages.dedup import minhash_lsh_pairs
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+        a = minhash_lsh_pairs(ds, jaccard_threshold=0.3).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        b = minhash_lsh_pairs(ds, jaccard_threshold=0.3, max_driver_pairs=0) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
