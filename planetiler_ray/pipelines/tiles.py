@@ -122,7 +122,8 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
                   cfg: RenderConfig | None = None, num_partitions: int = 64,
                   checkpoint_dir: str | None = None,
                   with_feature_ids: bool = True,
-                  shuffle: str = "exchange", profile=None):
+                  shuffle: str = "exchange", profile=None,
+                  bounds: np.ndarray | None = None):
     """Build the z0..max_zoom tile pyramid.
 
     Without ``checkpoint_dir``: returns a lazy ``Dataset`` of tile rows
@@ -140,7 +141,8 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
     results, used as a cross-check in tests).
     """
     cfg = cfg or RenderConfig()
-    bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
+    if bounds is None:
+        bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
     tpp = getattr(profile, "post_process_tile", None) if profile is not None else None
     reduce_fn = partial(reduce_partition, with_feature_ids=with_feature_ids,
                         tile_post_process=tpp,
@@ -397,7 +399,8 @@ def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
 
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
                  num_partitions: int = 64, k: int = 3,
-                 zoom: int = 14, checkpoint_dir: str | None = None):
+                 zoom: int = 14, checkpoint_dir: str | None = None,
+                 bounds: np.ndarray | None = None):
     """Footprint × z14-tile intersection join with per-tile kNN captions.
 
     Returns a Dataset of (tile_id, z, x, y, image_id, caption, knn_rank)
@@ -407,7 +410,8 @@ def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
     cross-node index state.
     """
     cfg = RenderConfig(min_zoom=zoom, max_zoom=zoom, emit_points=False)
-    bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
+    if bounds is None:
+        bounds = sample_partition_bounds(sample_ids, cfg, num_partitions)
     JOIN_COLS = ["tile_id", "part", "z", "x", "y", "image_id", "caption", "cx", "cy"]
 
     def fanout_with_caption(batch: pa.Table) -> pa.Table:

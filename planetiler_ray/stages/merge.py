@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..tilemath.clip import _expand_ranges
 from ..tilemath.hilbert import hilbert_xy_to_index
 from ..tilemath.simplify import douglas_peucker
 
@@ -135,36 +136,45 @@ def merge_overlapping_boxes(ids: np.ndarray, x0: np.ndarray, y0: np.ndarray,
                 "my1": np.empty(0), "union_area": np.empty(0)}
     half = min_dist / 2.0
     ex0, ey0, ex1, ey1 = x0 - half, y0 - half, x1 + half, y1 + half
-    uf = _UnionFind(n)
+
+    # vectorized candidate pairs: sort by expanded x-start; box i's
+    # x-overlap candidates are the consecutive later boxes whose start
+    # precedes i's end (searchsorted range), expanded in one shot and
+    # filtered by y-overlap — work is O(n log n + P) for P real pairs,
+    # not O(n · active) Python
     order = np.argsort(ex0, kind="stable")
-    active: list[int] = []
-    for i in order:
-        keep = []
-        for j in active:
-            if ex1[j] >= ex0[i]:
-                keep.append(j)
-                if ey0[i] <= ey1[j] and ey1[i] >= ey0[j]:
-                    uf.union(int(i), int(j))
-        keep.append(int(i))
-        active = keep
+    sx0, sx1 = ex0[order], ex1[order]
+    sy0, sy1 = ey0[order], ey1[order]
+    hi = np.searchsorted(sx0, sx1, side="right")
+    lo = np.arange(n) + 1
+    pi, pj = _expand_ranges(lo, hi - 1)
+    ym = (sy0[pi] <= sy1[pj]) & (sy1[pi] >= sy0[pj])
+    pi, pj = pi[ym], pj[ym]
+
+    uf = _UnionFind(n)
+    for a, b in zip(order[pi], order[pj]):   # loop over REAL pairs only
+        uf.union(int(a), int(b))
     roots = np.array([uf.find(int(i)) for i in range(n)])
     _, comp = np.unique(roots, return_inverse=True)
 
-    n_comp = comp.max() + 1
-    out = {"merged_id": np.empty(n_comp, np.int64),
-           "n_features": np.empty(n_comp, np.int64),
-           "mx0": np.empty(n_comp), "my0": np.empty(n_comp),
-           "mx1": np.empty(n_comp), "my1": np.empty(n_comp),
-           "union_area": np.empty(n_comp)}
+    n_comp = int(comp.max()) + 1
+    # per-component extents/ids via sort + reduceat (no per-component mask)
+    corder = np.argsort(comp, kind="stable")
+    cc = comp[corder]
+    starts = np.flatnonzero(np.concatenate([[True], np.diff(cc) != 0]))
+    ends = np.append(starts[1:], n)
+    out = {
+        "merged_id": (np.minimum.reduceat(ids[corder], starts) // 10) * 10,
+        "n_features": (ends - starts).astype(np.int64),
+        "mx0": np.minimum.reduceat(x0[corder], starts),
+        "my0": np.minimum.reduceat(y0[corder], starts),
+        "mx1": np.maximum.reduceat(x1[corder], starts),
+        "my1": np.maximum.reduceat(y1[corder], starts),
+        "union_area": np.empty(n_comp),
+    }
     for c in range(n_comp):
-        m = comp == c
-        out["merged_id"][c] = (ids[m].min() // 10) * 10
-        out["n_features"][c] = m.sum()
-        out["mx0"][c] = x0[m].min()
-        out["my0"][c] = y0[m].min()
-        out["mx1"][c] = x1[m].max()
-        out["my1"][c] = y1[m].max()
-        out["union_area"][c] = _union_area(x0[m], y0[m], x1[m], y1[m])
+        s = corder[starts[c]:ends[c]]
+        out["union_area"][c] = _union_area(x0[s], y0[s], x1[s], y1[s])
     keep = out["union_area"] >= min_area
     return {k: v[keep] for k, v in out.items()}
 
