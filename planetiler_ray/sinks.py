@@ -179,8 +179,8 @@ def tile_size_stats(tiles: "ray.data.Dataset", top_n: int = 10) -> dict:
     import pandas as pd
 
     def per_batch(batch: pa.Table) -> pd.DataFrame:
-        sizes = np.array([len(b) for b in batch["tile_bytes"].to_pylist()],
-                         dtype=np.int64)
+        import pyarrow.compute as pc
+        sizes = pc.binary_length(batch["tile_bytes"]).to_numpy().astype(np.int64)
         df = pd.DataFrame({"z": batch["z"].to_numpy(), "size": sizes,
                            "tile_id": batch["tile_id"].to_numpy()})
         agg = df.groupby("z").agg(n=("size", "size"), total=("size", "sum"),

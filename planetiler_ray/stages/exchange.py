@@ -59,13 +59,22 @@ def _split_block(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
 def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
                     reduce_fn: Callable[..., pa.Table],
                     parts_to_run: np.ndarray | None = None,
-                    pass_part: bool = False) -> "ray.data.Dataset":
+                    pass_part: bool = False,
+                    max_fanin: int = 64) -> "ray.data.Dataset":
     """Exchange fan-out blocks by precomputed ``part`` and reduce each.
 
     ``parts_to_run``: optional subset of partition ids (resume support —
     completed partitions are skipped without touching their pieces).
     ``pass_part``: call ``reduce_fn(table, part_id)`` (checkpoint writers
     need the id even for empty partitions).
+    ``max_fanin``: a reduce (or intermediate combine) task never takes
+    more than this many piece refs — with more blocks than that, a tree
+    of combine tasks merges pieces level by level, so reduce-task
+    argument lists and single concat widths stay bounded at any block
+    count (the segmented-merge analog of the reference's k-way
+    ``LongMerger``).  Driver-held refs remain O(blocks × partitions)
+    transiently; at ≥10⁵ blocks the next step is a coarse-bucket
+    two-level exchange (split into √P buckets, re-split inside).
     Returns a Dataset of the concatenated reduce outputs.
     """
     # stream blocks out of the fan-out as they complete and launch their
@@ -82,6 +91,11 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         return ray.data.from_items([])
 
     @ray.remote
+    def combine(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        return pa.concat_tables(live) if live else tables[0]
+
+    @ray.remote
     def reduce_task(part_id: int, *tables: pa.Table) -> pa.Table:
         live = [t for t in tables if t.num_rows]
         merged = pa.concat_tables(live) if live else tables[0]
@@ -89,6 +103,11 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
 
     run = (range(num_partitions) if parts_to_run is None
            else [int(p) for p in parts_to_run])
-    out_refs = [reduce_task.remote(p, *[pieces[b][p] for b in range(n_blocks)])
-                for p in run]
+    out_refs = []
+    for p in run:
+        refs = [pieces[b][p] for b in range(n_blocks)]
+        while len(refs) > max_fanin:
+            refs = [combine.remote(*refs[i:i + max_fanin])
+                    for i in range(0, len(refs), max_fanin)]
+        out_refs.append(reduce_task.remote(p, *refs))
     return ray.data.from_arrow_refs(out_refs)

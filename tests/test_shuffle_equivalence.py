@@ -26,3 +26,36 @@ def test_exchange_equals_groupby(ray_session):
     assert (a["n_features"].to_numpy() == b["n_features"].to_numpy()).all()
     for fa, fb in zip(a["feature_ids"], b["feature_ids"]):
         assert list(fa) == list(fb)
+
+
+def test_tree_merge_fanin_identical(ray_session):
+    """A bounded-fan-in combine tree (max_fanin) must not change the
+    exchange output (segmented-merge analog of the reference's k-way
+    LongMerger)."""
+    from functools import partial
+
+    import ray.data as rd
+
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import (render_fragments,
+                                                sample_partition_bounds)
+    from planetiler_ray.stages.exchange import exchange_reduce
+    from planetiler_ray.stages.reduce import reduce_partition
+    from planetiler_ray.stages.render import RenderConfig
+
+    n = 200
+    path = fixtures.images_parquet(n, with_bytes=False)
+    cfg = RenderConfig(0, 4)
+    bounds = sample_partition_bounds(fixtures.image_ids(n), cfg, 8)
+    red = partial(reduce_partition, with_feature_ids=False)
+
+    def run(fanin):
+        ds = rd.read_parquet(path, columns=["image_id"], override_num_blocks=8)
+        frags = render_fragments(ds, cfg, bounds, slim=False)
+        return exchange_reduce(frags, 8, red, max_fanin=fanin) \
+            .to_pandas().sort_values("tile_id").reset_index(drop=True)
+
+    a, b = run(64), run(2)
+    assert a["tile_id"].equals(b["tile_id"])
+    assert a["content_hash"].equals(b["content_hash"])
+    assert a["n_features"].equals(b["n_features"])
