@@ -65,13 +65,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from planetiler_ray.pipelines.queries import QUERIES
     from planetiler_ray.pipelines.tiles import mvt_tile_summary
 
-    from planetiler_ray.pipelines.tiles import line_tile_summary
+    from planetiler_ray.pipelines.tiles import (line_tile_summary,
+                                                poly_tile_summary)
 
     out = dict(QUERIES)
     out["image_pyramid_stats"] = _pyramid_query
     out["image_spatial_join_z12"] = _join_query
     out["mvt_tiles_z6"] = mvt_tile_summary
     out["line_tiles_z4"] = line_tile_summary
+    out["poly_tiles_z5"] = poly_tile_summary
     return out
 
 
@@ -80,11 +82,13 @@ def oracle_sql() -> dict[str, str]:
     from planetiler_ray.pipelines.sqlgen import (sql_image_pyramid_stats,
                                                  sql_image_spatial_join,
                                                  sql_line_tile_summary,
-                                                 sql_mvt_tile_summary)
+                                                 sql_mvt_tile_summary,
+                                                 sql_poly_tile_summary)
 
     out = dict(ORACLE_SQL)
     out["image_pyramid_stats"] = sql_image_pyramid_stats()
     out["image_spatial_join_z12"] = sql_image_spatial_join()
     out["mvt_tiles_z6"] = sql_mvt_tile_summary()
     out["line_tiles_z4"] = sql_line_tile_summary()
+    out["poly_tiles_z5"] = sql_poly_tile_summary()
     return out

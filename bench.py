@@ -78,6 +78,10 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # the driver's testdata parquet carries pandas schema metadata that
+    # Ray's schema-dedup hash can't digest — cosmetic internal warning
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import numpy as np
     import pyarrow.parquet as pq_
@@ -157,12 +161,17 @@ def run_bench() -> dict:
 
     # operator micro-suite over the shared sf tables
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        from planetiler_ray.pipelines.tiles import (line_tile_summary,
+                                                    mvt_tile_summary)
+        suite = dict(QUERIES)
+        suite["mvt_tiles_z6"] = mvt_tile_summary
+        suite["line_tiles_z4"] = line_tile_summary
         for name in ["tile_assign_z14", "pip_boxes_z7", "labelgrid_topk_z10",
                      "pricing_summary", "user_sessions", "dedup_exact",
                      "minhash_lsh_pairs", "simhash_docs", "ann_cosine_topk",
-                     "multimodal_decode"]:
+                     "multimodal_decode", "mvt_tiles_z6", "line_tiles_z4"]:
             t0 = time.monotonic()
-            res = QUERIES[name](sf_dir)
+            res = suite[name](sf_dir)
             if hasattr(res, "count"):
                 res.count()
             timings[name] = time.monotonic() - t0

@@ -355,6 +355,110 @@ FROM partagg GROUP BY 1
 """
 
 
+def _sh_pass_sql(idx: int, src: str, axis: str, bound: str,
+                 keep_ge: bool) -> str:
+    """One Sutherland–Hodgman half-plane pass as SQL text.
+
+    ``src`` rows: (event_id, gx, gy, ord, x, y) — ring vertices ordered
+    per (event_id, gx, gy) pair.  Emits the clipped ring with renumbered
+    ``ord``; intersection points use the engine's exact formula (clipped
+    axis pinned to the bound, other axis interpolated)."""
+    other = "y" if axis == "x" else "x"
+    cmp_ = ">=" if keep_ge else "<="
+    t = f"(({bound}) - p{axis}v) / ({axis} - p{axis}v)"
+    isect_other = f"p{other}v + {t} * ({other} - p{other}v)"
+    ix = bound if axis == "x" else isect_other
+    iy = bound if axis == "y" else isect_other
+    return f"""
+sh{idx}_p AS (
+  SELECT event_id, gx, gy, ord, x, y,
+         coalesce(lag(x) OVER wd, last_value(x) OVER wf) AS pxv,
+         coalesce(lag(y) OVER wd, last_value(y) OVER wf) AS pyv
+  FROM {src}
+  WINDOW wd AS (PARTITION BY event_id, gx, gy ORDER BY ord),
+         wf AS (PARTITION BY event_id, gx, gy ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+sh{idx}_e AS (
+  SELECT event_id, gx, gy, ord, unnest(
+    CASE
+      WHEN {axis} {cmp_} ({bound}) AND p{axis}v {cmp_} ({bound})
+        THEN [{{'k': 1, 'x': x, 'y': y}}]
+      WHEN {axis} {cmp_} ({bound}) AND NOT (p{axis}v {cmp_} ({bound}))
+        THEN [{{'k': 0, 'x': {ix}, 'y': {iy}}}, {{'k': 1, 'x': x, 'y': y}}]
+      WHEN NOT ({axis} {cmp_} ({bound})) AND p{axis}v {cmp_} ({bound})
+        THEN [{{'k': 0, 'x': {ix}, 'y': {iy}}}]
+      ELSE CAST([] AS STRUCT(k INTEGER, x DOUBLE, y DOUBLE)[])
+    END) AS v
+  FROM sh{idx}_p),
+sh{idx} AS (
+  SELECT event_id, gx, gy,
+         row_number() OVER (PARTITION BY event_id, gx, gy
+                            ORDER BY ord, v.k) - 1 AS ord,
+         v.x AS x, v.y AS y
+  FROM sh{idx}_e)"""
+
+
+def sql_poly_tile_summary(zoom: int = 5) -> str:
+    """Oracle for ``poly_tiles_z5``: general-polygon stripe clip — the
+    four Sutherland–Hodgman half-plane passes replayed in SQL windows
+    over deterministic per-event triangles, then MVT ring command sums
+    (MoveTo + LineTo run + ClosePath, f32-quantized zigzag deltas)."""
+    nt = 1 << zoom
+    buf = 4.0 / 256
+    qx = _q("(x - gx) * 256")
+    qy = _q("(y - gy) * 256")
+    return f"""
+WITH w AS ({{EVENTS}}),
+tri AS (SELECT event_id, unnest([0, 1, 2]) AS ord,
+               unnest([wx * {nt}, (wx + 0.02 + (event_id % 7) * 0.001) * {nt},
+                       (wx + 0.01) * {nt}]) AS x,
+               unnest([wy * {nt}, (wy + 0.005) * {nt},
+                       (wy + 0.03 + (event_id % 5) * 0.002) * {nt}]) AS y
+        FROM w),
+bb AS (SELECT event_id, min(x) AS x0, min(y) AS y0, max(x) AS x1, max(y) AS y1
+       FROM tri GROUP BY event_id),
+cx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT),
+          least(CAST(floor(x1 + {buf + 0.1/4096!r}) AS BIGINT),
+                CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT) + {nt - 1}))) AS gx
+       FROM bb),
+cy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {buf + 0.1/4096!r}) AS BIGINT)),
+          least({nt - 1}, CAST(floor(y1 + {buf + 0.1/4096!r}) AS BIGINT)))) AS gy
+       FROM cx),
+sh0 AS (SELECT c.event_id, c.gx, c.gy, t.ord, t.x, t.y
+        FROM cy c JOIN tri t ON t.event_id = c.event_id),
+{_sh_pass_sql(1, 'sh0', 'x', f'gx - {buf}', True).lstrip()},
+{_sh_pass_sql(2, 'sh1', 'x', f'gx + 1 + {buf}', False).lstrip()},
+{_sh_pass_sql(3, 'sh2', 'y', f'gy - {buf}', True).lstrip()},
+{_sh_pass_sql(4, 'sh3', 'y', f'gy + 1 + {buf}', False).lstrip()},
+ring_sz AS (SELECT event_id, gx, gy, count(*) AS k FROM sh4
+            GROUP BY 1, 2, 3 HAVING count(*) >= 3),
+qv AS (SELECT s.event_id, s.gx, s.gy, s.ord, r.k,
+              {qx} AS qx, {qy} AS qy
+       FROM sh4 s JOIN ring_sz r USING (event_id, gx, gy)),
+dv AS (SELECT event_id, gx, gy, k,
+              CASE WHEN ord = 0 THEN {_zz('qx')} + {_zz('qy')}
+                   ELSE {_zz('qx - lag(qx) OVER wd')} + {_zz('qy - lag(qy) OVER wd')}
+              END AS c
+       FROM qv WINDOW wd AS (PARTITION BY event_id, gx, gy ORDER BY ord)),
+ring_sum AS (SELECT event_id, gx, gy, max(k) AS k, sum(c) AS csum
+             FROM dv GROUP BY 1, 2, 3)
+SELECT CAST({zoom_start(zoom)} + (((gx % {nt}) + {nt}) % {nt}) * {nt}
+            + ({nt - 1} - gy) AS BIGINT) AS tile_id,
+       count(*) AS n_polys,
+       CAST(sum(k) AS BIGINT) AS n_vertices,
+       CAST(sum(9 + (2 + (k - 1) * 8) + 15 + csum) AS BIGINT) AS geom_sum
+FROM ring_sum GROUP BY 1
+""".replace("{EVENTS}", _EVENT_WORLD_FOR_POLY)
+
+
+_EVENT_WORLD_FOR_POLY = """
+    SELECT event_id,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS wy
+    FROM events
+"""
+
+
 def _zz(d: str) -> str:
     """Zigzag of a signed BIGINT sql expr."""
     return f"(CASE WHEN ({d}) >= 0 THEN 2*({d}) ELSE -2*({d}) - 1 END)"

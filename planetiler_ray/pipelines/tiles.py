@@ -397,6 +397,93 @@ def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def poly_tile_summary(sf_dir: str, zoom: int = 5):
+    """Driver query: GENERAL polygon rendering end-to-end, oracle-checked.
+
+    Deterministic triangles derived from the event placement are
+    stripe-clipped with the batch Sutherland–Hodgman kernel
+    (``tilemath.clip.slice_polygons`` — convex/concave rings, the
+    ``render/TiledGeometry.java`` polygon path), shuffled by tile,
+    encoded as real MVT polygon rings (MoveTo + LineTo + ClosePath),
+    DECODED independently, and summarized per tile.  The DuckDB oracle
+    replays the same four half-plane clip passes in SQL windows.
+    """
+    import pandas as pd
+
+    from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_polygons
+    from ..tilemath.mvt_pb import KIND_POLY, decode_tile, encode_tile_batch
+    from ..tilemath.tilecoord import tms_encode
+    from .queries import _event_world
+
+    f = float(1 << zoom)
+    buf = DEFAULT_BUFFER_PX / 256.0
+
+    def tri_frags(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        eid = t["event_id"].to_numpy()
+        wx, wy = t["wx"].to_numpy(), t["wy"].to_numpy()
+        # deterministic non-degenerate triangle per event (tile units)
+        x1, y1 = wx * f, wy * f
+        x2 = (wx + 0.02 + (eid % 7) * 0.001) * f
+        y2 = (wy + 0.005) * f
+        x3 = (wx + 0.01) * f
+        y3 = (wy + 0.03 + (eid % 5) * 0.002) * f
+        n = len(eid)
+        px = np.column_stack([x1, x2, x3]).reshape(-1)
+        py = np.column_stack([y1, y2, y3]).reshape(-1)
+        r = slice_polygons(px, py, np.arange(n + 1) * 3, zoom, buf)
+        n_parts = len(r["x"])
+        if n_parts == 0:
+            return pa.table({"tile_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "vx": pa.array([], pa.list_(pa.float32())),
+                             "vy": pa.array([], pa.list_(pa.float32()))})
+        tid = tms_encode(r["x"], r["y"], np.full(n_parts, zoom, np.int64))
+        off = pa.array(r["part_offsets"].astype(np.int32))
+        return pa.table({
+            "tile_id": pa.array(tid),
+            "event_id": pa.array(eid[r["row"]]),
+            "vx": pa.ListArray.from_arrays(off, pa.array(r["vx"].astype(np.float32))),
+            "vy": pa.ListArray.from_arrays(off, pa.array(r["vy"].astype(np.float32))),
+        })
+
+    parts = _read(sf_dir, "events", ["event_id"]) \
+        .map_batches(tri_frags, batch_format="pyarrow")
+
+    def per_tile(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in
+                             ("tile_id", "n_polys", "n_vertices", "geom_sum")})
+        order = np.lexsort((grp["event_id"].to_numpy(),
+                            grp["tile_id"].to_numpy()))
+        grp = grp.take(pa.array(order))
+        tid = grp["tile_id"].to_numpy()
+        eid = grp["event_id"].to_numpy()
+        vx_l = grp["vx"].combine_chunks()
+        vy_l = grp["vy"].combine_chunks()
+        voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+        n = len(tid)
+        _, blobs = encode_tile_batch(
+            tid, np.full(n, 0, np.int8), np.full(n, KIND_POLY, np.int8),
+            eid, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
+            {0: "polys"},
+            line_verts=(vx_l.flatten().to_numpy(), vy_l.flatten().to_numpy(),
+                        voff))
+        out = {"tile_id": [], "n_polys": [], "n_vertices": [], "geom_sum": []}
+        utid = tid[np.concatenate([[True], np.diff(tid) != 0])]
+        for t_id, blob in zip(utid, blobs):
+            lay = decode_tile(blob.as_py())["polys"]
+            nv = sum((len(ft["geometry"]) - 3) // 2 for ft in lay["features"])
+            gs = sum(sum(ft["geometry"]) for ft in lay["features"])
+            out["tile_id"].append(int(t_id))
+            out["n_polys"].append(len(lay["features"]))
+            out["n_vertices"].append(int(nv))
+            out["geom_sum"].append(int(gs))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return parts.groupby("tile_id").map_groups(per_tile, batch_format="pyarrow")
+
+
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
                  num_partitions: int = 64, k: int = 3,
                  zoom: int = 14, checkpoint_dir: str | None = None,

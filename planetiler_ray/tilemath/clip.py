@@ -171,6 +171,183 @@ def slice_boxes(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray,
     }
 
 
+def _sh_clip_halfplane(vx: np.ndarray, vy: np.ndarray, offs: np.ndarray,
+                       bound: np.ndarray, axis: int, keep_ge: bool
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One Sutherland–Hodgman pass over MANY rings at once.
+
+    Clips every ring (flat ``vx, vy`` with ``offs`` of length n_rings+1)
+    against its own half-plane ``coord[axis] >= bound`` (or <=), fully
+    vectorized: per-edge inside/crossing classification, intersection
+    interpolation, and prefix-sum output packing.
+    """
+    n_rings = len(offs) - 1
+    total = len(vx)
+    if total == 0:
+        return vx, vy, offs
+    counts = np.diff(offs)
+    ring_of = np.repeat(np.arange(n_rings), counts)
+    b = bound[ring_of]
+    coord = vx if axis == 0 else vy
+    inside = coord >= b if keep_ge else coord <= b
+    # previous vertex (cyclic within ring)
+    prev = np.arange(total) - 1
+    first = offs[:-1][ring_of] == np.arange(total)
+    prev[first] = (offs[1:][ring_of] - 1)[first]
+    ins_prev = inside[prev]
+    # per current-vertex output: crossing-in → [isect, cur]; stay-in →
+    # [cur]; crossing-out → [isect]; stay-out → []
+    n_out = (inside.astype(np.int64) + (inside != ins_prev))
+    out_start = np.concatenate([[0], np.cumsum(n_out)[:-1]])
+    total_out = int(n_out.sum())
+    ox = np.empty(total_out)
+    oy = np.empty(total_out)
+    # intersections where the edge crosses the plane
+    cross = inside != ins_prev
+    ci = np.flatnonzero(cross)
+    if len(ci):
+        pc_, cc = prev[ci], ci
+        x0_, y0_ = vx[pc_], vy[pc_]
+        x1_, y1_ = vx[cc], vy[cc]
+        denom = (coord[cc] - coord[pc_])
+        t = (b[ci] - coord[pc_]) / np.where(denom == 0, 1.0, denom)
+        ix = x0_ + t * (x1_ - x0_)
+        iy = y0_ + t * (y1_ - y0_)
+        if axis == 0:
+            ix = b[ci]          # exact on the clip plane
+        else:
+            iy = b[ci]
+        ox[out_start[ci]] = ix
+        oy[out_start[ci]] = iy
+    # current vertices that stay inside (positioned after any isect)
+    ii = np.flatnonzero(inside)
+    pos = out_start[ii] + cross[ii]
+    ox[pos] = vx[ii]
+    oy[pos] = vy[ii]
+    # new per-ring offsets
+    ring_counts = np.zeros(n_rings, np.int64)
+    np.add.at(ring_counts, ring_of, n_out)
+    new_offs = np.zeros(n_rings + 1, np.int64)
+    np.cumsum(ring_counts, out=new_offs[1:])
+    return ox, oy, new_offs
+
+
+def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
+                   z: int, buffer: float, extents=None) -> dict[str, np.ndarray]:
+    """Clip simple polygons (single outer ring, tile units) into per-tile
+    fragments — the general-polygon stripe clip
+    (``render/TiledGeometry.java:406-699`` semantics for POLYGON
+    geometries, re-expressed as a batch Sutherland–Hodgman against each
+    candidate tile's buffered window; handles convex AND concave rings,
+    vectorized over every (ring, tile) pair at once).
+
+    Returns flat vertex arrays: ``row`` (input ring index per fragment),
+    ``x, y`` (tile coords, x wrapped), ``part_offsets``, ``vx, vy``
+    (clipped ring vertices, local px), ``is_fill`` (the window is fully
+    interior — clipped ring is the whole buffered window).
+    """
+    n_tiles = 1 << z
+    nb = buffer + NEIGHBOR_BUFFER_EPS
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    n_rings = len(ring_offsets) - 1
+    counts = np.diff(ring_offsets)
+    ring_of_v = np.repeat(np.arange(n_rings), counts)
+
+    # candidate tiles per ring from the bbox (antimeridian wrap like boxes)
+    rx0 = np.full(n_rings, np.inf)
+    ry0 = np.full(n_rings, np.inf)
+    rx1 = np.full(n_rings, -np.inf)
+    ry1 = np.full(n_rings, -np.inf)
+    np.minimum.at(rx0, ring_of_v, px)
+    np.minimum.at(ry0, ring_of_v, py)
+    np.maximum.at(rx1, ring_of_v, px)
+    np.maximum.at(ry1, ring_of_v, py)
+    min_x = np.floor(rx0 - nb).astype(np.int64)
+    max_x = np.floor(rx1 + nb).astype(np.int64)
+    np.clip(max_x, None, min_x + n_tiles - 1, out=max_x)
+    min_y = np.floor(ry0 - nb).astype(np.int64)
+    max_y = np.floor(ry1 + nb).astype(np.int64)
+    ext_min_y, ext_max_y = 0, n_tiles
+    if extents is not None:
+        fz = extents.for_zoom(z)
+        ext_min_y, ext_max_y = fz.min_y, fz.max_y
+    np.clip(min_y, ext_min_y, None, out=min_y)
+    np.clip(max_y, None, ext_max_y - 1, out=max_y)
+
+    row1, xs = _expand_ranges(min_x, max_x)
+    row2, ys = _expand_ranges(min_y[row1], max_y[row1])
+    rring = row1[row2]
+    xs = xs[row2]
+    n_pairs = len(rring)
+    if n_pairs == 0:
+        return {"row": np.empty(0, np.int64), "x": np.empty(0, np.int64),
+                "y": np.empty(0, np.int64),
+                "part_offsets": np.zeros(1, np.int64),
+                "vx": np.empty(0), "vy": np.empty(0),
+                "is_fill": np.empty(0, bool)}
+
+    # replicate each ring's vertices once per candidate tile
+    pr_counts = counts[rring]
+    v_src = (np.arange(int(pr_counts.sum()))
+             - np.repeat(np.concatenate([[0], np.cumsum(pr_counts)[:-1]]),
+                         pr_counts)
+             + np.repeat(ring_offsets[rring], pr_counts))
+    vx = px[v_src]
+    vy = py[v_src]
+    offs = np.concatenate([[0], np.cumsum(pr_counts)])
+
+    # 4 half-plane passes against the buffered window
+    w_x0 = xs - buffer
+    w_x1 = xs + 1.0 + buffer
+    w_y0 = ys - buffer
+    w_y1 = ys + 1.0 + buffer
+    vx, vy, offs = _sh_clip_halfplane(vx, vy, offs, w_x0, 0, True)
+    vx, vy, offs = _sh_clip_halfplane(vx, vy, offs, w_x1, 0, False)
+    vx, vy, offs = _sh_clip_halfplane(vx, vy, offs, w_y0, 1, True)
+    vx, vy, offs = _sh_clip_halfplane(vx, vy, offs, w_y1, 1, False)
+
+    out_counts = np.diff(offs)
+    keep = out_counts >= 3
+    if extents is not None:
+        fz = extents.for_zoom(z)
+        keep &= fz.test_x(np.mod(xs, n_tiles)) & fz.test_y(ys)
+    kidx = np.flatnonzero(keep)
+
+    # local px coords + fill detection (|shoelace area| == window area)
+    ring_of_out = np.repeat(np.arange(n_pairs), out_counts)
+    vkeep = keep[ring_of_out]
+    vx_k = (vx - xs[ring_of_out])[vkeep] * 256.0
+    vy_k = (vy - ys[ring_of_out])[vkeep] * 256.0
+    kept_counts = out_counts[kidx]
+    part_offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+
+    # vectorized shoelace per kept ring
+    n_kept_v = len(vx_k)
+    if n_kept_v:
+        rk = np.repeat(np.arange(len(kidx)), kept_counts)
+        nxt = np.arange(n_kept_v) + 1
+        last = part_offsets[1:][rk] - 1 == np.arange(n_kept_v)
+        nxt[last] = part_offsets[:-1][rk][last]
+        cross_sum = np.zeros(len(kidx))
+        np.add.at(cross_sum, rk, vx_k * vy_k[nxt] - vx_k[nxt] * vy_k)
+        area = np.abs(cross_sum) / 2.0
+        win = (256.0 + 2 * buffer * 256.0) ** 2
+        is_fill = np.abs(area - win) < 1e-6
+    else:
+        is_fill = np.empty(0, bool)
+
+    return {
+        "row": rring[kidx],
+        "x": np.mod(xs[kidx], n_tiles),
+        "y": ys[kidx],
+        "part_offsets": part_offsets,
+        "vx": vx_k, "vy": vy_k,
+        "is_fill": is_fill,
+    }
+
+
 def slice_lines(px: np.ndarray, py: np.ndarray, line_offsets: np.ndarray,
                 z: int, buffer: float, extents=None) -> dict[str, np.ndarray]:
     """Clip polylines (tile units) into per-tile sub-polyline fragments.

@@ -39,8 +39,9 @@ from .varint import concat_pieces, encode_varints, varint_lengths, zigzag
 KIND_BOX = 0
 KIND_POINT = 1
 KIND_LINE = 2
+KIND_POLY = 3       # general ring via line_verts (no repeated last vertex)
 
-_GEOM_TYPE = {KIND_BOX: 3, KIND_POINT: 1, KIND_LINE: 2}  # MVT GeomType
+_GEOM_TYPE = {KIND_BOX: 3, KIND_POINT: 1, KIND_LINE: 2, KIND_POLY: 3}
 
 # framing tag bytes (field << 3 | wire_type)
 _T_LAYER = 0x1A        # Tile.layers,   field 3, len-delim
@@ -114,7 +115,8 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     qx1, qy1 = quant(bx), quant(by)
     is_box = kind == KIND_BOX
     is_pt = kind == KIND_POINT
-    is_line = kind == KIND_LINE
+    is_line = (kind == KIND_LINE) | (kind == KIND_POLY)   # shared vertex path
+    is_poly = kind == KIND_POLY
     if line_verts is not None:
         lvx, lvy, lvoff = line_verts
         lvoff = np.asarray(lvoff, np.int64)
@@ -124,9 +126,12 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         qvx = qvy = np.empty(0, np.int64)
         lvoff = np.zeros(n + 1, np.int64)
         nv = np.zeros(n, np.int64)
-    # ints per fragment: box 11, point 3, line 2·nv + 2 (MoveTo + LineTo run)
+    # ints per fragment: box 11, point 3, line 2·nv + 2 (MoveTo + LineTo
+    # run), general ring 2·nv + 3 (+ClosePath)
     gcount = np.where(is_box, 11,
-                      np.where(is_pt, 3, 2 * np.maximum(nv, 2) + 2)).astype(np.int64)
+                      np.where(is_pt, 3,
+                               2 * np.maximum(nv, 2) + 2
+                               + is_poly.astype(np.int64))).astype(np.int64)
     gseg = np.concatenate([[0], np.cumsum(gcount)[:-1]])
     total_g = int(gcount.sum())
     gints = np.zeros(total_g, dtype=np.uint64)
@@ -165,6 +170,9 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         gints[pos + 1] = zigzag(qvy[j] - qvy[j - 1])
         # degenerate single-vertex lines: pad with a zero-delta LineTo
         # (np.maximum(nv, 2) above reserved the space; zeros are valid)
+        pf = np.flatnonzero(is_poly)
+        if len(pf):
+            gints[gseg[pf] + gcount[pf] - 1] = 15     # ClosePath
     geom_ints = gints
     geom_int_lens = _vlen(geom_ints)
     geom_len = np.add.reduceat(geom_int_lens, gseg)       # bytes per fragment
@@ -187,7 +195,8 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     # --- feature message lengths (bottom-up arithmetic) ---
     fid = np.asarray(feat_id, dtype=np.uint64)
     ftype = np.array([_GEOM_TYPE[KIND_BOX], _GEOM_TYPE[KIND_POINT],
-                      _GEOM_TYPE[KIND_LINE]])[kind.astype(np.int64)].astype(np.uint64)
+                      _GEOM_TYPE[KIND_LINE], _GEOM_TYPE[KIND_POLY]
+                      ])[kind.astype(np.int64)].astype(np.uint64)
     feat_len = (1 + _vlen(fid)                            # id
                 + 1 + 1                                   # type (tag + 1-byte varint)
                 + 1 + _vlen(geom_len) + geom_len)         # geometry
