@@ -200,6 +200,11 @@ def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_HEADLINE_ONLY="1",
+                   # fixed partition count at EVERY level (same job);
+                   # 64 keeps reduce-task count and driver ref
+                   # bookkeeping amortized at low parallelism
+                   GRAFT_BENCH_PARTITIONS=os.environ.get(
+                       "GRAFT_SCALING_PARTITIONS", "64"),
                    GRAFT_BENCH_MULT=os.environ.get("GRAFT_SCALING_MULT", "256"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
