@@ -18,9 +18,10 @@ Encoder design (NO per-feature Python in the hot path):
    sort key.
 
 Feature geometry kinds: 0 = axis-aligned box → polygon (one CW ring),
-1 = point, 2 = polyline (MoveTo + LineTo run).  Attribute values are
-emitted per feature (no per-layer value dedup — legal per spec;
-decoders must not assume uniqueness).
+1 = point, 2 = polyline (MoveTo + LineTo run), 3 = general ring
+(MoveTo + LineTo + ClosePath).  Attribute value tables are deduplicated
+per (tile, layer) — one lexsort derives the unique set and every tag
+index, no per-feature Python.
 
 A pure-Python reference :func:`decode_tile` (independent of the
 encoder's vectorized path) backs the golden round-trip tests.
@@ -178,12 +179,44 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     geom_len = np.add.reduceat(geom_int_lens, gseg)       # bytes per fragment
     geom_len[gcount == 0] = 0
 
-    # --- tag pairs: (key_idx, value_idx) per attr, value = pos*K + k ---
+    # --- attr values: per-(tile,layer) DEDUPLICATED value table ---------
+    # (the spec's SHOULD-dedupe; indices are within-layer ranks of the
+    # sorted unique strings — all derived with one lexsort, no loops)
+    if K:
+        enc_cols = [np.char.encode(np.asarray(attrs[nm]).astype("U"), "utf-8")
+                    for nm in key_names]
+        flat_strs = np.stack(enc_cols, axis=1).reshape(-1)     # feature-major
+        val_lay = np.repeat(lay_idx, K)
+        vorder = np.lexsort((flat_strs, val_lay))
+        sl, ss = val_lay[vorder], flat_strs[vorder]
+        new_u = np.concatenate([[True], (np.diff(sl) != 0) | (ss[1:] != ss[:-1])])
+        uid_sorted = np.cumsum(new_u) - 1
+        uid = np.empty(n * K, np.int64)
+        uid[vorder] = uid_sorted
+        n_uniq = int(uid_sorted[-1]) + 1
+        u_first = vorder[new_u]                    # representative slot/unique
+        u_lay = val_lay[u_first]                   # ascending
+        lay_first_uid = np.zeros(n_lays, np.int64)
+        fol = np.concatenate([[True], np.diff(u_lay) != 0])
+        lay_first_uid[u_lay[fol]] = np.flatnonzero(fol)
+        val_idx_within = uid - lay_first_uid[val_lay]
+        u_within = np.arange(n_uniq) - lay_first_uid[u_lay]
+        u_strs = flat_strs[u_first]
+    else:
+        flat_strs = np.empty(0, "S1")
+        u_strs = np.empty(0, "S1")
+        val_idx_within = np.empty(0, np.int64)
+        u_lay = np.empty(0, np.int64)
+        u_within = np.empty(0, np.int64)
+        n_uniq = 0
+
+    # --- tag pairs: (key_idx, within-layer value idx) per attr ---
     if K:
         tag_ints = np.empty((n, 2 * K), dtype=np.uint64)
         for k in range(K):
             tag_ints[:, 2 * k] = k
-            tag_ints[:, 2 * k + 1] = (feat_pos * K + k).astype(np.uint64)
+            tag_ints[:, 2 * k + 1] = val_idx_within[np.arange(n) * K + k] \
+                .astype(np.uint64)
         tag_ints = tag_ints.reshape(-1)
         tag_int_lens = _vlen(tag_ints)
         tseg = np.arange(n) * 2 * K
@@ -203,16 +236,11 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     if K:
         feat_len = feat_len + 1 + _vlen(tags_len) + tags_len
 
-    # --- attr value messages (string values, one per feature per attr) ---
+    # --- value messages: one per UNIQUE (layer, string) ---
     if K:
-        enc_cols = [np.char.encode(np.asarray(attrs[nm]).astype("U"), "utf-8")
-                    for nm in key_names]
-        # interleave columns feature-major: value index = pos*K + k
-        flat_strs = np.stack(enc_cols, axis=1).reshape(-1)     # "S" dtype
-        str_lens = np.char.str_len(flat_strs).astype(np.int64)
+        str_lens = np.char.str_len(u_strs).astype(np.int64)
         val_len = 1 + _vlen(str_lens) + str_lens          # Value.string_value framed
     else:
-        flat_strs = np.empty(0, "S1")
         str_lens = np.empty(0, np.int64)
         val_len = np.empty(0, np.int64)
 
@@ -228,7 +256,7 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     if K:
         val_framed = 1 + _vlen(val_len) + val_len
         lay_val_bytes = np.zeros(n_lays, np.int64)
-        np.add.at(lay_val_bytes, lay_idx.repeat(K), val_framed)
+        np.add.at(lay_val_bytes, u_lay, val_framed)
     else:
         lay_val_bytes = np.zeros(n_lays, np.int64)
     EXT_FR = 1 + int(varint_lengths(np.array([EXTENT]))[0])   # 0x28 + varint(4096)
@@ -270,8 +298,8 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     vi_geomlen = take(n)
     vi_tagints = take(len(tag_ints))
     vi_geomints = take(len(geom_ints))
-    vi_vallen = take(n * K)
-    vi_strlen = take(n * K)
+    vi_vallen = take(n_uniq)
+    vi_strlen = take(n_uniq)
     vi_extent = take(1)
     vi_version = take(1)
 
@@ -293,16 +321,17 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         keys_off.append(s_cursor)
         spool_parts.append(np.frombuffer(kb, np.uint8))
         s_cursor += len(kb)
-    if K and flat_strs.dtype.itemsize:
-        # padded byte matrix → masked gather (vectorized utf-8 pool)
-        width = flat_strs.dtype.itemsize
-        smat = flat_strs.view(np.uint8).reshape(len(flat_strs), width)
+    if K and u_strs.dtype.itemsize:
+        # padded byte matrix → masked gather (vectorized utf-8 pool),
+        # unique (layer, string) values only
+        width = u_strs.dtype.itemsize
+        smat = u_strs.view(np.uint8).reshape(len(u_strs), width)
         svalid = np.arange(width)[None, :] < str_lens[:, None]
         str_off = s_cursor + np.concatenate([[0], np.cumsum(str_lens)[:-1]])
         spool_parts.append(smat[svalid])
         s_cursor += int(str_lens.sum())
     else:
-        str_off = np.zeros(n * K, np.int64)
+        str_off = np.zeros(n_uniq, np.int64)
     pool = np.concatenate([ident, vbuf] + spool_parts)
 
     def vpiece(vi):
@@ -390,14 +419,14 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
 
     # section 4: values — item = (feat_pos*K + k)*8 + slot, feature-major
     if K:
-        vtile = np.repeat(tile_idx, K)
-        vord = np.repeat(ford, K)
-        vbase = (feat_pos[:, None] * K + np.arange(K)[None, :]).reshape(-1) * 8
-        onev = np.ones(n * K)
-        add(skey(vtile, vord, 4, vbase), np.full(n * K, _T_VALUES), onev)
+        vtile = lay_tile[u_lay]
+        vord = lay_ord[u_lay]
+        vbase = u_within * 8
+        onev = np.ones(n_uniq)
+        add(skey(vtile, vord, 4, vbase), np.full(n_uniq, _T_VALUES), onev)
         st, ln = vpiece(vi_vallen)
         add(skey(vtile, vord, 4, vbase + 1), st, ln)
-        add(skey(vtile, vord, 4, vbase + 2), np.full(n * K, _V_STRING), onev)
+        add(skey(vtile, vord, 4, vbase + 2), np.full(n_uniq, _V_STRING), onev)
         st, ln = vpiece(vi_strlen)
         add(skey(vtile, vord, 4, vbase + 3), st, ln)
         add(skey(vtile, vord, 4, vbase + 4), base_s + str_off, str_lens)
