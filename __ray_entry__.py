@@ -38,17 +38,22 @@ def _pyramid_query(sf_dir: str) -> Any:
     from planetiler_ray.sources.images import images_from_documents, sample_image_ids
     from planetiler_ray.stages.render import RenderConfig
 
+    from ray.data.aggregate import Count, Sum
+
     images = images_from_documents(sf_dir)
     ids = sample_image_ids(sf_dir)
     cfg = RenderConfig(min_zoom=0, max_zoom=10)
     tiles = build_pyramid(images, ids, cfg, num_partitions=32,
                           with_feature_ids=False)
-    df = tiles.to_pandas()
-    out = df.groupby("z", as_index=False).agg(
-        n_tiles=("tile_id", "size"), n_features=("n_features", "sum"))
+    # aggregate distributed — only the 11-row zoom summary reaches the
+    # driver (never the tile payload bytes)
+    out = tiles.select_columns(["z", "n_features"]) \
+        .groupby("z").aggregate(Count(alias_name="n_tiles"),
+                                Sum("n_features", alias_name="n_features")) \
+        .to_pandas()
     out["n_features"] = out["n_features"].astype(np.int64)
     out["z"] = out["z"].astype(np.int64)
-    return out
+    return out.sort_values("z").reset_index(drop=True)
 
 
 def _join_query(sf_dir: str) -> Any:

@@ -113,14 +113,16 @@ def q_tile_pyramid_counts(sf_dir: str):
         return pa.table({"z": np.concatenate(zs), "x": np.concatenate(xs),
                          "y": np.concatenate(ys)})
 
+    from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(fan, batch_format="pyarrow")
-    # partial aggregate per batch, then a tiny global groupby
+    # two cascaded groupbys: per-tile counts, then per-zoom rollup —
+    # only the 9-row zoom summary reaches the driver
     per_tile = ds.groupby(["z", "x", "y"]).count()
-    df = per_tile.to_pandas()
-    out = df.groupby("z").agg(n_tiles=("count()", "size"),
-                              n_points=("count()", "sum")).reset_index()
+    out = per_tile.groupby("z").aggregate(
+        Count(alias_name="n_tiles"),
+        Sum("count()", alias_name="n_points")).to_pandas()
     out["n_points"] = out["n_points"].astype(np.int64)
-    return out
+    return out.sort_values("z").reset_index(drop=True)
 
 
 SQL_TILE_PYRAMID_COUNTS = f"""

@@ -85,6 +85,97 @@ def _wkb_batch_to_rows(batch: pa.Table, geometry_col: str,
     })
 
 
+def parse_wkb_full(blob: bytes) -> tuple[str, np.ndarray] | None:
+    """Parse WKB keeping the FULL geometry: point / linestring /
+    polygon outer ring (vertex arrays, not bboxes) — feeds the general
+    geometry pipeline (``pipelines/geometry.py``)."""
+    if blob is None or len(blob) < 5:
+        return None
+    bo = "<" if blob[0] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", blob, 1)
+    gtype &= 0xFF
+    dt = np.dtype(np.float64).newbyteorder(bo)
+    if gtype == _WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", blob, 5)
+        return "point", np.array([[x, y]])
+    if gtype == 2:  # LineString
+        (n_pts,) = struct.unpack_from(bo + "I", blob, 5)
+        coords = np.frombuffer(blob, dtype=dt, count=n_pts * 2,
+                               offset=9).reshape(n_pts, 2)
+        return "line", coords.astype(np.float64)
+    if gtype == _WKB_POLYGON:
+        (n_rings,) = struct.unpack_from(bo + "I", blob, 5)
+        if n_rings < 1:
+            return None
+        (n_pts,) = struct.unpack_from(bo + "I", blob, 9)
+        coords = np.frombuffer(blob, dtype=dt, count=n_pts * 2,
+                               offset=13).reshape(n_pts, 2)
+        # drop the WKB-repeated closing vertex (rings are implicit-closed)
+        if n_pts > 1 and (coords[0] == coords[-1]).all():
+            coords = coords[:-1]
+        return "polygon", coords.astype(np.float64)
+    return None
+
+
+def read_geoparquet_geometries(paths: str | list[str],
+                               id_col: str | None = None,
+                               geometry_col: str | None = None,
+                               attr_cols: tuple[str, ...] = ()
+                               ) -> "ray.data.Dataset":
+    """Parquet + WKB column → FULL-geometry rows for the general tile
+    pipeline: (geom_id, kind, xs, ys [world mercator, list<double>],
+    attr passthrough columns)."""
+    import os
+    from functools import partial
+
+    import pyarrow.parquet as pq
+
+    first = paths[0] if isinstance(paths, list) else paths
+    probe = first
+    if os.path.isdir(first):
+        probe = os.path.join(first, sorted(os.listdir(first))[0])
+    schema = pq.read_schema(probe)
+    gcol = geometry_col
+    if gcol is None:
+        for cand in GEOMETRY_COLUMNS:
+            if cand in schema.names:
+                gcol = cand
+                break
+        else:
+            raise ValueError(f"no geometry column among {GEOMETRY_COLUMNS}")
+    cols = [gcol] + ([id_col] if id_col else []) + list(attr_cols)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        blobs = batch[gcol].to_pylist()
+        ids, kinds, xs_l, ys_l, keep_rows = [], [], [], [], []
+        for i, blob in enumerate(blobs):
+            parsed = parse_wkb_full(blob)
+            if parsed is None:
+                continue  # unsupported geometry — skip-and-count convention
+            kind, coords = parsed
+            ids.append(int(batch[id_col][i].as_py()) if id_col else i)
+            kinds.append(kind)
+            xs_l.append(get_world_x(coords[:, 0]).astype(np.float64))
+            ys_l.append(get_world_y(coords[:, 1]).astype(np.float64))
+            keep_rows.append(i)
+        counts = np.array([len(v) for v in xs_l], np.int32)
+        off = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+        flat_x = np.concatenate(xs_l) if xs_l else np.empty(0)
+        flat_y = np.concatenate(ys_l) if ys_l else np.empty(0)
+        cols_out = {
+            "geom_id": pa.array(np.array(ids, np.int64)),
+            "kind": pa.array(kinds, pa.string()),
+            "xs": pa.ListArray.from_arrays(off, pa.array(flat_x)),
+            "ys": pa.ListArray.from_arrays(off, pa.array(flat_y)),
+        }
+        for a in attr_cols:
+            cols_out[a] = batch[a].take(pa.array(keep_rows, pa.int32()))
+        return pa.table(cols_out)
+
+    return ray.data.read_parquet(paths, columns=cols) \
+        .map_batches(to_rows, batch_format="pyarrow")
+
+
 def read_geoparquet(paths: str | list[str], id_col: str | None = None,
                     geometry_col: str | None = None) -> "ray.data.Dataset":
     """Parquet + WKB geometry column → georeferenced rows."""

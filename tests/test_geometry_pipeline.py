@@ -1,0 +1,118 @@
+"""End-to-end tests for the general-geometry tile pipeline: GeoParquet
+WKB (points / linestrings / polygons) → slice → tile shuffle → real MVT
+layers.  The 'a user with real polygon data could switch' path."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def wkb_point(x, y):
+    return b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", x, y)
+
+
+def wkb_linestring(coords):
+    out = b"\x01" + struct.pack("<I", 2) + struct.pack("<I", len(coords))
+    for x, y in coords:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def wkb_polygon(ring):
+    closed = list(ring) + [ring[0]]
+    out = b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
+    out += struct.pack("<I", len(closed))
+    for x, y in closed:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+@pytest.fixture(scope="module")
+def wkb_parquet(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wkb")
+    p = str(d / "geoms.parquet")
+    rows = [
+        (1, wkb_point(10.0, 20.0), "a point"),
+        (2, wkb_linestring([(-10, 0), (10, 5), (30, 10)]), "a line"),
+        (3, wkb_polygon([(0, 0), (20, 0), (20, 15), (0, 15)]), "a poly"),
+        (4, wkb_point(10.05, 20.05), "near point"),
+    ]
+    pq.write_table(pa.table({
+        "fid": pa.array([r[0] for r in rows], pa.int64()),
+        "geometry": pa.array([r[1] for r in rows], pa.binary()),
+        "name": pa.array([r[2] for r in rows], pa.string()),
+    }), p)
+    return p
+
+
+class TestWkbToTiles:
+    def test_read_geometries(self, wkb_parquet, ray_session):
+        from planetiler_ray.sources.geoparquet import read_geoparquet_geometries
+        df = read_geoparquet_geometries(wkb_parquet, id_col="fid",
+                                        attr_cols=("name",)).to_pandas()
+        assert sorted(df["kind"]) == ["line", "point", "point", "polygon"]
+        poly = df[df["kind"] == "polygon"].iloc[0]
+        assert len(poly["xs"]) == 4          # closing vertex dropped
+        assert poly["name"] == "a poly"
+        # world mercator range
+        assert all(0 <= v <= 1 for v in poly["xs"])
+
+    def test_wkb_to_mvt_tiles(self, wkb_parquet, ray_session):
+        from planetiler_ray.pipelines.geometry import build_geometry_tiles
+        from planetiler_ray.sources.geoparquet import read_geoparquet_geometries
+        from planetiler_ray.tilemath.mvt_pb import (decode_feature_attrs,
+                                                    decode_tile)
+        geoms = read_geoparquet_geometries(wkb_parquet, id_col="fid",
+                                           attr_cols=("name",))
+        tiles = build_geometry_tiles(geoms, min_zoom=0, max_zoom=4,
+                                     attr_cols=("name",)).to_pandas()
+        assert len(tiles) > 0
+        z0 = tiles[tiles["z"] == 0]
+        assert len(z0) == 1 and int(z0["n_features"].iloc[0]) == 4
+        layers = decode_tile(z0["mvt_bytes"].iloc[0])
+        assert set(layers) == {"points", "lines", "polygons"}
+        assert len(layers["points"]["features"]) == 2
+        (lf,) = layers["lines"]["features"]
+        assert lf["type"] == 2 and lf["id"] == 2
+        (pf,) = layers["polygons"]["features"]
+        assert pf["type"] == 3 and pf["geometry"][-1] == 15   # ClosePath
+        at = decode_feature_attrs(layers["polygons"], pf)
+        assert at == {"name": "a poly"}
+
+    def test_zoom_fanout_and_wrap(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.pipelines.geometry import build_geometry_tiles
+        # polygon straddling the antimeridian (world x near 1)
+        tbl = pa.table({
+            "geom_id": pa.array([9], pa.int64()),
+            "kind": pa.array(["polygon"]),
+            "xs": pa.array([[0.995, 1.0, 1.0, 0.995]], pa.list_(pa.float64())),
+            "ys": pa.array([[0.4, 0.4, 0.41, 0.41]], pa.list_(pa.float64())),
+        })
+        tiles = build_geometry_tiles(rd.from_arrow(tbl), min_zoom=6,
+                                     max_zoom=6).to_pandas()
+        xs = set(tiles["x"])
+        assert 63 in xs                       # last column at z6
+        assert (tiles["z"] == 6).all()
+
+    def test_min_pixel_gate(self, ray_session):
+        import ray.data as rd
+        # tiny polygon: present at max zoom only once gated
+        tbl = pa.table({
+            "geom_id": pa.array([5], pa.int64()),
+            "kind": pa.array(["polygon"]),
+            "xs": pa.array([[0.5, 0.50001, 0.50001, 0.5]],
+                           pa.list_(pa.float64())),
+            "ys": pa.array([[0.5, 0.5, 0.50001, 0.50001]],
+                           pa.list_(pa.float64())),
+        })
+        from planetiler_ray.pipelines.geometry import build_geometry_tiles
+        tiles = build_geometry_tiles(rd.from_arrow(tbl), min_zoom=0,
+                                     max_zoom=6,
+                                     min_pixel_size=1.0).to_pandas()
+        zs = sorted(set(tiles["z"]))
+        assert zs[-1] == 6                    # max zoom always present
+        assert 0 not in zs                    # sub-pixel at z0 → gated
