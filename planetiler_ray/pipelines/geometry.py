@@ -166,7 +166,86 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
     return pa.table(cols)
 
 
-def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...]) -> pa.Table:
+def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
+                      opts: dict) -> pa.Table:
+    """Per-tile mergeLineStrings (``FeatureMerge.java:101-231``): within
+    each (tile, identical-attrs) group, join touching line fragments
+    with the LoopLineMerger re-expression (loops/stubs/simplify per
+    ``opts``), re-emitting merged fragments with id ``(min_id//10)*10``.
+    Non-line rows pass through untouched."""
+    from ..stages.merge import LineMerger
+
+    kind = grp["kind"].to_numpy()
+    is_line = kind == KIND_LINE
+    if not is_line.any():
+        return grp
+    keep = grp.filter(pa.array(~is_line))
+    lines = grp.filter(pa.array(is_line))
+    tid = lines["tile_id"].to_numpy()
+    gid = lines["geom_id"].to_numpy()
+    lay = lines["layer"].to_numpy()
+    vx_l = lines["vx"].combine_chunks()
+    vy_l = lines["vy"].combine_chunks()
+    voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+    vx = vx_l.flatten().to_numpy().astype(np.float64)
+    vy = vy_l.flatten().to_numpy().astype(np.float64)
+    attr_arrays = {a: lines[a].to_numpy(zero_copy_only=False)
+                   for a in attr_cols}
+    # group key: (tile, attr values) — identical-attr merge semantics
+    import pandas as pd
+    key_df = pd.DataFrame({"t": tid, **{a: attr_arrays[a] for a in attr_cols}})
+    _, ginv = np.unique(key_df.apply(tuple, axis=1).to_numpy(),
+                        return_inverse=True)
+    rows = {"tile_id": [], "z": [], "layer": [], "kind": [], "geom_id": [],
+            "is_fill": [], "vx": [], "vy": [], "nv": []}
+    z_arr = lines["z"].to_numpy()
+    for a in attr_cols:
+        rows[a] = []
+    for g in np.unique(ginv):
+        sel = np.flatnonzero(ginv == g)
+        m = LineMerger(**opts)
+        m.add_lines([np.column_stack([vx[voff[i]:voff[i + 1]],
+                                      vy[voff[i]:voff[i + 1]]])
+                     for i in sel])
+        merged = m.merged()
+        mid = (int(gid[sel].min()) // 10) * 10
+        for c in merged:
+            rows["tile_id"].append(tid[sel[0]])
+            rows["z"].append(z_arr[sel[0]])
+            rows["layer"].append(lay[sel[0]])
+            rows["kind"].append(KIND_LINE)
+            rows["geom_id"].append(mid)
+            rows["is_fill"].append(False)
+            rows["vx"].append(c[:, 0])
+            rows["vy"].append(c[:, 1])
+            rows["nv"].append(len(c))
+            for a in attr_cols:
+                rows[a].append(attr_arrays[a][sel[0]])
+    if not rows["tile_id"]:
+        return keep
+    nv = np.array(rows["nv"], np.int32)
+    off = pa.array(np.concatenate([[0], np.cumsum(nv)]).astype(np.int32))
+    merged_tbl = pa.table({
+        "tile_id": pa.array(np.array(rows["tile_id"], np.int64)),
+        "z": pa.array(np.array(rows["z"], np.int8)),
+        "layer": pa.array(np.array(rows["layer"], np.int8)),
+        "kind": pa.array(np.array(rows["kind"], np.int8)),
+        "geom_id": pa.array(np.array(rows["geom_id"], np.int64)),
+        "is_fill": pa.array(np.array(rows["is_fill"], bool)),
+        "vx": pa.ListArray.from_arrays(
+            off, pa.array(np.concatenate(rows["vx"]).astype(np.float32))),
+        "vy": pa.ListArray.from_arrays(
+            off, pa.array(np.concatenate(rows["vy"]).astype(np.float32))),
+        **{a: pa.array(list(rows[a]), pa.string()) for a in attr_cols},
+    })
+    return pa.concat_tables([keep.select(merged_tbl.column_names),
+                             merged_tbl]).combine_chunks()
+
+
+def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
+                  line_merge: dict | None = None) -> pa.Table:
+    if grp.num_rows and line_merge is not None:
+        grp = _merge_tile_lines(grp, attr_cols, line_merge)
     if grp.num_rows == 0:
         return pa.table({"tile_id": pa.array([], pa.int64()),
                          "z": pa.array([], pa.int8()),
@@ -226,12 +305,18 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                          max_zoom: int = 14,
                          buffer_px: float = DEFAULT_BUFFER_PX,
                          min_pixel_size: float = 1.0,
-                         attr_cols: tuple[str, ...] = ()
+                         attr_cols: tuple[str, ...] = (),
+                         line_merge: dict | None = None
                          ) -> "ray.data.Dataset":
-    """rows(geom_id, kind, xs, ys [, attrs…]) → MVT tile Dataset."""
+    """rows(geom_id, kind, xs, ys [, attrs…]) → MVT tile Dataset.
+
+    ``line_merge``: LoopLineMerger options (min_length, loop_min_length,
+    stub_min_length, tolerance, precision) applied per (tile,
+    identical-attrs) group inside the reduce — the
+    ``FeatureMerge.mergeLineStrings`` hook."""
     fan = partial(_fanout, min_zoom=min_zoom, max_zoom=max_zoom,
                   buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
                   attr_cols=attr_cols)
-    enc = partial(_encode_tiles, attr_cols=attr_cols)
+    enc = partial(_encode_tiles, attr_cols=attr_cols, line_merge=line_merge)
     return geoms.map_batches(fan, batch_format="pyarrow") \
         .groupby("tile_id").map_groups(enc, batch_format="pyarrow")

@@ -116,3 +116,45 @@ class TestWkbToTiles:
         zs = sorted(set(tiles["z"]))
         assert zs[-1] == 6                    # max zoom always present
         assert 0 not in zs                    # sub-pixel at z0 → gated
+
+
+class TestTileLineMerge:
+    def test_touching_lines_merge_in_tile(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.pipelines.geometry import build_geometry_tiles
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
+        # two lines sharing an endpoint, same attrs → one merged feature
+        tbl = pa.table({
+            "geom_id": pa.array([21, 32], pa.int64()),
+            "kind": pa.array(["line", "line"]),
+            "xs": pa.array([[0.1, 0.2], [0.2, 0.3]], pa.list_(pa.float64())),
+            "ys": pa.array([[0.1, 0.2], [0.2, 0.3]], pa.list_(pa.float64())),
+            "road": pa.array(["a", "a"], pa.string()),
+        })
+        tiles = build_geometry_tiles(rd.from_arrow(tbl), min_zoom=0,
+                                     max_zoom=0, attr_cols=("road",),
+                                     line_merge={}).to_pandas()
+        (row,) = tiles.to_dict("records")
+        lay = decode_tile(row["mvt_bytes"])["lines"]
+        assert len(lay["features"]) == 1
+        (f,) = lay["features"]
+        assert f["id"] == 20                       # (min_id//10)*10
+        assert (len(f["geometry"]) - 2) // 2 == 3  # 3 merged vertices
+
+    def test_different_attrs_do_not_merge(self, ray_session):
+        import ray.data as rd
+        from planetiler_ray.pipelines.geometry import build_geometry_tiles
+        from planetiler_ray.tilemath.mvt_pb import decode_tile
+        tbl = pa.table({
+            "geom_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["line", "line"]),
+            "xs": pa.array([[0.1, 0.2], [0.2, 0.3]], pa.list_(pa.float64())),
+            "ys": pa.array([[0.1, 0.2], [0.2, 0.3]], pa.list_(pa.float64())),
+            "road": pa.array(["a", "b"], pa.string()),
+        })
+        tiles = build_geometry_tiles(rd.from_arrow(tbl), min_zoom=0,
+                                     max_zoom=0, attr_cols=("road",),
+                                     line_merge={}).to_pandas()
+        (row,) = tiles.to_dict("records")
+        lay = decode_tile(row["mvt_bytes"])["lines"]
+        assert len(lay["features"]) == 2
