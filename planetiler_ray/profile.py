@@ -63,6 +63,98 @@ class FilteredProfile(DefaultProfile):
         return georef.filter(self.expr(georef))
 
 
+class LayeredProfile(DefaultProfile):
+    """Per-layer handler registry — the ``ForwardingProfile`` analog
+    (``ForwardingProfile.java:25-29``): the reference registers
+    ``FeatureProcessor`` handlers per source layer and
+    ``LayerPostProcessor``s per output layer, then forwards each feature
+    / each tile layer to its registered handlers.
+
+    Columnar form: ``register_source(name, fn)`` routes
+    ``process_features`` by the georef table's ``source_layer`` column
+    (rows of unregistered layers pass through when
+    ``pass_unmatched=True``, else drop — the reference's
+    ``caresAboutSource`` gate); ``register_layer(layer_id, fn)`` routes
+    ``post_process_tile`` per output-layer id, each handler seeing only
+    its layer's rows (the ``postProcessLayerFeatures`` contract).
+    Handlers must preserve the frag-dict contract (same keys; rows may
+    be dropped/added).
+    """
+
+    def __init__(self, pass_unmatched: bool = True):
+        self._source_handlers: dict[str, list] = {}
+        self._layer_handlers: dict[int, list] = {}
+        self._finishers: list = []
+        self.pass_unmatched = pass_unmatched
+
+    def register_source(self, source_layer: str, fn) -> "LayeredProfile":
+        self._source_handlers.setdefault(source_layer, []).append(fn)
+        return self
+
+    def register_layer(self, layer_id: int, fn) -> "LayeredProfile":
+        self._layer_handlers.setdefault(layer_id, []).append(fn)
+        return self
+
+    def on_finish(self, fn) -> "LayeredProfile":
+        self._finishers.append(fn)
+        return self
+
+    def process_features(self, georef: pa.Table) -> pa.Table:
+        if not self._source_handlers or "source_layer" not in georef.column_names:
+            return georef
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = georef["source_layer"]
+        parts = []
+        handled = None
+        for name, fns in self._source_handlers.items():
+            mask = pc.equal(col, name)
+            sub = georef.filter(mask)
+            for fn in fns:
+                sub = fn(sub)
+            parts.append(sub)
+            m = mask.to_numpy(zero_copy_only=False)
+            handled = m if handled is None else (handled | m)
+        if self.pass_unmatched and handled is not None and not handled.all():
+            parts.append(georef.filter(pa.array(~handled)))
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return georef.slice(0, 0)
+        return pa.concat_tables(parts, promote_options="default")
+
+    def post_process_tile(self, frags: dict) -> dict:
+        if not self._layer_handlers:
+            return frags
+        import numpy as np
+
+        layer = frags["layer"]
+        out_parts: list[dict] = []
+        handled = np.zeros(len(layer), bool)
+        for lid, fns in self._layer_handlers.items():
+            m = layer == lid
+            if not m.any():
+                continue
+            handled |= m
+            sub = {k: v[m] for k, v in frags.items()}
+            for fn in fns:
+                sub = fn(sub)
+            out_parts.append(sub)
+        rest = {k: v[~handled] for k, v in frags.items()}
+        if rest["layer"].size:
+            out_parts.append(rest)
+        if not out_parts:
+            return {k: v[:0] for k, v in frags.items()}
+        keys = frags.keys()
+        out = {k: np.concatenate([p[k] for p in out_parts]) for k in keys}
+        order = np.lexsort((out["idx"], out["sort_key"], out["layer"], out["tile"]))
+        return {k: v[order] for k, v in out.items()}
+
+    def finish(self) -> None:
+        for fn in self._finishers:
+            fn()
+
+
 class BoxMergeProfile(DefaultProfile):
     """Example tile post-processor: merge overlapping footprint boxes
     per tile — the ``FeatureMerge.mergeNearbyPolygons`` hook shape

@@ -19,6 +19,9 @@ numpy/python with no GEOS dependency:
 - :func:`merge_lines` — merge polylines at touching endpoints, remove
   short stubs, Douglas-Peucker simplify (``LoopLineMerger`` semantics:
   endpoint-degree-based joining, min-length stub pruning)
+- :func:`remove_points_outside_buffer` — drop multipoint parts outside
+  the tile buffer, drop features left empty
+  (``FeatureMerge.java:678-695``)
 """
 
 from __future__ import annotations
@@ -68,6 +71,44 @@ def merge_multipoint(ids: np.ndarray, group_key: np.ndarray,
         "offsets": offsets,
         "xs": px[order],
         "ys": py[order],
+    }
+
+
+def remove_points_outside_buffer(px: np.ndarray, py: np.ndarray,
+                                 offsets: np.ndarray, buffer: float,
+                                 extent: int = 256) -> dict:
+    """Drop multipoint parts outside ``[-buffer, extent+buffer]``.
+
+    Batch-vectorized analog of the reference's
+    ``FeatureMerge.removePointsOutsideBuffer``
+    (``FeatureMerge.java:678-695``): every feature is a run of points in
+    the flattened ``px``/``py`` stream delimited by ``offsets`` (list
+    layout, ``len(offsets) == n_features + 1``).  Points strictly outside
+    the buffered tile square are removed; features left with zero points
+    are dropped entirely.
+
+    Returns ``{"xs", "ys", "offsets", "feature_keep"}`` where
+    ``feature_keep`` is the boolean mask of surviving input features and
+    ``offsets`` delimits the surviving features' (filtered) point runs.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    n_feat = len(offsets) - 1
+    lo, hi = -buffer, extent + buffer
+    inside = (px >= lo) & (px <= hi) & (py >= lo) & (py <= hi)
+    # per-feature surviving-point counts via prefix sums (robust to
+    # empty runs and a trailing offset == len(px), unlike reduceat)
+    cs = np.zeros(len(px) + 1, np.int64)
+    np.cumsum(inside, out=cs[1:])
+    counts = cs[offsets[1:]] - cs[offsets[:-1]] if n_feat else np.zeros(0, np.int64)
+    feature_keep = counts > 0
+    new_counts = counts[feature_keep]
+    new_offsets = np.zeros(len(new_counts) + 1, np.int64)
+    np.cumsum(new_counts, out=new_offsets[1:])
+    return {
+        "xs": px[inside],
+        "ys": py[inside],
+        "offsets": new_offsets,
+        "feature_keep": feature_keep,
     }
 
 

@@ -1,0 +1,183 @@
+"""Polygon snap + fix validity ladder.
+
+Batch-vectorized re-expression of the reference's
+``GeoUtils.snapAndFixPolygon`` ladder (``geo/GeoUtils.java:315-399``):
+the reference snaps every vertex to a precision grid, then walks an
+escalating repair ladder (reduce-precision snap → ``buffer(0)`` → fix)
+until the polygon is valid.  This engine has no GEOS, so the ladder is
+the deterministic subset that covers the failure modes grid-snapping
+itself introduces:
+
+1. snap every vertex to the ``1/scale`` grid (round-half-even, matching
+   numpy/IEEE so results are reproducible in SQL oracles),
+2. collapse consecutive duplicate vertices created by the snap,
+3. drop rings degenerate after snapping (< 3 distinct vertices or zero
+   shoelace area),
+4. re-orient: outer rings CCW, holes CW (the MVT winding contract the
+   encoder expects; reference ``VectorTile.java`` encodes the same
+   orientation).
+
+Self-intersection repair (the ``buffer(0)`` rung) is documented
+out-of-scope: inputs here come from the engine's own clip kernels
+(Sutherland–Hodgman output is intersection-free for the convex tile
+window), so the rung is unreachable in-pipeline.  A ``strict`` mode
+detects (rather than repairs) self-intersection for external inputs.
+
+All functions operate on the engine's flattened ring layout:
+``px, py`` float streams + ``ring_offsets`` (``len == n_rings + 1``)
++ per-ring metadata arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ring_signed_area(px: np.ndarray, py: np.ndarray,
+                     ring_offsets: np.ndarray) -> np.ndarray:
+    """Shoelace signed area per ring (CCW positive), vectorized.
+
+    Rings are open (first vertex not repeated); the closing edge is
+    implied.
+    """
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    n = len(ring_offsets) - 1
+    if n == 0 or len(px) == 0:
+        return np.zeros(n, np.float64)
+    # next-vertex index within each ring (wrap last -> first)
+    idx = np.arange(len(px), dtype=np.int64)
+    nxt = idx + 1
+    # ring id per vertex
+    rid = np.searchsorted(ring_offsets, idx, side="right") - 1
+    last = ring_offsets[rid + 1] - 1
+    nxt[idx == last] = ring_offsets[rid[idx == last]]
+    cross = px * py[nxt] - px[nxt] * py
+    cs = np.zeros(len(px) + 1, np.float64)
+    np.cumsum(cross, out=cs[1:])
+    return 0.5 * (cs[ring_offsets[1:]] - cs[ring_offsets[:-1]])
+
+
+def snap_fix_rings(px: np.ndarray, py: np.ndarray,
+                   ring_offsets: np.ndarray,
+                   is_hole: np.ndarray | None = None,
+                   scale: float = 16.0) -> dict:
+    """Run the snap+fix ladder over a flattened batch of rings.
+
+    ``scale`` is vertices-per-unit grid density (the reference uses
+    ``TILE_PRECISION`` = 1/16 px grid at tile scale → ``scale=16``).
+
+    Returns ``{"xs", "ys", "offsets", "ring_keep", "signed_area"}``:
+    filtered + reoriented streams, the surviving-ring mask against the
+    input, and each survivor's signed area AFTER orientation (outer > 0,
+    hole < 0).
+    """
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    n_rings = len(ring_offsets) - 1
+    if is_hole is None:
+        is_hole = np.zeros(n_rings, bool)
+    is_hole = np.asarray(is_hole, bool)
+
+    # 1. snap to grid
+    qx = np.round(np.asarray(px, np.float64) * scale) / scale
+    qy = np.round(np.asarray(py, np.float64) * scale) / scale
+
+    # 2. collapse consecutive duplicates (incl. last == first wrap)
+    idx = np.arange(len(qx), dtype=np.int64)
+    rid = np.searchsorted(ring_offsets, idx, side="right") - 1
+    prev = idx - 1
+    first = ring_offsets[rid]
+    keep_v = np.ones(len(qx), bool)
+    inner = idx > first
+    keep_v[inner] = (qx[idx[inner]] != qx[prev[inner]]) | \
+                    (qy[idx[inner]] != qy[prev[inner]])
+    # drop a trailing vertex equal to the ring's first (explicit closure)
+    cs_keep = np.zeros(len(qx) + 1, np.int64)
+    np.cumsum(keep_v, out=cs_keep[1:])
+    # last KEPT vertex per ring == first vertex? then unkeep it
+    if len(qx):
+        # positions of kept vertices
+        kept_idx = np.flatnonzero(keep_v)
+        kept_rid = rid[kept_idx]
+        # last kept vertex index of each ring
+        # (searchsorted over kept_rid, which is sorted)
+        ring_last = np.searchsorted(kept_rid, np.arange(n_rings), side="right") - 1
+        has_any = ring_last >= np.searchsorted(kept_rid, np.arange(n_rings), side="left")
+        cand = kept_idx[np.clip(ring_last, 0, None)]
+        fvert = ring_offsets[:-1]
+        close_dup = has_any & (cand != fvert) & \
+                    (qx[cand] == qx[np.minimum(fvert, len(qx) - 1)]) & \
+                    (qy[cand] == qy[np.minimum(fvert, len(qx) - 1)])
+        keep_v[cand[close_dup]] = False
+
+    # rebuild compacted streams + offsets
+    cs_keep = np.zeros(len(qx) + 1, np.int64)
+    np.cumsum(keep_v, out=cs_keep[1:])
+    new_counts = cs_keep[ring_offsets[1:]] - cs_keep[ring_offsets[:-1]]
+    sx, sy = qx[keep_v], qy[keep_v]
+    new_off = np.zeros(n_rings + 1, np.int64)
+    np.cumsum(new_counts, out=new_off[1:])
+
+    # 3. drop degenerate rings
+    area = ring_signed_area(sx, sy, new_off)
+    ring_keep = (new_counts >= 3) & (area != 0.0)
+
+    # compact surviving rings
+    out_counts = new_counts[ring_keep]
+    out_off = np.zeros(int(ring_keep.sum()) + 1, np.int64)
+    np.cumsum(out_counts, out=out_off[1:])
+    vkeep = np.repeat(ring_keep, new_counts)
+    ox, oy = sx[vkeep], sy[vkeep]
+    oarea = area[ring_keep]
+    ohole = is_hole[ring_keep]
+
+    # 4. orientation: outer CCW (area > 0), hole CW (area < 0)
+    want_neg = ohole
+    flip = (oarea > 0) == want_neg
+    if flip.any():
+        vidx = np.arange(len(ox), dtype=np.int64)
+        vr = np.searchsorted(out_off, vidx, side="right") - 1
+        f = flip[vr]
+        # reversed position within ring: first + (last - i)
+        rev = out_off[vr] + (out_off[vr + 1] - 1 - vidx)
+        perm = np.where(f, rev, vidx)
+        ox2, oy2 = np.empty_like(ox), np.empty_like(oy)
+        ox2[perm] = ox
+        oy2[perm] = oy
+        ox, oy = ox2, oy2
+        oarea = np.where(flip, -oarea, oarea)
+
+    return {"xs": ox, "ys": oy, "offsets": out_off,
+            "ring_keep": ring_keep, "signed_area": oarea}
+
+
+def rings_self_intersect(px: np.ndarray, py: np.ndarray,
+                         ring_offsets: np.ndarray) -> np.ndarray:
+    """Per-ring self-intersection detection (the ``strict`` probe for
+    external inputs; the reference would repair with ``buffer(0)``).
+
+    O(k²) segment test per ring, vectorized across each ring's segment
+    pairs — intended for validation paths, not the tile hot path.
+    """
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    n = len(ring_offsets) - 1
+    out = np.zeros(n, bool)
+    for r in range(n):
+        a, b = ring_offsets[r], ring_offsets[r + 1]
+        k = b - a
+        if k < 4:
+            continue
+        x = np.concatenate([px[a:b], px[a:a + 1]])
+        y = np.concatenate([py[a:b], py[a:a + 1]])
+        x0, y0, x1, y1 = x[:-1], y[:-1], x[1:], y[1:]
+        i, j = np.triu_indices(k, k=2)
+        # skip the wrap pair (first segment vs last segment share a vertex)
+        mask = ~((i == 0) & (j == k - 1))
+        i, j = i[mask], j[mask]
+        d = lambda ax, ay, bx, by, cx, cy: (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d1 = d(x0[i], y0[i], x1[i], y1[i], x0[j], y0[j])
+        d2 = d(x0[i], y0[i], x1[i], y1[i], x1[j], y1[j])
+        d3 = d(x0[j], y0[j], x1[j], y1[j], x0[i], y0[i])
+        d4 = d(x0[j], y0[j], x1[j], y1[j], x1[i], y1[i])
+        hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+        out[r] = bool(hit.any())
+    return out
