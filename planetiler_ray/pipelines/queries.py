@@ -343,6 +343,46 @@ FROM hil_hpos GROUP BY 1, 2, 3
 SQL_HILBERT_TILES_Z8 = _sql_hilbert_tiles_z8()
 
 
+def q_s2_cells_l12(sf_dir: str):
+    """S2 cell assignment (level 12) + level-6 parent rollup — the
+    spherical "H3/S2 cell encoder" path of the north star.  Events get
+    arithmetic lon/lat; batches encode via the vectorized Hilbert walk
+    (``tilemath/s2.py``); counts aggregate per (cell, parent)."""
+    from ..tilemath.s2 import cellid_parent, s2_encode
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _event_world(batch)
+        lon = t["wx"].to_numpy() * 360.0 - 180.0
+        lat = (t["wy"].to_numpy() - 0.5) * 170.0
+        c = s2_encode(lon, lat, 12)
+        return pa.table({"s2_cell": c.view(np.int64),
+                         "parent_l6": cellid_parent(c, 6).view(np.int64)})
+
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")
+    return ds.groupby(["s2_cell", "parent_l6"]).aggregate(Count(alias_name="n"))
+
+
+def _sql_s2_cells_l12() -> str:
+    from .sqlgen import s2_ctes, to_i64
+    lsb6 = 1 << (2 * (30 - 6))
+    # clear bits below the level-6 sentinel then OR it in (OR, not +:
+    # bit 48 may already be set in the level-12 id)
+    parent = f"(((cellid // {lsb6}::UBIGINT) * {lsb6}::UBIGINT) | {lsb6}::UBIGINT)"
+    return f"""
+WITH w AS ({_EVENT_WORLD_SQL}),
+g AS (SELECT event_id, wx*360.0 - 180.0 AS lon, (wy - 0.5)*170.0 AS lat FROM w),
+{s2_ctes(12, 'g', 'event_id').lstrip()}
+SELECT {to_i64('cellid')} AS s2_cell,
+       {to_i64(parent)} AS parent_l6,
+       count(*) AS n
+FROM s2id_cellid GROUP BY 1, 2
+"""
+
+
+SQL_S2_CELLS_L12 = _sql_s2_cells_l12()
+
+
 # ---------------------------------------------------------------------------
 # relational (general engine ops: joins, aggregates, sort, limit)
 # ---------------------------------------------------------------------------
@@ -746,6 +786,7 @@ QUERIES = {
     "labelgrid_topk_z10": q_labelgrid_topk_z10,
     "knn_tile_z6": q_knn_tile_z6,
     "hilbert_tiles_z8": q_hilbert_tiles_z8,
+    "s2_cells_l12": q_s2_cells_l12,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "nation_revenue": q_nation_revenue,
@@ -769,6 +810,7 @@ ORACLE_SQL = {
     "labelgrid_topk_z10": SQL_LABELGRID_TOPK_Z10,
     "knn_tile_z6": SQL_KNN_TILE_Z6,
     "hilbert_tiles_z8": SQL_HILBERT_TILES_Z8,
+    "s2_cells_l12": SQL_S2_CELLS_L12,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "nation_revenue": SQL_NATION_REVENUE,

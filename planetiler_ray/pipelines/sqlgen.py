@@ -150,6 +150,60 @@ def _nest_interleave(v: str) -> str:
     return e
 
 
+def s2_ctes(level: int, src: str, keys: str, lon_col: str = "lon",
+            lat_col: str = "lat", out: str = "cellid") -> str:
+    """CTE chain computing S2 cell ids (quadratic projection) of
+    (lon, lat) degrees — mirrors ``tilemath/s2.py`` bit-for-bit: cube
+    face selection, quadratic ST, MSB-first Hilbert orientation walk via
+    the public S2 sub-cell tables expressed as SQL list literals.  Final
+    CTE ``s2id_{out}`` has columns ``keys, {out}`` (UBIGINT)."""
+    ij2pos = "[0,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0]"
+    p2o = "[1,0,0,3]"
+    n = 1 << level
+    parts = [f"""
+s2xyz_{out} AS (SELECT {keys},
+    cos(radians({lat_col})) * cos(radians({lon_col})) AS px,
+    cos(radians({lat_col})) * sin(radians({lon_col})) AS py,
+    sin(radians({lat_col})) AS pz FROM {src}),
+s2f0_{out} AS (SELECT {keys}, px, py, pz,
+    CASE WHEN abs(px) >= abs(py)
+         THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END)
+         ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END AS f0
+    FROM s2xyz_{out}),
+s2face_{out} AS (SELECT {keys}, px, py, pz,
+    CASE WHEN (CASE f0 WHEN 0 THEN px WHEN 1 THEN py ELSE pz END) < 0
+         THEN f0 + 3 ELSE f0 END AS face FROM s2f0_{out}),
+s2uv_{out} AS (SELECT {keys}, face,
+    CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+              WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS uu,
+    CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+              WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS vv
+    FROM s2face_{out}),
+s2st_{out} AS (SELECT {keys}, face,
+    CASE WHEN uu >= 0 THEN 0.5*sqrt(1+3*uu) ELSE 1-0.5*sqrt(1-3*uu) END AS s,
+    CASE WHEN vv >= 0 THEN 0.5*sqrt(1+3*vv) ELSE 1-0.5*sqrt(1-3*vv) END AS t
+    FROM s2uv_{out}),
+s2ij_{out} AS (SELECT {keys}, face,
+    LEAST(GREATEST(CAST(floor(s*{n}) AS BIGINT), 0), {n - 1}) AS i,
+    LEAST(GREATEST(CAST(floor(t*{n}) AS BIGINT), 0), {n - 1}) AS j
+    FROM s2st_{out}),
+s2w{level}_{out} AS (SELECT {keys}, face, i, j,
+    (face % 2) AS orient, 0::UBIGINT AS pos FROM s2ij_{out})"""]
+    for k in range(level - 1, -1, -1):
+        lk = f"(orient*4 + ((i>>{k})&1)*2 + ((j>>{k})&1) + 1)"
+        p = f"({ij2pos})[{lk}]"
+        parts.append(f"""
+s2w{k}_{out} AS (SELECT {keys}, face, i, j,
+    xor(orient, CAST(({p2o})[{p} + 1] AS BIGINT)) AS orient,
+    pos*4::UBIGINT + CAST({p} AS UBIGINT) AS pos FROM s2w{k + 1}_{out})""")
+    lsb = 1 << (2 * (30 - level))
+    parts.append(f"""
+s2id_{out} AS (SELECT {keys},
+    CAST(face AS UBIGINT) * 2305843009213693952::UBIGINT
+      + pos * {2 * lsb}::UBIGINT + {lsb}::UBIGINT AS {out} FROM s2w0_{out})""")
+    return ",".join(parts)
+
+
 def zoom_start(z: int) -> int:
     """Prefix sum of 4^k for k<z (``TileCoord.startIndexForZoom``)."""
     return ((4 ** z) - 1) // 3
