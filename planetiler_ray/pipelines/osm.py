@@ -1,0 +1,453 @@
+"""OSM element pipelines: way→node join, relation multimap,
+multipolygon assembly — cluster-native re-expressions of the
+reference's two-pass OSM machinery.
+
+The reference resolves way geometries through a shared in-RAM node
+location map (``OsmReader.java`` pass1 → ``LongLongMap``, ~8 B × 10⁹
+nodes on EVERY worker) and assembles relation multipolygons from an
+in-process way cache (``OsmMultipolygon.java``).  At cluster scale a
+shared mutable map is the wrong primitive; here both lookups become
+**hash-partitioned exchange joins** on the engine's explicit shuffle
+(``stages/exchange.py``):
+
+  pass 1: nodes(node_id → lon/lat)   ways exploded to (node_id, way_id, seq)
+          both hash-partitioned by node_id → per-partition sorted
+          lookup (np.searchsorted) emits (way_id, seq, lon, lat)
+  pass 2: resolved points + way tag rows hash-partitioned by way_id →
+          vectorized segment assembly into coordinate lists
+
+Every per-element operation is numpy (lexsort + segment boundaries);
+Python touches only per-partition table plumbing.  Skew note: node ids
+are hashed with a Knuth multiplicative mix before the modulo, so
+id-locality (OSM ids are spatially clustered) does not skew
+partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.exchange import exchange_reduce
+from ..tilemath.projection import get_world_x, get_world_y
+
+_HASH_MULT = 2654435761
+
+
+def _part_of(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    return (((ids.astype(np.uint64) * np.uint64(_HASH_MULT))
+             >> np.uint64(16)) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _empty_join_schema() -> pa.Table:
+    return pa.table({
+        "part": pa.array([], pa.int64()),
+        "side": pa.array([], pa.int8()),
+        "node_id": pa.array([], pa.int64()),
+        "way_id": pa.array([], pa.int64()),
+        "seq": pa.array([], pa.int64()),
+        "lon": pa.array([], pa.float64()),
+        "lat": pa.array([], pa.float64()),
+    })
+
+
+def resolve_way_nodes(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
+                      num_partitions: int = 16) -> "ray.data.Dataset":
+    """Join each way ref against node locations →
+    Dataset(way_id, seq, lon, lat) — one row per way vertex."""
+
+    def node_side(batch: pa.Table) -> pa.Table:
+        ids = batch["node_id"].to_numpy()
+        n = len(ids)
+        return pa.table({
+            "part": pa.array(_part_of(ids, num_partitions)),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "node_id": pa.array(ids),
+            "way_id": pa.array(np.full(n, -1, np.int64)),
+            "seq": pa.array(np.full(n, -1, np.int64)),
+            "lon": batch["lon"],
+            "lat": batch["lat"],
+        })
+
+    def ref_side(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        refs = batch["refs"]
+        flat = pc.list_flatten(refs).to_numpy()
+        parent = pc.list_parent_indices(refs).to_numpy()
+        counts = pc.list_value_length(refs).to_numpy().astype(np.int64)
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        seq = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        way_ids = batch["way_id"].to_numpy()[parent]
+        m = len(flat)
+        return pa.table({
+            "part": pa.array(_part_of(flat, num_partitions)),
+            "side": pa.array(np.ones(m, np.int8)),
+            "node_id": pa.array(flat),
+            "way_id": pa.array(way_ids),
+            "seq": pa.array(seq),
+            "lon": pa.array(np.full(m, np.nan)),
+            "lat": pa.array(np.full(m, np.nan)),
+        })
+
+    left = nodes.map_batches(node_side, batch_format="pyarrow")
+    right = ways.map_batches(ref_side, batch_format="pyarrow")
+    both = left.union(right)
+
+    def join_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"way_id": pa.array([], pa.int64()),
+                             "seq": pa.array([], pa.int64()),
+                             "lon": pa.array([], pa.float64()),
+                             "lat": pa.array([], pa.float64())})
+        side = tbl["side"].to_numpy()
+        nid = tbl["node_id"].to_numpy()
+        is_node = side == 0
+        n_ids = nid[is_node]
+        order = np.argsort(n_ids, kind="stable")
+        n_sorted = n_ids[order]
+        n_lon = tbl["lon"].to_numpy()[is_node][order]
+        n_lat = tbl["lat"].to_numpy()[is_node][order]
+        r_ids = nid[~is_node]
+        pos = np.searchsorted(n_sorted, r_ids)
+        ok = (pos < len(n_sorted))
+        pos_c = np.minimum(pos, max(len(n_sorted) - 1, 0))
+        ok &= (n_sorted[pos_c] == r_ids) if len(n_sorted) else False
+        return pa.table({
+            "way_id": pa.array(tbl["way_id"].to_numpy()[~is_node][ok]),
+            "seq": pa.array(tbl["seq"].to_numpy()[~is_node][ok]),
+            "lon": pa.array(n_lon[pos_c[ok]]),
+            "lat": pa.array(n_lat[pos_c[ok]]),
+        })
+
+    return exchange_reduce(both, num_partitions, join_partition)
+
+
+def assemble_way_geometries(resolved: "ray.data.Dataset",
+                            ways: "ray.data.Dataset",
+                            num_partitions: int = 16) -> "ray.data.Dataset":
+    """(way_id, seq, lon, lat) rows + way tag rows → Dataset(way_id,
+    xs, ys [world mercator lists], n_refs, tag_keys, tag_vals).
+    Vectorized per partition: lexsort (way_id, seq) → segment
+    boundaries → one ListArray build."""
+
+    def point_side(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy()
+        n = len(wid)
+        return pa.table({
+            "part": pa.array(_part_of(wid, num_partitions)),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "way_id": batch["way_id"],
+            "seq": batch["seq"],
+            "lon": batch["lon"],
+            "lat": batch["lat"],
+            "tag_keys": pa.array([[]] * n, pa.list_(pa.string())),
+            "tag_vals": pa.array([[]] * n, pa.list_(pa.string())),
+        })
+
+    def meta_side(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy()
+        n = len(wid)
+        return pa.table({
+            "part": pa.array(_part_of(wid, num_partitions)),
+            "side": pa.array(np.ones(n, np.int8)),
+            "way_id": batch["way_id"],
+            "seq": pa.array(np.full(n, -1, np.int64)),
+            "lon": pa.array(np.full(n, np.nan)),
+            "lat": pa.array(np.full(n, np.nan)),
+            "tag_keys": batch["tag_keys"],
+            "tag_vals": batch["tag_vals"],
+        })
+
+    both = resolved.map_batches(point_side, batch_format="pyarrow").union(
+        ways.map_batches(meta_side, batch_format="pyarrow"))
+
+    def build(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "way_id": pa.array([], pa.int64()),
+            "xs": pa.array([], pa.list_(pa.float64())),
+            "ys": pa.array([], pa.list_(pa.float64())),
+            "n_refs": pa.array([], pa.int64()),
+            "tag_keys": pa.array([], pa.list_(pa.string())),
+            "tag_vals": pa.array([], pa.list_(pa.string())),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        tbl = tbl.combine_chunks()
+        side = tbl["side"].to_numpy()
+        pts = side == 0
+        wid = tbl["way_id"].to_numpy()[pts]
+        if len(wid) == 0:
+            return empty
+        seq = tbl["seq"].to_numpy()[pts]
+        lon = tbl["lon"].to_numpy()[pts]
+        lat = tbl["lat"].to_numpy()[pts]
+        order = np.lexsort((seq, wid))
+        wid, seq = wid[order], seq[order]
+        wx = get_world_x(lon[order])
+        wy = get_world_y(lat[order])
+        change = np.empty(len(wid), bool)
+        change[0] = True
+        change[1:] = np.diff(wid) != 0
+        starts = np.flatnonzero(change)
+        uniq = wid[starts]
+        counts = np.diff(np.append(starts, len(wid)))
+        off = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+        # attach tags: meta rows sorted by way_id, gathered per segment
+        mwid = tbl["way_id"].to_numpy()[~pts]
+        morder = np.argsort(mwid, kind="stable")
+        msorted = mwid[morder]
+        mpos = np.searchsorted(msorted, uniq)
+        has = mpos < len(msorted)
+        mpos_c = np.minimum(mpos, max(len(msorted) - 1, 0))
+        has &= (msorted[mpos_c] == uniq) if len(msorted) else False
+        tk = tbl["tag_keys"].combine_chunks()
+        tv = tbl["tag_vals"].combine_chunks()
+        meta_idx = np.flatnonzero(~pts)[morder][mpos_c]
+        take_idx = np.where(has, meta_idx, -1)
+        keys_col = tk.take(pa.array(take_idx, pa.int64()))
+        vals_col = tv.take(pa.array(take_idx, pa.int64()))
+        return pa.table({
+            "way_id": pa.array(uniq),
+            "xs": pa.ListArray.from_arrays(off, pa.array(wx)),
+            "ys": pa.ListArray.from_arrays(off, pa.array(wy)),
+            "n_refs": pa.array(counts.astype(np.int64)),
+            "tag_keys": keys_col,
+            "tag_vals": vals_col,
+        })
+
+    return exchange_reduce(both, num_partitions, build)
+
+
+def way_geometries(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
+                   num_partitions: int = 16) -> "ray.data.Dataset":
+    """The full two-pass resolve: nodes + ways → way geometries."""
+    resolved = resolve_way_nodes(nodes, ways, num_partitions)
+    return assemble_way_geometries(resolved, ways, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# relations: way→relation multimap + multipolygon assembly
+# ---------------------------------------------------------------------------
+
+
+def relation_way_members(relations: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Explode relation members of type way →
+    Dataset(way_id, rel_id, member_seq, role) — the reference's
+    way→relation multimap (``OsmReader.java`` relation preprocessing)
+    as a flat dataset."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        mids = batch["mem_ids"]
+        flat = pc.list_flatten(mids).to_numpy()
+        parent = pc.list_parent_indices(mids).to_numpy()
+        types = pc.list_flatten(batch["mem_types"]).to_numpy()
+        roles = pc.list_flatten(batch["mem_roles"]).to_pylist()
+        counts = pc.list_value_length(mids).to_numpy().astype(np.int64)
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        seq = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        is_way = types == 1
+        rel_ids = batch["rel_id"].to_numpy()[parent]
+        return pa.table({
+            "way_id": pa.array(flat[is_way]),
+            "rel_id": pa.array(rel_ids[is_way]),
+            "member_seq": pa.array(seq[is_way]),
+            "role": pa.array([roles[i] for i in np.flatnonzero(is_way)],
+                             pa.string()),
+        })
+
+    return relations.map_batches(explode, batch_format="pyarrow")
+
+
+def _stitch_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
+    """Connect open way segments end-to-end into closed rings —
+    ``OsmMultipolygon.connectPolygonSegments`` semantics (greedy
+    endpoint matching, either orientation).  Input/output coords are
+    (n, 2) arrays; unclosable leftovers are dropped (skip-and-count
+    convention)."""
+    segs = [s for s in segments if len(s) >= 2]
+    rings = []
+    while segs:
+        cur = segs.pop()
+        # already closed?
+        while not (len(cur) >= 4 and (cur[0] == cur[-1]).all()):
+            end = cur[-1]
+            found = None
+            for i, s in enumerate(segs):
+                if (s[0] == end).all():
+                    found, piece = i, s[1:]
+                    break
+                if (s[-1] == end).all():
+                    found, piece = i, s[::-1][1:]
+                    break
+            if found is None:
+                cur = None
+                break
+            segs.pop(found)
+            cur = np.vstack([cur, piece])
+        if cur is not None:
+            rings.append(cur[:-1])          # drop closing vertex
+    return rings
+
+
+def assemble_multipolygons(relations: "ray.data.Dataset",
+                           way_geoms: "ray.data.Dataset",
+                           num_partitions: int = 8) -> "ray.data.Dataset":
+    """type=multipolygon relations + member way geometries →
+    Dataset(rel_id, ring_idx, is_hole, xs, ys) with stitched rings and
+    the snap+fix orientation contract (outer CCW, hole CW) applied via
+    ``tilemath/validity.py``.
+
+    Join shape: members exploded → hash-partition by way_id against
+    way geometries (same exchange as the node join) → re-partition by
+    rel_id → per-relation stitching (relations are small: per-relation
+    Python is bounded by member count, not dataset size).
+    """
+    from ..tilemath.validity import snap_fix_rings
+
+    def is_mp(batch: pa.Table) -> pa.Table:
+        keys = batch["tag_keys"].to_pylist()
+        vals = batch["tag_vals"].to_pylist()
+        keep = [i for i, (ks, vs) in enumerate(zip(keys, vals))
+                if ks is not None and "type" in ks
+                and vs[ks.index("type")] in ("multipolygon", "boundary")]
+        return batch.take(pa.array(keep, pa.int64()))
+
+    members = relation_way_members(relations.map_batches(
+        is_mp, batch_format="pyarrow"))
+
+    # join members ↔ way geometries by way_id (exchange)
+    def mem_side(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy()
+        n = len(wid)
+        return pa.table({
+            "part": pa.array(_part_of(wid, num_partitions)),
+            "side": pa.array(np.ones(n, np.int8)),
+            "way_id": batch["way_id"],
+            "rel_id": batch["rel_id"],
+            "role": batch["role"],
+            "xs": pa.array([[]] * n, pa.list_(pa.float64())),
+            "ys": pa.array([[]] * n, pa.list_(pa.float64())),
+        })
+
+    def geom_side(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy()
+        n = len(wid)
+        return pa.table({
+            "part": pa.array(_part_of(wid, num_partitions)),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "way_id": batch["way_id"],
+            "rel_id": pa.array(np.full(n, -1, np.int64)),
+            "role": pa.array([""] * n, pa.string()),
+            "xs": batch["xs"],
+            "ys": batch["ys"],
+        })
+
+    both = way_geoms.map_batches(geom_side, batch_format="pyarrow").union(
+        members.map_batches(mem_side, batch_format="pyarrow"))
+
+    def join_geoms(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "rel_id": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "xs": pa.array([], pa.list_(pa.float64())),
+            "ys": pa.array([], pa.list_(pa.float64())),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        tbl = tbl.combine_chunks()
+        side = tbl["side"].to_numpy()
+        g = side == 0
+        gwid = tbl["way_id"].to_numpy()[g]
+        order = np.argsort(gwid, kind="stable")
+        gsorted = gwid[order]
+        mwid = tbl["way_id"].to_numpy()[~g]
+        pos = np.searchsorted(gsorted, mwid)
+        ok = pos < len(gsorted)
+        pos_c = np.minimum(pos, max(len(gsorted) - 1, 0))
+        ok &= (gsorted[pos_c] == mwid) if len(gsorted) else False
+        geom_rows = np.flatnonzero(g)[order][pos_c]
+        take = pa.array(np.where(ok, geom_rows, -1), pa.int64())
+        mem_rows = np.flatnonzero(~g)
+        okm = pa.array(mem_rows[ok], pa.int64())
+        return pa.table({
+            "rel_id": tbl["rel_id"].take(okm),
+            "role": tbl["role"].take(okm),
+            "xs": tbl["xs"].combine_chunks().take(
+                pa.array(geom_rows[ok], pa.int64())),
+            "ys": tbl["ys"].combine_chunks().take(
+                pa.array(geom_rows[ok], pa.int64())),
+        })
+
+    joined = exchange_reduce(both, num_partitions, join_geoms)
+
+    # re-partition by rel_id, stitch per relation
+    def rel_part(batch: pa.Table) -> pa.Table:
+        rid = batch["rel_id"].to_numpy()
+        return batch.append_column("part", pa.array(_part_of(rid, num_partitions)))
+
+    def stitch(tbl: pa.Table) -> pa.Table:
+        out = {"rel_id": [], "ring_idx": [], "is_hole": [],
+               "xs": [], "ys": []}
+        if tbl.num_rows:
+            tbl = tbl.combine_chunks()
+            rid = tbl["rel_id"].to_numpy()
+            order = np.argsort(rid, kind="stable")
+            rid = rid[order]
+            xs = tbl["xs"].to_pylist()
+            ys = tbl["ys"].to_pylist()
+            bounds = np.flatnonzero(np.diff(rid)) + 1
+            for seg in np.split(order, bounds):
+                r = int(tbl["rel_id"][seg[0]].as_py())
+                segs = [np.column_stack([xs[i], ys[i]]) for i in seg]
+                rings = _stitch_rings(segs)
+                if not rings:
+                    continue
+                flat_x = np.concatenate([rg[:, 0] for rg in rings])
+                flat_y = np.concatenate([rg[:, 1] for rg in rings])
+                roff = np.zeros(len(rings) + 1, np.int64)
+                np.cumsum([len(rg) for rg in rings], out=roff[1:])
+                # orientation: largest |area| ring = outer, others with
+                # opposite containment... simplified: area sign after
+                # normalize — outers are the rings not inside another
+                fixed = snap_fix_rings(flat_x, flat_y, roff,
+                                       is_hole=np.zeros(len(rings), bool),
+                                       scale=1e7)
+                # holes: rings whose bbox falls inside another kept ring
+                k = int(fixed["ring_keep"].sum())
+                offs = fixed["offsets"]
+                fx, fy = fixed["xs"], fixed["ys"]
+                boxes = [(fx[offs[i]:offs[i + 1]].min(), fy[offs[i]:offs[i + 1]].min(),
+                          fx[offs[i]:offs[i + 1]].max(), fy[offs[i]:offs[i + 1]].max())
+                         for i in range(k)]
+                for i in range(k):
+                    hole = any(j != i and boxes[j][0] <= boxes[i][0]
+                               and boxes[j][1] <= boxes[i][1]
+                               and boxes[j][2] >= boxes[i][2]
+                               and boxes[j][3] >= boxes[i][3]
+                               for j in range(k))
+                    seg_x = fx[offs[i]:offs[i + 1]]
+                    seg_y = fy[offs[i]:offs[i + 1]]
+                    if hole != (fixed["signed_area"][i] < 0):
+                        seg_x, seg_y = seg_x[::-1], seg_y[::-1]
+                    out["rel_id"].append(r)
+                    out["ring_idx"].append(i)
+                    out["is_hole"].append(hole)
+                    out["xs"].append(seg_x.tolist())
+                    out["ys"].append(seg_y.tolist())
+        return pa.table({
+            "rel_id": pa.array(out["rel_id"], pa.int64()),
+            "ring_idx": pa.array(out["ring_idx"], pa.int64()),
+            "is_hole": pa.array(out["is_hole"], pa.bool_()),
+            "xs": pa.array(out["xs"], pa.list_(pa.float64())),
+            "ys": pa.array(out["ys"], pa.list_(pa.float64())),
+        })
+
+    return exchange_reduce(
+        joined.map_batches(rel_part, batch_format="pyarrow"),
+        num_partitions, stitch)

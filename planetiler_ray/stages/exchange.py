@@ -40,6 +40,11 @@ def _split_block(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
     several batches are near-sorted, so skip the argsort when possible
     and slice zero-copy.
     """
+    if tbl.num_rows == 0 or "part" not in tbl.schema.names:
+        # Ray Data passes 0-row blocks through map_batches without
+        # calling the UDF, producing schema-less empties — route one
+        # (harmless) empty piece to every partition
+        return [tbl.slice(0, 0)] * num_partitions
     part = tbl.column("part").to_numpy()
     if len(part) == 0 or bool((np.diff(part) >= 0).all()):
         sorted_tbl, sp = tbl, part
@@ -90,15 +95,20 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     if n_blocks == 0:
         return ray.data.from_items([])
 
+    def _merge(tables):
+        live = [t for t in tables if t.num_rows]
+        if live:
+            return pa.concat_tables(live)
+        # all empty: prefer a typed empty over a schema-less one
+        return next((t for t in tables if t.num_columns), tables[0])
+
     @ray.remote
     def combine(*tables: pa.Table) -> pa.Table:
-        live = [t for t in tables if t.num_rows]
-        return pa.concat_tables(live) if live else tables[0]
+        return _merge(tables)
 
     @ray.remote
     def reduce_task(part_id: int, *tables: pa.Table) -> pa.Table:
-        live = [t for t in tables if t.num_rows]
-        merged = pa.concat_tables(live) if live else tables[0]
+        merged = _merge(tables)
         return reduce_fn(merged, part_id) if pass_part else reduce_fn(merged)
 
     run = (range(num_partitions) if parts_to_run is None

@@ -1,0 +1,142 @@
+"""OSM PBF reader + way/relation pipeline tests over a synthetic,
+deterministic PBF (hand-encoded protobuf, zlib blobs)."""
+
+import numpy as np
+import pytest
+
+import tests._osmpbf_writer as W
+from planetiler_ray.pipelines.osm import (assemble_multipolygons,
+                                          relation_way_members,
+                                          way_geometries)
+from planetiler_ray.sources.osmpbf import (decode_varints, read_osm_nodes,
+                                           read_osm_relations, read_osm_ways,
+                                           scan_blob_index, zigzag_decode)
+from planetiler_ray.tilemath.projection import get_world_x, get_world_y
+
+
+def test_decode_varints_vectors():
+    # 1, 300 (0xAC 0x02), 0, 2^40
+    buf = bytes([0x01, 0xAC, 0x02, 0x00]) + W.varint(1 << 40)
+    vals = decode_varints(np.frombuffer(buf, np.uint8))
+    assert vals.tolist() == [1, 300, 0, 1 << 40]
+
+
+def test_zigzag_roundtrip():
+    vals = np.array([0, -1, 1, -2, 2, -(1 << 40), 1 << 40], np.int64)
+    enc = np.array([W.zigzag(int(v)) for v in vals], np.uint64)
+    assert zigzag_decode(enc).tolist() == vals.tolist()
+
+
+STRINGS = ["", "type", "multipolygon", "outer", "inner", "highway",
+           "primary", "name", "Main St"]
+S = {s: i for i, s in enumerate(STRINGS)}
+
+
+@pytest.fixture()
+def pbf_file(tmp_path):
+    p = tmp_path / "test.osm.pbf"
+    node_ids = [1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12]
+    lons = [0.0, 4.0, 4.0, 0.0, 1.0, 2.0, 2.0, 1.0, 10.0, 11.0, 12.0]
+    lats = [0.0, 0.0, 4.0, 4.0, 1.0, 1.0, 2.0, 2.0, 10.0, 11.0, 10.0]
+    # node 10 tagged highway=primary
+    kv = [0] * 8 + [S["highway"], S["primary"], 0] + [0, 0]
+    g_nodes = W.dense_nodes(node_ids, lons, lats, kv)
+    g_ways = (W.way(100, [1, 2, 3])
+              + W.way(101, [3, 4, 1])
+              + W.way(102, [5, 6, 7, 8, 5])
+              + W.way(200, [10, 11, 12],
+                      keyidx=[S["highway"], S["name"]],
+                      validx=[S["primary"], S["Main St"]]))
+    g_rels = W.relation(500, [100, 101, 102], [1, 1, 1],
+                        [S["outer"], S["outer"], S["inner"]],
+                        keyidx=[S["type"]], validx=[S["multipolygon"]])
+    blocks = [
+        W.primitive_block(STRINGS, [g_nodes]),
+        W.primitive_block(STRINGS, [g_ways, g_rels]),
+    ]
+    W.write_pbf(p, blocks)
+    return p
+
+
+def test_scan_blob_index(pbf_file):
+    idx = scan_blob_index(str(pbf_file))
+    assert [b["type"] for b in idx] == ["OSMHeader", "OSMData", "OSMData"]
+
+
+def test_read_nodes(pbf_file, ray_session):
+    rows = sorted(read_osm_nodes(str(pbf_file)).take_all(),
+                  key=lambda r: r["node_id"])
+    assert [r["node_id"] for r in rows] == [1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12]
+    assert rows[1]["lon"] == pytest.approx(4.0)
+    assert rows[2]["lat"] == pytest.approx(4.0)
+    tagged = [r for r in rows if r["tag_keys"]]
+    assert len(tagged) == 1 and tagged[0]["node_id"] == 10
+    assert tagged[0]["tag_keys"] == ["highway"]
+    assert tagged[0]["tag_vals"] == ["primary"]
+
+
+def test_read_ways(pbf_file, ray_session):
+    rows = sorted(read_osm_ways(str(pbf_file)).take_all(),
+                  key=lambda r: r["way_id"])
+    assert [r["way_id"] for r in rows] == [100, 101, 102, 200]
+    assert rows[0]["refs"] == [1, 2, 3]
+    assert rows[2]["refs"] == [5, 6, 7, 8, 5]
+    assert rows[3]["tag_keys"] == ["highway", "name"]
+    assert rows[3]["tag_vals"] == ["primary", "Main St"]
+
+
+def test_read_relations(pbf_file, ray_session):
+    rows = read_osm_relations(str(pbf_file)).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rel_id"] == 500
+    assert r["mem_ids"] == [100, 101, 102]
+    assert r["mem_roles"] == ["outer", "outer", "inner"]
+    assert r["tag_keys"] == ["type"]
+
+
+def test_way_geometries_join(pbf_file, ray_session):
+    nodes = read_osm_nodes(str(pbf_file))
+    ways = read_osm_ways(str(pbf_file))
+    rows = sorted(way_geometries(nodes, ways, num_partitions=4).take_all(),
+                  key=lambda r: r["way_id"])
+    assert [r["way_id"] for r in rows] == [100, 101, 102, 200]
+    w200 = rows[3]
+    assert w200["n_refs"] == 3
+    assert w200["xs"][0] == pytest.approx(float(get_world_x(10.0)))
+    assert w200["ys"][1] == pytest.approx(float(get_world_y(11.0)))
+    assert w200["tag_keys"] == ["highway", "name"]
+    # way 102 keeps its closing duplicate ref (5 refs)
+    assert rows[2]["n_refs"] == 5
+
+
+def test_relation_way_members(pbf_file, ray_session):
+    rels = read_osm_relations(str(pbf_file))
+    rows = sorted(relation_way_members(rels).take_all(),
+                  key=lambda r: r["member_seq"])
+    assert [r["way_id"] for r in rows] == [100, 101, 102]
+    assert all(r["rel_id"] == 500 for r in rows)
+    assert [r["role"] for r in rows] == ["outer", "outer", "inner"]
+
+
+def test_assemble_multipolygons(pbf_file, ray_session):
+    nodes = read_osm_nodes(str(pbf_file))
+    ways = read_osm_ways(str(pbf_file))
+    rels = read_osm_relations(str(pbf_file))
+    geoms = way_geometries(nodes, ways, num_partitions=4)
+    rings = sorted(assemble_multipolygons(rels, geoms, num_partitions=2)
+                   .take_all(), key=lambda r: r["is_hole"])
+    assert len(rings) == 2
+    outer, hole = rings
+    assert not outer["is_hole"] and hole["is_hole"]
+    assert outer["rel_id"] == 500
+    assert len(outer["xs"]) == 4                 # stitched from 2 open ways
+    assert len(hole["xs"]) == 4                  # closed way, closure dropped
+    # orientation contract: outer CCW (positive shoelace), hole CW
+    def area(r):
+        x, y = np.asarray(r["xs"]), np.asarray(r["ys"])
+        return 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    assert area(outer) > 0
+    assert area(hole) < 0
+    # the hole's bbox sits inside the outer's bbox
+    assert min(outer["xs"]) < min(hole["xs"]) and max(hole["xs"]) < max(outer["xs"])
