@@ -73,12 +73,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from planetiler_ray.pipelines.tiles import (line_tile_summary,
                                                 poly_tile_summary)
 
+    from planetiler_ray.pipelines.queries_osm import QUERIES_OSM
+
     out = dict(QUERIES)
     out["image_pyramid_stats"] = _pyramid_query
     out["image_spatial_join_z12"] = _join_query
     out["mvt_tiles_z6"] = mvt_tile_summary
     out["line_tiles_z4"] = line_tile_summary
     out["poly_tiles_z5"] = poly_tile_summary
+    out.update(QUERIES_OSM)
     return out
 
 
@@ -90,10 +93,15 @@ def oracle_sql() -> dict[str, str]:
                                                  sql_mvt_tile_summary,
                                                  sql_poly_tile_summary)
 
+    from planetiler_ray.pipelines.sqlgen import (sql_osm_multipolygon_stats,
+                                                 sql_osm_way_stats)
+
     out = dict(ORACLE_SQL)
     out["image_pyramid_stats"] = sql_image_pyramid_stats()
     out["image_spatial_join_z12"] = sql_image_spatial_join()
     out["mvt_tiles_z6"] = sql_mvt_tile_summary()
     out["line_tiles_z4"] = sql_line_tile_summary()
     out["poly_tiles_z5"] = sql_poly_tile_summary()
+    out["osm_way_stats"] = sql_osm_way_stats()
+    out["osm_multipolygon_stats"] = sql_osm_multipolygon_stats()
     return out

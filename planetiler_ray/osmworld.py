@@ -1,0 +1,264 @@
+"""Deterministic synthetic OSM world → PBF fixture (no external data).
+
+Drives the OSM PBF reader family (``sources/osmpbf.py``,
+``pipelines/osm.py``) from the driver's correctness gate: every
+node/way/relation is a pure integer formula of its id, scaled by the
+``documents`` row count, so a DuckDB oracle can re-derive the exact
+same world from ``generate_series`` (see ``pipelines/sqlgen.py``
+``sql_osm_way_stats`` / ``sql_osm_multipolygon_stats``).
+
+World layout for ``n_docs`` documents:
+
+  generic nodes  i = 1..N,  N = 4·n_docs
+      lon_e7(i) = (i·2654435761) mod 3400000000 − 1700000000
+      lat_e7(i) = (i·2246822519) mod 1600000000 −  800000000
+      every 10th node carries tag ``poi = str(i mod 7)``
+  generic ways   w = 1..W,  W = n_docs
+      L(w) = 4 + (w mod 4) refs; ref k = 1 + (w·7919 + k·104729) mod N
+      tags: ``highway = CLS[w mod 5]``; ``name = "way " + w`` when w≡0 (3)
+  relations      r = 1..R,  R = max(1, n_docs // 100)
+      an axis-aligned square (side 0.04°) with a square hole
+      (side 0.012°), outer split into two open ways + one closed hole
+      way, roles outer/outer/inner, ``type=multipolygon``.
+      center:  cx_e7(r) = (r·1076767) mod 3000000000 − 1500000000
+               cy_e7(r) = (r·433494437) mod 1400000000 − 700000000
+      dedicated node ids 10^7 + 100r + 0..7, way ids 10^6 + 10r + 0..2.
+
+The PBF encoder here is a fixture generator, not a scale path — plain
+Python packing is fine at fixture sizes (≤10⁵ elements).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import tempfile
+import zlib
+
+import numpy as np
+
+CACHE_DIR = "/tmp/planetiler_ray_fixtures"
+
+LON_MULT, LON_MOD, LON_OFF = 2654435761, 3400000000, 1700000000
+LAT_MULT, LAT_MOD, LAT_OFF = 2246822519, 1600000000, 800000000
+REF_A, REF_B = 7919, 104729
+CX_MULT, CX_MOD, CX_OFF = 1076767, 3000000000, 1500000000
+CY_MULT, CY_MOD, CY_OFF = 433494437, 1400000000, 700000000
+SQ_HALF, HOLE_HALF = 200000, 60000           # 1e-7° units
+REL_NODE_BASE, REL_WAY_BASE = 10_000_000, 1_000_000
+CLS = ["motorway", "primary", "secondary", "residential", "path"]
+
+
+def node_lon_e7(i: np.ndarray) -> np.ndarray:
+    i = np.asarray(i, np.int64)
+    return (i * LON_MULT) % LON_MOD - LON_OFF
+
+
+def node_lat_e7(i: np.ndarray) -> np.ndarray:
+    i = np.asarray(i, np.int64)
+    return (i * LAT_MULT) % LAT_MOD - LAT_OFF
+
+
+def way_refs(w: int, n_nodes: int) -> list[int]:
+    L = 4 + (w % 4)
+    return [1 + (w * REF_A + k * REF_B) % n_nodes for k in range(L)]
+
+
+def rel_center_e7(r: int) -> tuple[int, int]:
+    return ((r * CX_MULT) % CX_MOD - CX_OFF,
+            (r * CY_MULT) % CY_MOD - CY_OFF)
+
+
+def rel_corners_e7(r: int) -> list[tuple[int, int]]:
+    """8 corners: outer square c0..c3 (CCW in lon/lat) then hole c4..c7."""
+    cx, cy = rel_center_e7(r)
+    out = []
+    for half in (SQ_HALF, HOLE_HALF):
+        out += [(cx - half, cy - half), (cx + half, cy - half),
+                (cx + half, cy + half), (cx - half, cy + half)]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf/PBF encode (fixture-only)
+# ---------------------------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _key(field: int, wt: int) -> bytes:
+    return _varint((field << 3) | wt)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _vi(field: int, v: int) -> bytes:
+    return _key(field, 0) + _varint(v)
+
+
+def _packed(field: int, values, zz=False) -> bytes:
+    return _ld(field, b"".join(
+        _varint(_zz(v) if zz else v) for v in values))
+
+
+def _delta(vals):
+    prev, out = 0, []
+    for v in vals:
+        out.append(v - prev)
+        prev = v
+    return out
+
+
+def _block(strings: list[str], groups: list[bytes]) -> bytes:
+    body = _ld(1, b"".join(_ld(1, s.encode()) for s in strings))
+    for g in groups:
+        body += _ld(2, g)
+    return body
+
+
+def _frame(btype: str, payload: bytes) -> bytes:
+    z = zlib.compress(payload)
+    blob = _vi(2, len(payload)) + _ld(3, z)
+    header = _ld(1, btype.encode()) + _vi(3, len(blob))
+    return struct.pack(">i", len(header)) + header + blob
+
+
+def _dense_nodes(ids, lat_e7, lon_e7, keys_vals) -> bytes:
+    # units are 1e-7° (granularity 100 × nano-degrees)
+    body = _packed(1, _delta(ids), zz=True)
+    body += _packed(8, _delta(lat_e7), zz=True)
+    body += _packed(9, _delta(lon_e7), zz=True)
+    if keys_vals:
+        body += _packed(10, keys_vals)
+    return _ld(2, body)
+
+
+def _way(wid, refs, keyidx=(), validx=()) -> bytes:
+    body = _vi(1, wid)
+    if keyidx:
+        body += _packed(2, keyidx)
+        body += _packed(3, validx)
+    body += _packed(8, _delta(refs), zz=True)
+    return _ld(3, body)
+
+
+def _relation(rid, memids, types, roleidx, keyidx=(), validx=()) -> bytes:
+    body = _vi(1, rid)
+    if keyidx:
+        body += _packed(2, keyidx)
+        body += _packed(3, validx)
+    body += _packed(8, roleidx)
+    body += _packed(9, _delta(memids), zz=True)
+    body += _packed(10, types)
+    return _ld(4, body)
+
+
+# ---------------------------------------------------------------------------
+# world generation
+# ---------------------------------------------------------------------------
+
+
+def build_osm_world(path: str, n_docs: int,
+                    nodes_per_block: int = 8000,
+                    ways_per_block: int = 2000) -> None:
+    n_nodes, n_ways = 4 * n_docs, n_docs
+    n_rels = max(1, n_docs // 100)
+    frames = []
+
+    # generic nodes (tag every 10th: poi = str(i % 7))
+    poi_strings = [str(d) for d in range(7)]
+    strings = ["", "poi"] + poi_strings
+    sidx = {s: i for i, s in enumerate(strings)}
+    for s in range(1, n_nodes + 1, nodes_per_block):
+        ids = list(range(s, min(s + nodes_per_block, n_nodes + 1)))
+        lons = node_lon_e7(np.array(ids)).tolist()
+        lats = node_lat_e7(np.array(ids)).tolist()
+        kv = []
+        for i in ids:
+            if i % 10 == 0:
+                kv += [sidx["poi"], sidx[str(i % 7)]]
+            kv.append(0)
+        frames.append(_frame("OSMData", _block(
+            strings, [_dense_nodes(ids, lats, lons, kv)])))
+
+    # generic ways
+    wstrings = ["", "highway", "name"] + CLS
+    widx = {s: i for i, s in enumerate(wstrings)}
+    for s in range(1, n_ways + 1, ways_per_block):
+        group = b""
+        names = []
+        for w in range(s, min(s + ways_per_block, n_ways + 1)):
+            keyi, vali = [widx["highway"]], [widx[CLS[w % 5]]]
+            if w % 3 == 0:
+                name = f"way {w}"
+                if name not in names:
+                    names.append(name)
+                keyi.append(widx["name"])
+                vali.append(len(wstrings) + names.index(name))
+            group += _way(w, way_refs(w, n_nodes), keyi, vali)
+        frames.append(_frame("OSMData", _block(wstrings + names, [group])))
+
+    # relations: square-with-hole multipolygons on dedicated nodes/ways
+    rstrings = ["", "type", "multipolygon", "outer", "inner"]
+    ridx = {s: i for i, s in enumerate(rstrings)}
+    nd_ids, nd_lon, nd_lat = [], [], []
+    wgroup, rgroup = b"", b""
+    for r in range(1, n_rels + 1):
+        corners = rel_corners_e7(r)
+        base = REL_NODE_BASE + 100 * r
+        for c, (x, y) in enumerate(corners):
+            nd_ids.append(base + c)
+            nd_lon.append(x)
+            nd_lat.append(y)
+        wb = REL_WAY_BASE + 10 * r
+        wgroup += _way(wb + 0, [base + 0, base + 1, base + 2])
+        wgroup += _way(wb + 1, [base + 2, base + 3, base + 0])
+        wgroup += _way(wb + 2, [base + 4, base + 5, base + 6, base + 7,
+                                base + 4])
+        rgroup += _relation(
+            REL_WAY_BASE * 10 + r, [wb, wb + 1, wb + 2], [1, 1, 1],
+            [ridx["outer"], ridx["outer"], ridx["inner"]],
+            keyidx=[ridx["type"]], validx=[ridx["multipolygon"]])
+    frames.append(_frame("OSMData", _block(
+        rstrings, [_dense_nodes(nd_ids, nd_lat, nd_lon, [0] * len(nd_ids)),
+                   wgroup, rgroup])))
+
+    head = _block(["", "synthetic"], [])
+    tmp = tempfile.mktemp(dir=os.path.dirname(path) or ".",
+                          suffix=".pbf.part")
+    with open(tmp, "wb") as f:
+        f.write(_frame("OSMHeader", head))
+        for fr in frames:
+            f.write(fr)
+    os.replace(tmp, path)                       # atomic: safe under races
+
+
+def osm_world_pbf(n_docs: int) -> str:
+    """Cached deterministic OSM PBF for a given documents row count."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"osmworld_{n_docs}.pbf")
+    if not os.path.exists(path):
+        build_osm_world(path, n_docs)
+    return path
+
+
+def docs_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")) \
+        .metadata.num_rows

@@ -1,0 +1,134 @@
+"""Driver queries over the deterministic OSM world (``osmworld.py``).
+
+These run the OSM PBF reader family end-to-end — container decode,
+node→way exchange join, relation multipolygon assembly — and reduce to
+small per-way / per-relation summaries a DuckDB oracle re-derives from
+``generate_series`` (``sqlgen.sql_osm_way_stats`` /
+``sql_osm_multipolygon_stats``).  Reference semantics:
+``reader/osm/OsmReader.java`` (two-pass resolve),
+``reader/osm/OsmMultipolygon.java`` (ring stitching).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..osmworld import REL_WAY_BASE, docs_count, osm_world_pbf
+from ..sources.osmpbf import (read_osm_nodes, read_osm_relations,
+                              read_osm_ways)
+from .osm import assemble_multipolygons, way_geometries
+
+
+def _minmax_per_list(col: pa.ChunkedArray):
+    """Per-row min & max over a list<double> column, vectorized."""
+    arr = col.combine_chunks()
+    flat = pc.list_flatten(arr).to_numpy()
+    counts = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return (np.minimum.reduceat(flat, starts),
+            np.maximum.reduceat(flat, starts))
+
+
+def q_osm_way_stats(sf_dir: str):
+    """Per generic way: ref count, tag count, coordinate bbox in world
+    mercator — exercises PBF decode + the node-location exchange join."""
+    n_docs = docs_count(sf_dir)
+    path = osm_world_pbf(n_docs)
+    geoms = way_geometries(read_osm_nodes(path), read_osm_ways(path),
+                           num_partitions=16)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keep = pc.less_equal(batch["way_id"], n_docs)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({
+                "way_id": pa.array([], pa.int64()),
+                "n_refs": pa.array([], pa.int64()),
+                "n_tags": pa.array([], pa.int64()),
+                "min_x": pa.array([], pa.float64()),
+                "max_x": pa.array([], pa.float64()),
+                "min_y": pa.array([], pa.float64()),
+                "max_y": pa.array([], pa.float64()),
+            })
+        min_x, max_x = _minmax_per_list(batch["xs"])
+        min_y, max_y = _minmax_per_list(batch["ys"])
+        return pa.table({
+            "way_id": batch["way_id"],
+            "n_refs": batch["n_refs"],
+            "n_tags": pc.cast(pc.list_value_length(
+                batch["tag_keys"].combine_chunks()), pa.int64()),
+            "min_x": pa.array(min_x),
+            "max_x": pa.array(max_x),
+            # mercator y is transcendental — numpy and the SQL oracle's
+            # libm can differ in the last ulp; both sides quantize to a
+            # 1e-9 grid (x is exact algebra, no quantize needed)
+            "min_y": pa.array(np.round(min_y * 1e9) / 1e9),
+            "max_y": pa.array(np.round(max_y * 1e9) / 1e9),
+        })
+
+    out = geoms.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("way_id").reset_index(drop=True)
+
+
+def q_osm_multipolygon_stats(sf_dir: str):
+    """Per multipolygon relation: ring/hole/vertex counts + snapped
+    vertex bbox — exercises member join + ring stitching + snap+fix."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    n_docs = docs_count(sf_dir)
+    path = osm_world_pbf(n_docs)
+    nodes = read_osm_nodes(path)
+    ways = read_osm_ways(path)
+    rels = read_osm_relations(path)
+    rings = assemble_multipolygons(
+        rels, way_geometries(nodes, ways, num_partitions=16),
+        num_partitions=4)
+
+    def per_ring(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rel_id" not in batch.schema.names:
+            return pa.table({
+                "rel_id": pa.array([], pa.int64()),
+                "is_hole_i": pa.array([], pa.int64()),
+                "n_v": pa.array([], pa.int64()),
+                "rmin_x": pa.array([], pa.float64()),
+                "rmax_x": pa.array([], pa.float64()),
+                "rmin_y": pa.array([], pa.float64()),
+                "rmax_y": pa.array([], pa.float64()),
+            })
+        batch = batch.combine_chunks()
+        min_x, max_x = _minmax_per_list(batch["xs"])
+        min_y, max_y = _minmax_per_list(batch["ys"])
+        return pa.table({
+            "rel_id": batch["rel_id"],
+            "is_hole_i": pc.cast(batch["is_hole"], pa.int64()),
+            "n_v": pc.cast(pc.list_value_length(
+                batch["xs"].combine_chunks()), pa.int64()),
+            "rmin_x": pa.array(min_x),
+            "rmax_x": pa.array(max_x),
+            "rmin_y": pa.array(min_y),
+            "rmax_y": pa.array(max_y),
+        })
+
+    agg = rings.map_batches(per_ring, batch_format="pyarrow") \
+        .groupby("rel_id") \
+        .aggregate(Count(alias_name="n_rings"),
+                   Sum("is_hole_i", alias_name="n_holes"),
+                   Sum("n_v", alias_name="n_vertices"),
+                   Min("rmin_x", alias_name="min_x"),
+                   Max("rmax_x", alias_name="max_x"),
+                   Min("rmin_y", alias_name="min_y"),
+                   Max("rmax_y", alias_name="max_y")) \
+        .to_pandas()
+    for c in ("n_rings", "n_holes", "n_vertices"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("rel_id").reset_index(drop=True)
+
+
+QUERIES_OSM = {
+    "osm_way_stats": q_osm_way_stats,
+    "osm_multipolygon_stats": q_osm_multipolygon_stats,
+}

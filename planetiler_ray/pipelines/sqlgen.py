@@ -797,3 +797,75 @@ pred AS (SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pre
          FROM best WHERE rn = 1)
 SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
 """
+
+
+# ---------------------------------------------------------------------------
+# OSM world oracles (osmworld.py formulas re-derived via generate_series)
+# ---------------------------------------------------------------------------
+
+
+def _merc_y(lat: str) -> str:
+    """World mercator y of a latitude expression — same op order as
+    ``tilemath/projection.get_world_y`` (no clamp: |lat| < 85°)."""
+    return (f"0.5 - 0.25 * ln((1 + sin(radians({lat}))) / "
+            f"(1 - sin(radians({lat})))) / pi()")
+
+
+def sql_osm_way_stats() -> str:
+    """Oracle for ``osm_way_stats``: per generic way of the synthetic
+    OSM world (``osmworld.py``), ref/tag counts + world-coord bbox."""
+    return f"""
+WITH p AS (SELECT count(*) AS n_docs, 4 * count(*) AS n_nodes FROM documents),
+w AS (SELECT CAST(row_number() OVER () AS BIGINT) AS w FROM documents),
+r AS (SELECT w.w, 1 + (w.w * 7919 + g.k * 104729) % p.n_nodes AS ni
+      FROM w, p, generate_series(0, 7) AS g(k)
+      WHERE g.k <= 3 + w.w % 4),
+c AS (SELECT w,
+        1e-9 * (100 * ((ni * 2654435761) % 3400000000 - 1700000000)) AS lon,
+        1e-9 * (100 * ((ni * 2246822519) % 1600000000 - 800000000)) AS lat
+      FROM r),
+v AS (SELECT w, (lon + 180) / 360 AS x, {_merc_y('lat')} AS y FROM c)
+SELECT w AS way_id,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(CASE WHEN w % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tags,
+       min(x) AS min_x, max(x) AS max_x,
+       round(min(y) * 1e9) / 1e9 AS min_y,
+       round(max(y) * 1e9) / 1e9 AS max_y
+FROM v GROUP BY w
+"""
+
+
+def sql_osm_multipolygon_stats() -> str:
+    """Oracle for ``osm_multipolygon_stats``: each synthetic relation is
+    a square-with-hole multipolygon; corners come straight from the
+    center formula, snapped to the 1e-7 world grid like the engine's
+    snap+fix ladder (``pipelines/osm.py`` stitch, scale=1e7)."""
+    return f"""
+WITH p AS (SELECT greatest(1, count(*) // 100) AS n_rels FROM documents),
+rn AS (SELECT CAST(row_number() OVER () AS BIGINT) AS r FROM documents),
+r AS (SELECT rn.r,
+        (rn.r * 1076767) % 3000000000 - 1500000000 AS cx,
+        (rn.r * 433494437) % 1400000000 - 700000000 AS cy
+      FROM rn, p WHERE rn.r <= p.n_rels),
+corner AS (SELECT r.r,
+        r.cx + (CASE g.c % 4 WHEN 0 THEN -1 WHEN 1 THEN 1 WHEN 2 THEN 1
+                ELSE -1 END) * (CASE WHEN g.c < 4 THEN 200000 ELSE 60000 END)
+            AS lon_e7,
+        r.cy + (CASE g.c % 4 WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN 1
+                ELSE 1 END) * (CASE WHEN g.c < 4 THEN 200000 ELSE 60000 END)
+            AS lat_e7
+      FROM r, generate_series(0, 7) AS g(c)),
+ll AS (SELECT r, 1e-9 * (100 * lon_e7) AS lon, 1e-9 * (100 * lat_e7) AS lat
+       FROM corner),
+v AS (SELECT r,
+        round(((lon + 180) / 360) * 1e7) / 1e7 AS x,
+        round(({_merc_y('lat')}) * 1e7) / 1e7 AS y
+      FROM ll)
+SELECT 10000000 + r AS rel_id,
+       CAST(2 AS BIGINT) AS n_rings,
+       CAST(1 AS BIGINT) AS n_holes,
+       CAST(8 AS BIGINT) AS n_vertices,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM v GROUP BY r
+"""
