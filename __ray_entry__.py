@@ -93,7 +93,8 @@ def oracle_sql() -> dict[str, str]:
                                                  sql_mvt_tile_summary,
                                                  sql_poly_tile_summary)
 
-    from planetiler_ray.pipelines.sqlgen import (sql_osm_multipolygon_stats,
+    from planetiler_ray.pipelines.sqlgen import (sql_osm_line_tiles,
+                                                 sql_osm_multipolygon_stats,
                                                  sql_osm_way_stats)
 
     out = dict(ORACLE_SQL)
@@ -104,4 +105,5 @@ def oracle_sql() -> dict[str, str]:
     out["poly_tiles_z5"] = sql_poly_tile_summary()
     out["osm_way_stats"] = sql_osm_way_stats()
     out["osm_multipolygon_stats"] = sql_osm_multipolygon_stats()
+    out["osm_line_tiles"] = sql_osm_line_tiles()
     return out

@@ -128,7 +128,77 @@ def q_osm_multipolygon_stats(sf_dir: str):
     return agg.sort_values("rel_id").reset_index(drop=True)
 
 
+def q_osm_line_tiles(sf_dir: str, zoom: int = 6):
+    """OSM ways → MVT line-layer tiles: the reference's core dataflow
+    (PBF → resolve → stripe-clip → per-tile MVT encode), summarized per
+    tile and replayed by the SQL oracle (``sqlgen.sql_osm_line_tiles``)."""
+    from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_lines
+    from ..tilemath.tilecoord import tms_encode
+    from .tiles import line_parts_per_tile
+
+    n_docs = docs_count(sf_dir)
+    path = osm_world_pbf(n_docs)
+    geoms = way_geometries(read_osm_nodes(path), read_osm_ways(path),
+                           num_partitions=16)
+    f = float(1 << zoom)
+    buf = DEFAULT_BUFFER_PX / 256.0
+
+    def fan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "tile_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "part_seq": pa.array([], pa.int64()),
+            "vx": pa.array([], pa.list_(pa.float32())),
+            "vy": pa.array([], pa.list_(pa.float32())),
+        })
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.combine_chunks()
+        batch = batch.filter(pc.less_equal(batch["way_id"], n_docs))
+        if batch.num_rows == 0:
+            return empty
+        xs_l = batch["xs"].combine_chunks()
+        ys_l = batch["ys"].combine_chunks()
+        offs = np.asarray(xs_l.offsets.to_numpy(), np.int64)
+        r = slice_lines(xs_l.flatten().to_numpy() * f,
+                        ys_l.flatten().to_numpy() * f,
+                        offs, zoom, buf)
+        n_parts = len(r["x"])
+        if n_parts == 0:
+            return empty
+        wid = batch["way_id"].to_numpy()[r["line"]]
+        # part_seq: occurrence order within each line (slice_lines emits
+        # a line's parts in segment order)
+        order = np.argsort(r["line"], kind="stable")
+        starts = np.zeros(n_parts, np.int64)
+        change = np.empty(n_parts, bool)
+        change[0] = True
+        change[1:] = np.diff(r["line"][order]) != 0
+        run_start = np.flatnonzero(change)
+        rel = np.arange(n_parts) - np.repeat(
+            run_start, np.diff(np.append(run_start, n_parts)))
+        part_seq = np.empty(n_parts, np.int64)
+        part_seq[order] = rel
+        del starts
+        tid = tms_encode(r["x"], r["y"], np.full(n_parts, zoom, np.int64))
+        off = pa.array(r["part_offsets"].astype(np.int32))
+        return pa.table({
+            "tile_id": pa.array(tid),
+            "user_id": pa.array(wid),
+            "part_seq": pa.array(part_seq),
+            "vx": pa.ListArray.from_arrays(
+                off, pa.array(r["vx"].astype(np.float32))),
+            "vy": pa.ListArray.from_arrays(
+                off, pa.array(r["vy"].astype(np.float32))),
+        })
+
+    return geoms.map_batches(fan, batch_format="pyarrow") \
+        .groupby("tile_id").map_groups(line_parts_per_tile,
+                                       batch_format="pyarrow")
+
+
 QUERIES_OSM = {
     "osm_way_stats": q_osm_way_stats,
     "osm_multipolygon_stats": q_osm_multipolygon_stats,
+    "osm_line_tiles": q_osm_line_tiles,
 }

@@ -345,20 +345,51 @@ def sql_line_tile_summary(zoom: int = 4) -> str:
     Liang-Barsky interval clipping, part stitching and zigzag-delta
     encoding re-derived in SQL windows."""
     nt = 1 << zoom
-    buf = 4.0 / 256
-    qax = _q("(ax + t0 * dx - gx) * 256")
-    qay = _q("(ay + t0 * dy - gy) * 256")
-    qex = _q("(ax + t1 * dx - gx) * 256")
-    qey = _q("(ay + t1 * dy - gy) * 256")
-    return f"""
-WITH w AS (
+    source = f"""w AS (
     SELECT user_id, ts, event_id,
            (((event_id * 2654435761) % 4294967296) / 4294967296.0) * {nt} AS px,
            (0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0)) * {nt} AS py
     FROM events),
 o AS (SELECT user_id, px, py,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM w),
+      FROM w)"""
+    return _line_clip_sql(source, zoom)
+
+
+def sql_osm_line_tiles(zoom: int = 6) -> str:
+    """Oracle for ``osm_line_tiles``: generic OSM-world ways rendered as
+    the MVT line layer — the same Liang-Barsky clip/encode replay as
+    ``sql_line_tile_summary``, sourced from the formula-derived way
+    vertices (``osmworld.py``)."""
+    nt = 1 << zoom
+    source = f"""p AS (SELECT count(*) AS n_docs, 4 * count(*) AS n_nodes FROM documents),
+w0 AS (SELECT CAST(row_number() OVER () AS BIGINT) AS w FROM documents),
+rr AS (SELECT w0.w, g.k, 1 + (w0.w * 7919 + g.k * 104729) % p.n_nodes AS ni
+       FROM w0, p, generate_series(0, 7) AS g(k)
+       WHERE g.k <= 3 + w0.w % 4),
+ll AS (SELECT w, k,
+        1e-9 * (100 * ((ni * 2654435761) % 3400000000 - 1700000000)) AS lon,
+        1e-9 * (100 * ((ni * 2246822519) % 1600000000 - 800000000)) AS lat
+       FROM rr),
+o AS (SELECT w AS user_id, k + 1 AS rn,
+        ((lon + 180) / 360) * {nt} AS px,
+        ({_merc_y('lat')}) * {nt} AS py
+      FROM ll)"""
+    return _line_clip_sql(source, zoom)
+
+
+def _line_clip_sql(source_cte: str, zoom: int) -> str:
+    """Liang-Barsky stripe-clip + MVT command-sum replay over a source
+    CTE chain ending in ``o(user_id, rn, px, py)`` — px/py in tile
+    units at ``zoom``, rn consecutive per line."""
+    nt = 1 << zoom
+    buf = 4.0 / 256
+    qax = _q("(ax + t0 * dx - gx) * 256")
+    qay = _q("(ay + t0 * dy - gy) * 256")
+    qex = _q("(ax + t1 * dx - gx) * 256")
+    qey = _q("(ay + t1 * dy - gy) * 256")
+    return f"""
+WITH {source_cte},
 seg AS (SELECT user_id, rn AS s, px AS ax, py AS ay,
                lead(px) OVER (PARTITION BY user_id ORDER BY rn) AS bx,
                lead(py) OVER (PARTITION BY user_id ORDER BY rn) AS by

@@ -358,39 +358,46 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
         .map_batches(pts, batch_format="pyarrow") \
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
 
-    def per_tile(grp: pa.Table) -> pa.Table:
-        if grp.num_rows == 0:
-            return pa.table({k: pa.array([], pa.int64()) for k in
-                             ("tile_id", "n_parts", "n_vertices", "geom_sum")})
-        order = np.lexsort((grp["part_seq"].to_numpy(),
-                            grp["user_id"].to_numpy(),
-                            grp["tile_id"].to_numpy()))
-        grp = grp.take(pa.array(order))
-        tid = grp["tile_id"].to_numpy()
-        uid = grp["user_id"].to_numpy()
-        vx_l = grp["vx"].combine_chunks()
-        vy_l = grp["vy"].combine_chunks()
-        voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
-        vx = vx_l.flatten().to_numpy()
-        vy = vy_l.flatten().to_numpy()
-        n = len(tid)
-        _, blobs = encode_tile_batch(
-            tid, np.full(n, 2, np.int8), np.full(n, KIND_LINE, np.int8),
-            uid, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
-            {2: "lines"}, line_verts=(vx, vy, voff))
-        out = {"tile_id": [], "n_parts": [], "n_vertices": [], "geom_sum": []}
-        utid = tid[np.concatenate([[True], np.diff(tid) != 0])] if n else []
-        for t_id, blob in zip(utid, blobs):
-            lay = decode_tile(blob.as_py())["lines"]
-            nv = sum((len(ft["geometry"]) - 2) // 2 for ft in lay["features"])
-            gs = sum(sum(ft["geometry"]) for ft in lay["features"])
-            out["tile_id"].append(int(t_id))
-            out["n_parts"].append(len(lay["features"]))
-            out["n_vertices"].append(int(nv))
-            out["geom_sum"].append(int(gs))
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    return parts.groupby("tile_id").map_groups(line_parts_per_tile,
+                                               batch_format="pyarrow")
 
-    return parts.groupby("tile_id").map_groups(per_tile, batch_format="pyarrow")
+
+def line_parts_per_tile(grp: pa.Table) -> pa.Table:
+    """Per-tile reduce shared by the line-layer summaries: sort parts
+    (tile, line, part_seq), encode a real MVT ``lines`` layer, decode it
+    with the independent decoder, summarize counts + command sum."""
+    from ..tilemath.mvt_pb import KIND_LINE, decode_tile, encode_tile_batch
+
+    if grp.num_rows == 0:
+        return pa.table({k: pa.array([], pa.int64()) for k in
+                         ("tile_id", "n_parts", "n_vertices", "geom_sum")})
+    order = np.lexsort((grp["part_seq"].to_numpy(),
+                        grp["user_id"].to_numpy(),
+                        grp["tile_id"].to_numpy()))
+    grp = grp.take(pa.array(order))
+    tid = grp["tile_id"].to_numpy()
+    uid = grp["user_id"].to_numpy()
+    vx_l = grp["vx"].combine_chunks()
+    vy_l = grp["vy"].combine_chunks()
+    voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+    vx = vx_l.flatten().to_numpy()
+    vy = vy_l.flatten().to_numpy()
+    n = len(tid)
+    _, blobs = encode_tile_batch(
+        tid, np.full(n, 2, np.int8), np.full(n, KIND_LINE, np.int8),
+        uid, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
+        {2: "lines"}, line_verts=(vx, vy, voff))
+    out = {"tile_id": [], "n_parts": [], "n_vertices": [], "geom_sum": []}
+    utid = tid[np.concatenate([[True], np.diff(tid) != 0])] if n else []
+    for t_id, blob in zip(utid, blobs):
+        lay = decode_tile(blob.as_py())["lines"]
+        nv = sum((len(ft["geometry"]) - 2) // 2 for ft in lay["features"])
+        gs = sum(sum(ft["geometry"]) for ft in lay["features"])
+        out["tile_id"].append(int(t_id))
+        out["n_parts"].append(len(lay["features"]))
+        out["n_vertices"].append(int(nv))
+        out["geom_sum"].append(int(gs))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
