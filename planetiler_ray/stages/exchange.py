@@ -17,6 +17,14 @@ object store exactly like any Ray shuffle; there is no central sorter.
 Skew is handled upstream by the equal-frequency Hilbert bounds (dense
 key ranges → narrower partitions).
 
+At large block × partition products the flat exchange would make the
+driver hold B×P piece refs (10⁵ blocks × 10³ partitions = 10⁸ refs).
+Above ``two_level_threshold`` pieces the exchange switches to a
+coarse-bucket two-level split: blocks split into ~√P contiguous
+partition-range buckets first, then each bucket's pieces re-split into
+its local partitions while the driver iterates buckets — peak
+driver-held refs drop to O(B·√P) and per-task return counts stay ≤√P.
+
 This is the one place the engine drops below the Dataset API — the
 Dataset ``groupby`` cannot express "rows are already partitioned;
 just exchange them".  Input and output are still Datasets.
@@ -24,6 +32,7 @@ just exchange them".  Input and output are still Datasets.
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import numpy as np
@@ -33,8 +42,13 @@ import ray
 import ray.data
 
 
-def _split_block(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
-    """Split one block into per-partition sub-tables (vectorized).
+def _split_block(tbl: pa.Table, num_targets: int,
+                 key_offset: int = 0, key_div: int = 1) -> list[pa.Table]:
+    """Split one block into per-target sub-tables (vectorized).
+
+    Target of a row = ``(part - key_offset) // key_div`` — identity for
+    the flat exchange, the coarse bucket id for level 1 of the two-level
+    exchange, the bucket-local partition for level 2.
 
     Fan-out batches arrive pre-sorted by ``part``; blocks concatenating
     several batches are near-sorted, so skip the argsort when possible
@@ -43,19 +57,20 @@ def _split_block(tbl: pa.Table, num_partitions: int) -> list[pa.Table]:
     if tbl.num_rows == 0 or "part" not in tbl.schema.names:
         # Ray Data passes 0-row blocks through map_batches without
         # calling the UDF, producing schema-less empties — route one
-        # (harmless) empty piece to every partition
-        return [tbl.slice(0, 0)] * num_partitions
+        # (harmless) empty piece to every target
+        return [tbl.slice(0, 0)] * num_targets
     part = tbl.column("part").to_numpy()
-    if len(part) == 0 or bool((np.diff(part) >= 0).all()):
+    if bool((np.diff(part) >= 0).all()):
         sorted_tbl, sp = tbl, part
     else:
         order = np.argsort(part, kind="stable")
         sorted_tbl = tbl.take(pa.array(order))
         sp = part[order]
-    # boundaries of each partition id within the sorted block
-    starts = np.searchsorted(sp, np.arange(num_partitions + 1))
+    key = (sp - key_offset) // key_div if (key_offset or key_div != 1) else sp
+    # boundaries of each target id within the sorted block
+    starts = np.searchsorted(key, np.arange(num_targets + 1))
     out = []
-    for p in range(num_partitions):
+    for p in range(num_targets):
         lo, hi = int(starts[p]), int(starts[p + 1])
         out.append(sorted_tbl.slice(lo, hi - lo))
     return out
@@ -65,7 +80,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
                     reduce_fn: Callable[..., pa.Table],
                     parts_to_run: np.ndarray | None = None,
                     pass_part: bool = False,
-                    max_fanin: int = 64) -> "ray.data.Dataset":
+                    max_fanin: int = 64,
+                    two_level_threshold: int = 65536) -> "ray.data.Dataset":
     """Exchange fan-out blocks by precomputed ``part`` and reduce each.
 
     ``parts_to_run``: optional subset of partition ids (resume support —
@@ -77,21 +93,25 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     of combine tasks merges pieces level by level, so reduce-task
     argument lists and single concat widths stay bounded at any block
     count (the segmented-merge analog of the reference's k-way
-    ``LongMerger``).  Driver-held refs remain O(blocks × partitions)
-    transiently; at ≥10⁵ blocks the next step is a coarse-bucket
-    two-level exchange (split into √P buckets, re-split inside).
+    ``LongMerger``).
+    ``two_level_threshold``: when blocks × partitions exceeds this, use
+    the coarse-bucket two-level split (see module docstring) so the
+    driver never materializes the full B×P ref matrix.
     Returns a Dataset of the concatenated reduce outputs.
     """
     # stream blocks out of the fan-out as they complete and launch their
     # split tasks immediately — overlaps the map side with the exchange
     # (no barrier until the reduce, which inherently needs every piece)
-    split = ray.remote(num_returns=num_partitions)(_split_block)
-    pieces = []
-    for bundle in frags.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            out = split.remote(block_ref, num_partitions)
-            pieces.append([out] if num_partitions == 1 else out)
-    n_blocks = len(pieces)
+    split = ray.remote(_split_block)
+
+    def launch_split(ref, n, offset=0, div=1):
+        out = split.options(num_returns=n).remote(ref, n, offset, div)
+        return [out] if n == 1 else out
+
+    block_refs = [block_ref
+                  for bundle in frags.iter_internal_ref_bundles()
+                  for block_ref in bundle.block_refs]
+    n_blocks = len(block_refs)
     if n_blocks == 0:
         return ray.data.from_items([])
 
@@ -111,13 +131,40 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         merged = _merge(tables)
         return reduce_fn(merged, part_id) if pass_part else reduce_fn(merged)
 
-    run = (range(num_partitions) if parts_to_run is None
-           else [int(p) for p in parts_to_run])
-    out_refs = []
-    for p in run:
-        refs = [pieces[b][p] for b in range(n_blocks)]
+    run = sorted(range(num_partitions) if parts_to_run is None
+                 else [int(p) for p in parts_to_run])
+
+    def tree_reduce(p: int, refs: list) -> "ray.ObjectRef":
         while len(refs) > max_fanin:
             refs = [combine.remote(*refs[i:i + max_fanin])
                     for i in range(0, len(refs), max_fanin)]
-        out_refs.append(reduce_task.remote(p, *refs))
+        return reduce_task.remote(p, *refs)
+
+    out_refs = []
+    if n_blocks * num_partitions <= two_level_threshold or num_partitions < 4:
+        # flat exchange: one split per block, B×P refs is affordable
+        pieces = [launch_split(ref, num_partitions) for ref in block_refs]
+        for p in run:
+            out_refs.append(tree_reduce(p, [pieces[b][p]
+                                            for b in range(n_blocks)]))
+        return ray.data.from_arrow_refs(out_refs)
+
+    # two-level: coarse buckets of ~√P contiguous partitions
+    bucket_size = max(1, math.ceil(math.sqrt(num_partitions)))
+    n_buckets = math.ceil(num_partitions / bucket_size)
+    coarse = [launch_split(ref, n_buckets, 0, bucket_size)
+              for ref in block_refs]
+    run_arr = np.asarray(run, np.int64)
+    for g in range(n_buckets):
+        p_lo = g * bucket_size
+        p_hi = min(p_lo + bucket_size, num_partitions)
+        local = run_arr[(run_arr >= p_lo) & (run_arr < p_hi)]
+        if len(local) == 0:
+            continue
+        sub = [launch_split(coarse[b][g], p_hi - p_lo, p_lo, 1)
+               for b in range(n_blocks)]
+        for p in local:
+            out_refs.append(tree_reduce(int(p), [sub[b][p - p_lo]
+                                                 for b in range(n_blocks)]))
+        del sub                  # bucket refs released before the next bucket
     return ray.data.from_arrow_refs(out_refs)

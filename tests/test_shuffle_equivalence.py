@@ -59,3 +59,41 @@ def test_tree_merge_fanin_identical(ray_session):
     assert a["tile_id"].equals(b["tile_id"])
     assert a["content_hash"].equals(b["content_hash"])
     assert a["n_features"].equals(b["n_features"])
+
+
+def test_two_level_exchange_identical(ray_session):
+    """The coarse-bucket two-level exchange (driver refs O(B·√P)) must
+    produce exactly the flat exchange's output, including with a
+    parts_to_run subset (resume path)."""
+    from functools import partial
+
+    import ray.data as rd
+
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import (render_fragments,
+                                                sample_partition_bounds)
+    from planetiler_ray.stages.exchange import exchange_reduce
+    from planetiler_ray.stages.reduce import reduce_partition
+    from planetiler_ray.stages.render import RenderConfig
+
+    n = 200
+    path = fixtures.images_parquet(n, with_bytes=False)
+    cfg = RenderConfig(0, 4)
+    bounds = sample_partition_bounds(fixtures.image_ids(n), cfg, 11)
+    red = partial(reduce_partition, with_feature_ids=False)
+
+    def run(threshold, parts=None):
+        ds = rd.read_parquet(path, columns=["image_id"], override_num_blocks=8)
+        frags = render_fragments(ds, cfg, bounds, slim=False)
+        return exchange_reduce(frags, 11, red, parts_to_run=parts,
+                               two_level_threshold=threshold) \
+            .to_pandas().sort_values("tile_id").reset_index(drop=True)
+
+    flat, two = run(1 << 30), run(1)          # force both paths
+    assert flat["tile_id"].equals(two["tile_id"])
+    assert flat["content_hash"].equals(two["content_hash"])
+
+    sub = np.array([2, 5, 9])
+    flat_s, two_s = run(1 << 30, parts=sub), run(1, parts=sub)
+    assert flat_s["tile_id"].equals(two_s["tile_id"])
+    assert flat_s["content_hash"].equals(two_s["content_hash"])
