@@ -708,6 +708,48 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_wikidata_names(sf_dir: str):
+    """Wikidata-translations analog (``util/Wikidata.java`` +
+    ``util/Translations.java``): a small qid→(lang,label) table derived
+    from ``nation`` is broadcast once (``ray.put``) and applied to every
+    supplier batch with vectorized searchsorted lookups; a supplier's
+    own ``name:de`` tag (every 7th supplier) wins over the wikidata
+    label, per the provider preference order."""
+    from ..functions.translations import TranslationIndex, translate_names
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    langs = ("en", "de", "fr")
+    qids = np.repeat(nat["n_nationkey"].to_numpy(np.int64), len(langs))
+    lang_arr = np.array(list(langs) * len(nat), object)
+    names = np.array([f"{n}-{lg}" for n in nat["n_name"] for lg in langs],
+                     object)
+    index = TranslationIndex(qids, lang_arr, names)
+
+    def own_tags(t: pa.Table) -> pa.Table:
+        key = t["s_suppkey"].to_numpy()
+        own = np.where(key % 7 == 0,
+                       np.char.add(t["s_name"].to_numpy(zero_copy_only=False)
+                                   .astype(str), "@de"), None)
+        return t.append_column("name_tag_de", pa.array(own, pa.string()))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_name"]) \
+        .map_batches(own_tags, batch_format="pyarrow")
+    out = translate_names(sup, index, langs, qid_col="s_nationkey") \
+        .select_columns(["s_suppkey", "name_en", "name_de", "name_fr"]) \
+        .to_pandas()
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+SQL_WIKIDATA_NAMES = """
+SELECT s_suppkey,
+       n_name || '-en' AS name_en,
+       CASE WHEN s_suppkey % 7 = 0 THEN s_name || '@de'
+            ELSE n_name || '-de' END AS name_de,
+       n_name || '-fr' AS name_fr
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 def q_trajectory_simplify(sf_dir: str):
     """Per-user trajectory Douglas-Peucker simplification.
 
@@ -799,6 +841,7 @@ QUERIES = {
     "trajectory_simplify": q_trajectory_simplify,
     "distinct_event_types": q_distinct_event_types,
     "order_status_counts": q_order_status_counts,
+    "wikidata_names": q_wikidata_names,
 }
 
 ORACLE_SQL = {
@@ -823,4 +866,5 @@ ORACLE_SQL = {
     "trajectory_simplify": SQL_TRAJECTORY_SIMPLIFY,
     "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
     "order_status_counts": SQL_ORDER_STATUS_COUNTS,
+    "wikidata_names": SQL_WIKIDATA_NAMES,
 }

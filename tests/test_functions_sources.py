@@ -148,3 +148,30 @@ class TestBoxMergeProfile:
         assert plain["n_features"].sum() >= merged["n_features"].sum()
         multi = plain[plain["n_features"] > 1]
         assert len(multi) > 0  # the hotspot fixture guarantees dense tiles
+
+
+def test_translation_index_semantics(ray_session):
+    """Provider order (Translations.java): own tag > wikidata > null;
+    missing qids and languages resolve to null."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from planetiler_ray.functions.translations import (TranslationIndex,
+                                                       translate_names)
+
+    idx = TranslationIndex(
+        np.array([1, 1, 2]), np.array(["en", "de", "en"], object),
+        np.array(["one", "eins", "two"], object))
+    assert idx.lookup("en", np.array([2, 1, 99])).tolist() == \
+        ["two", "one", None]
+    assert idx.lookup("xx", np.array([1])).tolist() == [None]
+
+    ds = rd.from_arrow(pa.table({
+        "wikidata_qid": pa.array([1, 2, 3], pa.int64()),
+        "name_tag_de": pa.array(["own-de", None, None], pa.string()),
+    }))
+    out = translate_names(ds, idx, ("en", "de")).to_pandas() \
+        .sort_values("wikidata_qid")
+    assert out["name_en"].tolist() == ["one", "two", None]
+    assert out["name_de"].tolist() == ["own-de", None, None]
