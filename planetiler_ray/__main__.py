@@ -89,6 +89,52 @@ def cmd_build(args) -> dict:
     return out
 
 
+def cmd_osm(args) -> dict:
+    """OSM PBF + YAML profile → tile archive — the reference's main
+    ``Planetiler.create(args)...run()`` flow."""
+    import numpy as np
+    import pyarrow as pa
+
+    _init_ray(args.num_cpus)
+    t0 = time.monotonic()
+    from .config import osm_rules_from_yaml
+    from .pipelines.osm import build_osm_tiles
+    from .sources.osmpbf import read_osm_nodes, read_osm_ways
+
+    rules = osm_rules_from_yaml(args.profile)
+    tiles = build_osm_tiles(read_osm_nodes(args.input),
+                            read_osm_ways(args.input), rules,
+                            min_zoom=args.min_zoom, max_zoom=args.max_zoom,
+                            num_partitions=args.partitions)
+
+    def add_hilbert(batch: pa.Table) -> pa.Table:
+        from .tilemath.tilecoord import hilbert_xy_to_index, zoom_start_index
+        z = batch["z"].to_numpy().astype(np.int64)
+        hil = np.empty(batch.num_rows, np.int64)
+        x = batch["x"].to_numpy().astype(np.int64)
+        y = batch["y"].to_numpy().astype(np.int64)
+        for zz in np.unique(z):
+            m = z == zz
+            hil[m] = zoom_start_index(int(zz)) + \
+                hilbert_xy_to_index(int(zz), x[m], y[m])
+        return batch.append_column("hilbert_id", pa.array(hil))
+
+    tiles = tiles.map_batches(add_hilbert, batch_format="pyarrow")
+    if args.format == "pmtiles":
+        from .sinks_pmtiles import write_pmtiles
+        out = write_pmtiles(tiles, args.out, min_zoom=args.min_zoom,
+                            max_zoom=args.max_zoom)
+    elif args.format == "mbtiles":
+        from .sinks_mbtiles import write_mbtiles
+        out = write_mbtiles(tiles, args.out)
+    else:
+        from . import sinks
+        out = {"n_tiles": sinks.write_files(tiles, args.out)}
+    out = dict(out)
+    out["wall_sec"] = round(time.monotonic() - t0, 2)
+    return out
+
+
 def cmd_validate(args) -> dict:
     from .validator import run_spec
 
@@ -130,6 +176,18 @@ def main(argv=None) -> int:
     pb.add_argument("--slim", action="store_true", help="skip feature-id lists")
     pb.add_argument("--num-cpus", type=int, default=None)
     pb.set_defaults(fn=cmd_build)
+
+    po = sub.add_parser("osm", help="OSM PBF + YAML profile → tile archive")
+    po.add_argument("--input", required=True, help="path to .osm.pbf")
+    po.add_argument("--profile", required=True, help="YAML layer rules")
+    po.add_argument("--out", required=True)
+    po.add_argument("--min-zoom", type=int, default=0)
+    po.add_argument("--max-zoom", type=int, default=14)
+    po.add_argument("--partitions", type=int, default=64)
+    po.add_argument("--format", default="pmtiles",
+                    choices=["pmtiles", "mbtiles", "files"])
+    po.add_argument("--num-cpus", type=int, default=None)
+    po.set_defaults(fn=cmd_osm)
 
     pv = sub.add_parser("validate", help="run a YAML schema spec (profile --tests analog)")
     pv.add_argument("--spec", required=True)

@@ -80,3 +80,43 @@ def profile_from_yaml(path: str) -> ConfiguredProfile:
     with open(path) as f:
         doc = yaml.safe_load(f)
     return ConfiguredProfile(doc.get("profile", doc))
+
+
+def osm_rules_from_yaml(path: str) -> list:
+    """Load OSM profile layer rules from the custommap-style YAML:
+
+        layers:
+          - name: roads
+            element: line            # point | line | area
+            include_when: {field: highway, present: true}
+            attrs: [highway, name]
+
+    Each ``include_when`` boolean tree compiles to a vectorized
+    expression mask (``compile_expression``)."""
+    from .pipelines.osm import OsmLayerRule
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    rules = []
+    for lay in cfg.get("layers", []):
+        expr = compile_expression(lay["include_when"]) \
+            if "include_when" in lay else (
+                lambda t: __import__("pyarrow").array([True] * t.num_rows))
+        # fields referenced anywhere in the boolean tree must be
+        # promoted from the tag lists even when not kept as attrs
+        def walk(node, acc):
+            if isinstance(node, dict):
+                if "field" in node:
+                    acc.add(node["field"])
+                for v in node.values():
+                    walk(v, acc)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v, acc)
+            return acc
+        fields = walk(lay.get("include_when", {}), set())
+        rules.append(OsmLayerRule(
+            lay["name"], lay.get("element", "line"), expr,
+            attrs=tuple(lay.get("attrs", [])),
+            tag_keys=tuple(sorted(fields))))
+    return rules

@@ -49,6 +49,10 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
             min_pixel_size: float, attr_cols: tuple[str, ...]) -> pa.Table:
     kinds = batch["kind"].to_numpy(zero_copy_only=False)
     gids = batch["geom_id"].to_numpy()
+    # optional per-row MVT layer (profile rules) overrides the
+    # kind-derived layer id
+    row_layer = (batch["layer_id"].to_numpy()
+                 if "layer_id" in batch.schema.names else None)
     xs_l = batch["xs"].combine_chunks()
     ys_l = batch["ys"].combine_chunks()
     offs = np.asarray(xs_l.offsets.to_numpy(), np.int64)
@@ -80,7 +84,9 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
             return
         out["tile_id"].append(tid)
         out["z"].append(np.full(n, z, np.int8))
-        out["layer"].append(np.full(n, layer_id, np.int8))
+        out["layer"].append(row_layer[rows].astype(np.int8)
+                            if row_layer is not None
+                            else np.full(n, layer_id, np.int8))
         out["kind"].append(np.full(n, kind_id, np.int8))
         out["geom_id"].append(gids[rows])
         out["is_fill"].append(is_fill if is_fill is not None
@@ -243,7 +249,8 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
 
 
 def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
-                  line_merge: dict | None = None) -> pa.Table:
+                  line_merge: dict | None = None,
+                  layer_names: dict | None = None) -> pa.Table:
     if grp.num_rows and line_merge is not None:
         grp = _merge_tile_lines(grp, attr_cols, line_merge)
     if grp.num_rows == 0:
@@ -278,7 +285,8 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
     utid, blobs = encode_tile_batch(
         tid, grp["layer"].to_numpy(), kind, gid, ax, ay,
         np.full(n, np.nan), np.full(n, np.nan),
-        LAYER_NAMES, attrs or None, line_verts=(vx, vy, voff))
+        layer_names if layer_names is not None else LAYER_NAMES,
+        attrs or None, line_verts=(vx, vy, voff))
 
     from ..tilemath.tilecoord import tms_decode
     x_t, y_t, z_t = tms_decode(utid)
@@ -306,17 +314,22 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                          buffer_px: float = DEFAULT_BUFFER_PX,
                          min_pixel_size: float = 1.0,
                          attr_cols: tuple[str, ...] = (),
-                         line_merge: dict | None = None
+                         line_merge: dict | None = None,
+                         layer_names: dict | None = None
                          ) -> "ray.data.Dataset":
     """rows(geom_id, kind, xs, ys [, attrs…]) → MVT tile Dataset.
 
     ``line_merge``: LoopLineMerger options (min_length, loop_min_length,
     stub_min_length, tolerance, precision) applied per (tile,
     identical-attrs) group inside the reduce — the
-    ``FeatureMerge.mergeLineStrings`` hook."""
+    ``FeatureMerge.mergeLineStrings`` hook.
+    ``layer_names``: custom MVT layer names keyed by layer id; rows may
+    carry a per-row ``layer_id`` column (profile rules) which overrides
+    the kind-derived layer."""
     fan = partial(_fanout, min_zoom=min_zoom, max_zoom=max_zoom,
                   buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
                   attr_cols=attr_cols)
-    enc = partial(_encode_tiles, attr_cols=attr_cols, line_merge=line_merge)
+    enc = partial(_encode_tiles, attr_cols=attr_cols, line_merge=line_merge,
+                  layer_names=layer_names)
     return geoms.map_batches(fan, batch_format="pyarrow") \
         .groupby("tile_id").map_groups(enc, batch_format="pyarrow")

@@ -451,3 +451,200 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
     return exchange_reduce(
         joined.map_batches(rel_part, batch_format="pyarrow"),
         num_partitions, stitch)
+
+
+# ---------------------------------------------------------------------------
+# OSM profile: tagged elements → named MVT layers (the Planetiler main flow)
+# ---------------------------------------------------------------------------
+
+
+def tags_to_columns(batch: pa.Table, keys: tuple[str, ...],
+                    key_col: str = "tag_keys",
+                    val_col: str = "tag_vals") -> pa.Table:
+    """Promote selected OSM tags from the parallel list columns to flat
+    string columns (null where absent) — vectorized over the flattened
+    key stream, the columnar analog of the reference's per-element
+    ``SourceFeature.getTag`` calls."""
+    batch = batch.combine_chunks()
+    tk = batch[key_col].combine_chunks()
+    flat_k = pc.list_flatten(tk)
+    flat_v = pc.list_flatten(batch[val_col].combine_chunks())
+    parents = pc.list_parent_indices(tk).to_numpy()
+    vals_np = flat_v.to_numpy(zero_copy_only=False)
+    for key in keys:
+        hit = pc.equal(flat_k, key).to_numpy(zero_copy_only=False)
+        hit = np.asarray(hit, bool)
+        col = np.full(batch.num_rows, None, dtype=object)
+        col[parents[hit]] = vals_np[hit]
+        batch = batch.append_column(key, pa.array(col, pa.string()))
+    return batch
+
+
+def _drop_last_vertex(col) -> pa.ListArray:
+    """Rebuild a list<double> column without each row's final vertex."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.asarray(arr.offsets.to_numpy(), np.int64)
+    flat = arr.flatten().to_numpy()
+    counts = np.diff(off)
+    keep = np.ones(len(flat), bool)
+    keep[off[1:][counts > 0] - 1] = False
+    new_off = np.concatenate(
+        [[0], np.cumsum(np.maximum(counts - 1, 0))]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(new_off), pa.array(flat[keep]))
+
+
+class OsmLayerRule:
+    """One profile layer: which elements land in which named MVT layer.
+
+    The declarative unit of the ``Profile.processFeature`` switch every
+    reference profile implements (e.g. ``ForwardingProfile`` handlers):
+    ``element`` ∈ {"point", "line", "area"} selects node features, open
+    ways, or closed ways rendered as polygons; ``match`` is a compiled
+    tag expression (``functions/expression.py``) over the promoted tag
+    columns; ``attrs`` are the tag keys carried into MVT feature attrs.
+    """
+
+    def __init__(self, name: str, element: str, match, *,
+                 attrs: tuple[str, ...] = (), tag_keys: tuple[str, ...] = ()):
+        assert element in ("point", "line", "area")
+        self.name = name
+        self.element = element
+        self.match = match
+        self.attrs = tuple(attrs)
+        # keys the match expression needs beyond the attrs
+        self.tag_keys = tuple(dict.fromkeys(tag_keys + attrs))
+
+
+def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
+                 rules: list[OsmLayerRule],
+                 num_partitions: int = 16) -> "ray.data.Dataset":
+    """Nodes + resolved ways → profile-filtered geometry rows
+    (geom_id, kind, xs, ys, layer_id, attr columns)."""
+    all_attrs = tuple(dict.fromkeys(a for r in rules for a in r.attrs))
+    layer_ids = {name: i for i, name in enumerate(
+        dict.fromkeys(r.name for r in rules))}
+
+    def empty() -> pa.Table:
+        cols = {"geom_id": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.string()),
+                "layer_id": pa.array([], pa.int8()),
+                "xs": pa.array([], pa.list_(pa.float64())),
+                "ys": pa.array([], pa.list_(pa.float64()))}
+        for a in all_attrs:
+            cols[a] = pa.array([], pa.string())
+        return pa.table(cols)
+
+    def apply_rules(batch: pa.Table, element_kinds: dict) -> pa.Table:
+        """element_kinds: rule.element → (kind string, row mask fn)."""
+        parts = []
+        for r in rules:
+            if r.element not in element_kinds:
+                continue
+            kind, elem_mask = element_kinds[r.element]
+            m = r.match(batch)
+            m = pc.and_(m, elem_mask) if elem_mask is not None else m
+            sub = batch.filter(m)
+            if sub.num_rows == 0:
+                continue
+            xs, ys = sub["xs"], sub["ys"]
+            if r.element == "area":
+                # drop the closing vertex: rings are open in the
+                # geometry pipeline
+                xs, ys = _drop_last_vertex(xs), _drop_last_vertex(ys)
+            cols = {"geom_id": sub["geom_id"],
+                    "kind": pa.array([kind] * sub.num_rows, pa.string()),
+                    "layer_id": pa.array(
+                        np.full(sub.num_rows, layer_ids[r.name], np.int8)),
+                    "xs": xs, "ys": ys}
+            for a in all_attrs:
+                cols[a] = (sub[a] if a in r.attrs
+                           else pa.array([None] * sub.num_rows, pa.string()))
+            parts.append(pa.table(cols))
+        if not parts:
+            return empty()
+        return pa.concat_tables(parts, promote_options="default")
+
+    way_rules = [r for r in rules if r.element in ("line", "area")]
+    node_rules = [r for r in rules if r.element == "point"]
+    out = []
+
+    if way_rules:
+        way_keys = tuple(dict.fromkeys(
+            k for r in way_rules for k in r.tag_keys))
+        geoms = way_geometries(nodes, ways, num_partitions)
+
+        def ways_fn(batch: pa.Table, keys=way_keys) -> pa.Table:
+            if batch.num_rows == 0 or "way_id" not in batch.schema.names:
+                return empty()
+            batch = tags_to_columns(batch, keys)
+            xs_l = batch["xs"].combine_chunks()
+            ys_l = batch["ys"].combine_chunks()
+            off = np.asarray(xs_l.offsets.to_numpy(), np.int64)
+            fx = xs_l.flatten().to_numpy()
+            fy = ys_l.flatten().to_numpy()
+            nv = np.diff(off)
+            has = nv > 0
+            first_i = np.where(has, off[:-1], 0)
+            last_i = np.where(has, off[1:] - 1, 0)
+            closed_np = (has & (nv >= 4)
+                         & (fx[first_i] == fx[last_i])
+                         & (fy[first_i] == fy[last_i]))
+            closed = pa.array(closed_np)
+            open_m = pa.array(~closed_np)
+            batch = batch.rename_columns(
+                ["geom_id" if c == "way_id" else c
+                 for c in batch.schema.names])
+            return apply_rules(batch, {"line": ("line", open_m),
+                                       "area": ("polygon", closed)})
+
+        out.append(geoms.map_batches(ways_fn, batch_format="pyarrow"))
+
+    if node_rules:
+        node_keys = tuple(dict.fromkeys(
+            k for r in node_rules for k in r.tag_keys))
+
+        def nodes_fn(batch: pa.Table, keys=node_keys) -> pa.Table:
+            if batch.num_rows == 0 or "node_id" not in batch.schema.names:
+                return empty()
+            batch = tags_to_columns(batch, keys)
+            wx = get_world_x(batch["lon"].to_numpy())
+            wy = get_world_y(batch["lat"].to_numpy())
+            off = pa.array(np.arange(batch.num_rows + 1, dtype=np.int32))
+            batch = batch.append_column("xs", pa.ListArray.from_arrays(
+                off, pa.array(wx)))
+            batch = batch.append_column("ys", pa.ListArray.from_arrays(
+                off, pa.array(wy)))
+            batch = batch.rename_columns(
+                ["geom_id" if c == "node_id" else c
+                 for c in batch.schema.names])
+            return apply_rules(batch, {"point": ("point", None)})
+
+        out.append(nodes.map_batches(nodes_fn, batch_format="pyarrow"))
+
+    if not out:
+        return ray.data.from_arrow(empty())
+    ds = out[0]
+    for o in out[1:]:
+        ds = ds.union(o)
+    return ds
+
+
+def build_osm_tiles(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
+                    rules: list[OsmLayerRule], min_zoom: int = 0,
+                    max_zoom: int = 14, num_partitions: int = 16,
+                    line_merge: dict | None = None,
+                    min_pixel_size: float = 1.0) -> "ray.data.Dataset":
+    """The Planetiler main flow, Ray-Data-native: OSM elements →
+    profile rules → named MVT layers → tile Dataset (ready for the
+    PMTiles/MBTiles sinks).  ``Planetiler.java:791-996`` +
+    ``Profile.processFeature`` semantics."""
+    from .geometry import build_geometry_tiles
+
+    all_attrs = tuple(dict.fromkeys(a for r in rules for a in r.attrs))
+    names = {i: name for i, name in enumerate(
+        dict.fromkeys(r.name for r in rules))}
+    feats = osm_features(nodes, ways, rules, num_partitions)
+    return build_geometry_tiles(feats, min_zoom=min_zoom, max_zoom=max_zoom,
+                                attr_cols=all_attrs, line_merge=line_merge,
+                                layer_names=names,
+                                min_pixel_size=min_pixel_size)

@@ -140,3 +140,52 @@ def test_assemble_multipolygons(pbf_file, ray_session):
     assert area(hole) < 0
     # the hole's bbox sits inside the outer's bbox
     assert min(outer["xs"]) < min(hole["xs"]) and max(hole["xs"]) < max(outer["xs"])
+
+
+def test_build_osm_tiles_profile(pbf_file, ray_session):
+    """Planetiler main flow: PBF + profile rules → named MVT layers.
+
+    way 200 (open, highway=primary) → 'roads' line; way 102 (closed
+    square) → 'buildings' polygon; node 10 (highway=primary) → 'pois'
+    point; untagged open ways drop."""
+    import pyarrow as pa
+
+    from planetiler_ray.functions.expression import match_field
+    from planetiler_ray.pipelines.osm import OsmLayerRule, build_osm_tiles
+    from planetiler_ray.tilemath.mvt_pb import decode_tile
+
+    def always(t):
+        return pa.array([True] * t.num_rows)
+
+    rules = [
+        OsmLayerRule("roads", "line", match_field("highway"),
+                     attrs=("highway", "name")),
+        OsmLayerRule("buildings", "area", always),
+        OsmLayerRule("pois", "point", match_field("highway"),
+                     attrs=("highway",)),
+    ]
+    tiles = build_osm_tiles(read_osm_nodes(str(pbf_file)),
+                            read_osm_ways(str(pbf_file)), rules,
+                            min_zoom=0, max_zoom=2, min_pixel_size=0.5,
+                            num_partitions=4).to_pandas()
+    z0 = tiles[tiles.z == 0]
+    assert len(z0) == 1
+    t = decode_tile(bytes(z0.iloc[0]["mvt_bytes"]))
+    assert set(t) == {"roads", "buildings", "pois"}
+
+    def attrs_of(layer, ft):
+        kv = ft["tags"]
+        return {layer["keys"][kv[i]]: layer["values"][kv[i + 1]]
+                for i in range(0, len(kv), 2)}
+
+    road = t["roads"]["features"]
+    assert len(road) == 1
+    attrs = attrs_of(t["roads"], road[0])
+    assert attrs.get("highway") == "primary"
+    assert attrs.get("name") == "Main St"
+    assert len(t["buildings"]["features"]) >= 1
+    poi = t["pois"]["features"]
+    assert len(poi) == 1
+    assert attrs_of(t["pois"], poi[0]).get("highway") == "primary"
+    # higher zooms still carry the layers that survive the size gate
+    assert (tiles.z.max()) == 2
