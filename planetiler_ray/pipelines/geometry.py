@@ -315,7 +315,9 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                          min_pixel_size: float = 1.0,
                          attr_cols: tuple[str, ...] = (),
                          line_merge: dict | None = None,
-                         layer_names: dict | None = None
+                         layer_names: dict | None = None,
+                         shuffle: str = "exchange",
+                         num_partitions: int = 64
                          ) -> "ray.data.Dataset":
     """rows(geom_id, kind, xs, ys [, attrs…]) → MVT tile Dataset.
 
@@ -325,11 +327,38 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
     ``FeatureMerge.mergeLineStrings`` hook.
     ``layer_names``: custom MVT layer names keyed by layer id; rows may
     carry a per-row ``layer_id`` column (profile rules) which overrides
-    the kind-derived layer."""
+    the kind-derived layer.
+    ``shuffle``: "exchange" (default) hash-partitions tiles into
+    ``num_partitions`` explicit exchange partitions and encodes many
+    tiles per reduce task — per-tile ``map_groups`` ("groupby") spends
+    a task per tile, which anti-scales at planet tile counts."""
     fan = partial(_fanout, min_zoom=min_zoom, max_zoom=max_zoom,
                   buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
                   attr_cols=attr_cols)
     enc = partial(_encode_tiles, attr_cols=attr_cols, line_merge=line_merge,
                   layer_names=layer_names)
-    return geoms.map_batches(fan, batch_format="pyarrow") \
-        .groupby("tile_id").map_groups(enc, batch_format="pyarrow")
+    frags = geoms.map_batches(fan, batch_format="pyarrow")
+    if shuffle == "groupby":
+        return frags.groupby("tile_id").map_groups(enc,
+                                                   batch_format="pyarrow")
+
+    from ..stages.exchange import exchange_reduce
+    from ..tilemath.hashing import mix64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "tile_id" not in batch.schema.names:
+            return batch
+        tid = batch["tile_id"].to_numpy().astype(np.uint64)
+        part = (mix64(tid) % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def encode_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows and "part" in tbl.schema.names:
+            tbl = tbl.drop_columns(["part"])
+        # _encode_tiles sorts by (tile, layer, geom) and emits one row
+        # per distinct tile — a whole partition encodes in one task
+        return enc(tbl)
+
+    return exchange_reduce(frags.map_batches(add_part,
+                                             batch_format="pyarrow"),
+                           num_partitions, encode_part)

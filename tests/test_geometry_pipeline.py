@@ -158,3 +158,41 @@ class TestTileLineMerge:
         (row,) = tiles.to_dict("records")
         lay = decode_tile(row["mvt_bytes"])["lines"]
         assert len(lay["features"]) == 2
+
+
+def test_geometry_shuffle_strategies_identical(ray_session):
+    """Exchange-partitioned encode must equal the per-tile groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from planetiler_ray.pipelines.geometry import build_geometry_tiles
+
+    rng = np.random.default_rng(3)
+    n = 40
+    xs, ys, kinds = [], [], []
+    for i in range(n):
+        k = ("point", "line", "polygon")[i % 3]
+        m = 1 if k == "point" else 4
+        x0, y0 = rng.uniform(0.2, 0.8, 2)
+        px = x0 + rng.uniform(0, 0.05, m)
+        py = y0 + rng.uniform(0, 0.05, m)
+        xs.append(px.tolist()); ys.append(py.tolist()); kinds.append(k)
+    geoms = pa.table({
+        "geom_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array(kinds, pa.string()),
+        "xs": pa.array(xs, pa.list_(pa.float64())),
+        "ys": pa.array(ys, pa.list_(pa.float64())),
+    })
+
+    def run(shuffle):
+        return build_geometry_tiles(rd.from_arrow(geoms), 0, 5,
+                                    shuffle=shuffle, num_partitions=7) \
+            .to_pandas().sort_values("tile_id").reset_index(drop=True)
+
+    a, b = run("groupby"), run("exchange")
+    assert a["tile_id"].equals(b["tile_id"])
+    assert a["content_hash"].equals(b["content_hash"])
+    assert a["n_features"].equals(b["n_features"])
+    assert all(bytes(x) == bytes(y)
+               for x, y in zip(a["mvt_bytes"], b["mvt_bytes"]))
