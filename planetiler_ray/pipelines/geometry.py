@@ -341,24 +341,7 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
     if shuffle == "groupby":
         return frags.groupby("tile_id").map_groups(enc,
                                                    batch_format="pyarrow")
-
-    from ..stages.exchange import exchange_reduce
-    from ..tilemath.hashing import mix64
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "tile_id" not in batch.schema.names:
-            return batch
-        tid = batch["tile_id"].to_numpy().astype(np.uint64)
-        part = (mix64(tid) % np.uint64(num_partitions)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
-
-    def encode_part(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows and "part" in tbl.schema.names:
-            tbl = tbl.drop_columns(["part"])
-        # _encode_tiles sorts by (tile, layer, geom) and emits one row
-        # per distinct tile — a whole partition encodes in one task
-        return enc(tbl)
-
-    return exchange_reduce(frags.map_batches(add_part,
-                                             batch_format="pyarrow"),
-                           num_partitions, encode_part)
+    # _encode_tiles sorts by (tile, layer, geom) and emits one row per
+    # distinct tile — a whole hash partition encodes in one task
+    from .tiles import tile_hash_exchange
+    return tile_hash_exchange(frags, enc, num_partitions)

@@ -192,9 +192,9 @@ def q_osm_line_tiles(sf_dir: str, zoom: int = 6):
                 off, pa.array(r["vy"].astype(np.float32))),
         })
 
-    return geoms.map_batches(fan, batch_format="pyarrow") \
-        .groupby("tile_id").map_groups(line_parts_per_tile,
-                                       batch_format="pyarrow")
+    from .tiles import tile_hash_exchange
+    return tile_hash_exchange(geoms.map_batches(fan, batch_format="pyarrow"),
+                              line_parts_per_tile)
 
 
 QUERIES_OSM = {

@@ -358,8 +358,35 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
         .map_batches(pts, batch_format="pyarrow") \
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
 
-    return parts.groupby("tile_id").map_groups(line_parts_per_tile,
-                                               batch_format="pyarrow")
+    return tile_hash_exchange(parts, line_parts_per_tile)
+
+
+def tile_hash_exchange(parts: "ray.data.Dataset", reduce_fn,
+                       num_partitions: int = 32) -> "ray.data.Dataset":
+    """Group rows by ``tile_id`` through the explicit exchange: tiles
+    hash into ``num_partitions`` partitions and a whole partition
+    reduces in one task — the scale-safe replacement for per-tile
+    ``groupby().map_groups`` (one task per tile).  ``reduce_fn`` must
+    handle multiple tiles per table (every per-tile reducer here
+    segments by tile internally)."""
+    from ..stages.exchange import exchange_reduce
+    from ..tilemath.hashing import mix64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "tile_id" not in batch.schema.names:
+            return batch
+        tid = batch["tile_id"].to_numpy().astype(np.uint64)
+        part = (mix64(tid) % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def red(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows and "part" in tbl.schema.names:
+            tbl = tbl.drop_columns(["part"])
+        return reduce_fn(tbl)
+
+    return exchange_reduce(parts.map_batches(add_part,
+                                             batch_format="pyarrow"),
+                           num_partitions, red)
 
 
 def line_parts_per_tile(grp: pa.Table) -> pa.Table:
@@ -488,7 +515,7 @@ def poly_tile_summary(sf_dir: str, zoom: int = 5):
             out["geom_sum"].append(int(gs))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
-    return parts.groupby("tile_id").map_groups(per_tile, batch_format="pyarrow")
+    return tile_hash_exchange(parts, per_tile)
 
 
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
