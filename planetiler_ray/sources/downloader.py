@@ -1,0 +1,111 @@
+"""Ranged parallel resource downloader — the ``util/Downloader.java``
+analog.
+
+The reference downloads OSM extracts by splitting the resource into
+byte ranges fetched concurrently with retry + resume, then verifying
+the assembled length (``Downloader.java``: chunked FileChannel writes,
+``ResourceUsage`` backpressure).  Cluster-native re-expression: each
+range is a Ray task reading only its slice; the driver streams chunks
+to the destination IN ORDER as they resolve, so at most
+``window`` chunks are in flight/buffered (no whole-file
+materialization).  Offline this supports ``file://`` URLs (and plain
+paths); ``http(s)://`` uses urllib when the environment has network —
+gated, never required.
+
+Resume: an existing destination of the expected size is kept
+(``--only-download-once`` semantics); a partial ``.part`` file is
+discarded.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from urllib.parse import urlparse
+
+import ray
+
+
+def _resource_size(url: str) -> int:
+    p = urlparse(url)
+    if p.scheme in ("", "file"):
+        return os.stat(p.path or url).st_size
+    import urllib.request
+    req = urllib.request.Request(url, method="HEAD")
+    with urllib.request.urlopen(req) as r:          # pragma: no cover
+        return int(r.headers["Content-Length"])
+
+
+def _read_range(url: str, start: int, end: int) -> bytes:
+    p = urlparse(url)
+    if p.scheme in ("", "file"):
+        with open(p.path or url, "rb") as f:
+            f.seek(start)
+            return f.read(end - start)
+    import urllib.request
+    req = urllib.request.Request(
+        url, headers={"Range": f"bytes={start}-{end - 1}"})
+    with urllib.request.urlopen(req) as r:          # pragma: no cover
+        return r.read()
+
+
+@ray.remote
+def _fetch_chunk(url: str, start: int, end: int, max_retries: int,
+                 retry_wait: float) -> bytes:
+    """One ranged read with bounded exponential-backoff retries
+    (``Downloader.java`` retry loop)."""
+    for attempt in range(max_retries + 1):
+        try:
+            data = _read_range(url, start, end)
+            if len(data) != end - start:
+                raise IOError(f"short read: {len(data)} != {end - start}")
+            return data
+        except Exception:
+            if attempt == max_retries:
+                raise
+            time.sleep(retry_wait * (2 ** attempt))
+    raise AssertionError("unreachable")
+
+
+def download(url: str, dest: str, chunk_bytes: int = 16 << 20,
+             max_retries: int = 2, retry_wait: float = 0.1,
+             window: int = 8) -> dict:
+    """Fetch ``url`` to ``dest`` via parallel ranged chunks.
+
+    Returns ``{"bytes", "chunks", "skipped"}``.  ``window`` bounds both
+    task-launch lookahead and driver-held chunk buffers.
+    """
+    size = _resource_size(url)
+    if os.path.exists(dest) and os.stat(dest).st_size == size:
+        return {"bytes": size, "chunks": 0, "skipped": True}
+    ranges = [(s, min(s + chunk_bytes, size))
+              for s in range(0, size, chunk_bytes)] or [(0, 0)]
+    part = dest + ".part"
+    os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+    written = 0
+    with open(part, "wb") as out:
+        inflight: list = []
+        nxt = 0
+        while nxt < len(ranges) or inflight:
+            while nxt < len(ranges) and len(inflight) < window:
+                s, e = ranges[nxt]
+                inflight.append(_fetch_chunk.remote(url, s, e,
+                                                    max_retries, retry_wait))
+                nxt += 1
+            # strictly in-order consumption → sequential writes, at most
+            # `window` chunks alive
+            data = ray.get(inflight.pop(0))
+            out.write(data)
+            written += len(data)
+    if written != size:
+        os.remove(part)
+        raise IOError(f"assembled {written} bytes, expected {size}")
+    os.replace(part, dest)
+    return {"bytes": written, "chunks": len(ranges), "skipped": False}
+
+
+def download_many(items: list[tuple[str, str]], **kw) -> list[dict]:
+    """Sequential multi-resource download (each already parallel inside) —
+    the reference's planned-download list."""
+    return [download(u, d, **kw) for u, d in items]

@@ -175,3 +175,29 @@ def test_translation_index_semantics(ray_session):
         .sort_values("wikidata_qid")
     assert out["name_en"].tolist() == ["one", "two", None]
     assert out["name_de"].tolist() == ["own-de", None, None]
+
+
+def test_downloader_ranged_parallel(ray_session, tmp_path):
+    """Ranged parallel download over file://: chunk assembly, resume
+    skip, and size verification (Downloader.java semantics)."""
+    import os
+
+    from planetiler_ray.sources.downloader import download
+
+    src = tmp_path / "src.bin"
+    payload = bytes(range(256)) * 4096 + b"tail"      # 1 MiB + 4, odd size
+    src.write_bytes(payload)
+    dest = tmp_path / "out" / "dst.bin"
+
+    r = download(f"file://{src}", str(dest), chunk_bytes=100_000, window=3)
+    assert not r["skipped"] and r["bytes"] == len(payload)
+    assert r["chunks"] == -(-len(payload) // 100_000)
+    assert dest.read_bytes() == payload
+    # resume: same size → skipped, content untouched
+    r2 = download(f"file://{src}", str(dest), chunk_bytes=100_000)
+    assert r2["skipped"]
+    # corrupt size → re-downloaded
+    dest.write_bytes(b"x")
+    r3 = download(str(src), str(dest), chunk_bytes=100_000)
+    assert not r3["skipped"] and dest.read_bytes() == payload
+    assert not os.path.exists(str(dest) + ".part")
