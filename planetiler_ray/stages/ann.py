@@ -213,3 +213,130 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
 
     return ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF with a persisted list-partitioned layout (the real scale path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(ds: "ray.data.Dataset", centroids: np.ndarray,
+                    out_dir: str, emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Route every vector to its nearest-centroid list ONCE and persist a
+    list-partitioned parquet layout (``out_dir/list=<i>/part.parquet``).
+
+    This is the piece ``ivf_topk`` lacks at cluster scale: there, every
+    query wave re-touches every block; here the routing shuffle runs
+    once at build time and search I/O is proportional to ``nprobe``,
+    not to the collection size.  Normalized embeddings are stored so
+    search skips renormalization.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .exchange import exchange_reduce
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    c_ref = ray.put(cn)
+    n_lists = len(cn)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nemb": pa.array([], pa.list_(pa.float64())),
+                             "part": pa.array([], pa.int64())})
+        m = _emb_matrix(batch, emb_col)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        part = (m @ ray.get(c_ref).T).argmax(axis=1).astype(np.int64)
+        off = pa.array(np.arange(batch.num_rows + 1, dtype=np.int32)
+                       * m.shape[1])
+        emb = pa.ListArray.from_arrays(off, pa.array(m.reshape(-1)))
+        return pa.table({id_col: batch[id_col], "nemb": emb,
+                         "part": pa.array(part)})
+
+    def write_list(tbl: pa.Table, part_id: int) -> pa.Table:
+        n = tbl.num_rows
+        if n:
+            path = os.path.join(out_dir, f"list={part_id}")
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(tbl.drop_columns(["part"]),
+                           os.path.join(path, "part.parquet"))
+        return pa.table({"ivf_list": pa.array([part_id], pa.int64()),
+                         "n_vectors": pa.array([n], pa.int64())})
+
+    stats = exchange_reduce(ds.map_batches(assign, batch_format="pyarrow"),
+                            n_lists, write_list, pass_part=True).to_pandas()
+    return {"out_dir": out_dir, "n_lists": n_lists,
+            "list_sizes": dict(zip(stats["ivf_list"], stats["n_vectors"]))}
+
+
+def ivf_search_index(index_dir: str, queries: np.ndarray,
+                     query_ids: np.ndarray, centroids: np.ndarray,
+                     k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Search a persisted IVF layout: read ONLY the ``nprobe`` probed
+    lists' files per query set (I/O ∝ probed fraction), exact cosine
+    within each list, tiny global top-k per query."""
+    import os
+
+    import ray.data
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    q_by_list = {int(li): np.nonzero((probe == li).any(axis=1))[0]
+                 for li in np.unique(probe)}
+    import glob as _glob
+    paths = [f for li in sorted(q_by_list)
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"list={li}", "*.parquet")))]
+    ref = ray.put((qn, np.asarray(query_ids), q_by_list, cn))
+
+    def search(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        qn_, qids, qbl, cn_ = ray.get(ref)
+        m = _emb_matrix(batch, "nemb")
+        ids = batch[id_col].to_numpy()
+        # stored pre-normalized; re-derive each row's list id from the
+        # quantizer (a batch may span two list files)
+        vec_list = (m @ cn_.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for li in np.unique(vec_list):
+            qidx = qbl.get(int(li))
+            if qidx is None:
+                continue
+            vm = vec_list == li
+            sims = m[vm] @ qn_[qidx].T
+            vids = ids[vm]
+            kk = min(k, len(vids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j, qi in enumerate(qidx):
+                out_q.append(np.full(kk, qids[qi]))
+                out_id.append(vids[top[:, j]])
+                out_sim.append(sims[top[:, j], j])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_id),
+                         "cosine": np.concatenate(out_sim)})
+
+    def final(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True], kind="stable").head(k)
+        grp = grp.reset_index(drop=True)
+        grp["rnk"] = np.arange(1, len(grp) + 1, dtype=np.int64)
+        return grp
+
+    ds = ray.data.read_parquet(paths)
+    return ds.map_batches(search, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(final, batch_format="pandas")

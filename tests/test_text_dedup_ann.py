@@ -216,3 +216,50 @@ class TestLshVerifyPaths:
         b = minhash_lsh_pairs(ds, jaccard_threshold=0.3, max_driver_pairs=0) \
             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         assert a.equals(b) and len(a) > 0
+
+
+class TestIvfPartitioned:
+    def test_build_search_matches_in_memory_ivf(self, ray_session, tmp_path):
+        """Persisted list-partitioned IVF: build-once layout, search
+        reads only probed lists; full-probe equals brute force."""
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from planetiler_ray.stages.ann import (brute_force_topk,
+                                               ivf_build_index,
+                                               ivf_search_index,
+                                               train_ivf_centroids)
+
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((400, 16)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(emb.reshape(-1)), 16)})
+        cent = train_ivf_centroids(emb[::4], n_lists=8)
+        idx_dir = str(tmp_path / "ivf")
+        stats = ivf_build_index(rd.from_arrow(t), cent, idx_dir)
+        assert stats["n_lists"] == 8
+        assert sum(stats["list_sizes"].values()) == 400
+        n_dirs = len([d for d in os.listdir(idx_dir)
+                      if d.startswith("list=")])
+        assert n_dirs >= 2
+
+        q = emb[:3].astype(np.float64)
+        qids = np.array([0, 1, 2])
+        exact = brute_force_topk(rd.from_arrow(t), q, qids, k=5).to_pandas()
+        full = ivf_search_index(idx_dir, q, qids, cent, k=5,
+                                nprobe=8).to_pandas()
+        for qi in qids:
+            e = exact[exact["query_id"] == qi].sort_values("rnk")
+            f = full[full["query_id"] == qi].sort_values("rnk")
+            assert e["neighbor_id"].tolist() == f["neighbor_id"].tolist()
+
+        # nprobe=1 still finds the query itself (it lives in its probed
+        # list) while touching a fraction of the layout
+        near = ivf_search_index(idx_dir, q, qids, cent, k=5,
+                                nprobe=1).to_pandas()
+        for qi in qids:
+            top1 = near[near["query_id"] == qi].sort_values("rnk").iloc[0]
+            assert top1["neighbor_id"] == qi
