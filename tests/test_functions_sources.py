@@ -201,3 +201,36 @@ def test_downloader_ranged_parallel(ray_session, tmp_path):
     r3 = download(str(src), str(dest), chunk_bytes=100_000)
     assert not r3["skipped"] and dest.read_bytes() == payload
     assert not os.path.exists(str(dest) + ".part")
+
+
+def test_language_utils(ray_session):
+    """LanguageUtils semantics: valid name keys, latin detection,
+    transliteration fallback through the actor-pool stage."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from planetiler_ray.functions.language import (Transliterate,
+                                                   is_latin,
+                                                   is_valid_name_key)
+
+    keys = ["name:en", "name:de", "name:zh-Hans", "name:left",
+            "name:etymology", "name:etymology:wikidata", "name:source",
+            "name", "int_name", "name:fr-CA"]
+    mask = is_valid_name_key(keys)
+    assert mask.tolist() == [True, True, True, False, False,
+                             False, False, False, False, True]
+
+    assert is_latin(["Main St", "Ærø", "Москва", "Αθήνα", "", "café"]) \
+        .tolist() == [True, True, False, False, False, True]
+
+    ds = rd.from_arrow(pa.table({
+        "name": pa.array(["Main St", "Москва", "Αθήνα", "café", None],
+                         pa.string())}))
+    out = ds.map_batches(Transliterate, batch_format="pyarrow",
+                         concurrency=(1, 2)).to_pandas()
+    got = dict(zip(out["name"], out["latin_name"]))
+    assert got["Main St"] == "Main St"          # already latin: untouched
+    assert got["Москва"] == "Moskva"
+    assert got["Αθήνα"] == "Athina"
+    assert got["café"] == "café"                # latin w/ diacritic: kept
