@@ -169,6 +169,94 @@ def write_json(tiles: "ray.data.Dataset", out_dir: str) -> None:
     tiles.map_batches(enc, batch_format="pyarrow").write_json(out_dir)
 
 
+def write_proto_stream(tiles: "ray.data.Dataset", out_dir: str) -> int:
+    """Length-prefixed binary tile stream, one shard file per block —
+    the ``stream/WriteableProtoStreamArchive.java`` analog.
+
+    Frame layout per tile (protobuf-free, self-describing):
+    ``varint(len(msg)) msg`` where ``msg`` is the protobuf-style wire
+    encoding ``field1=z(varint) field2=x(varint) field3=y(varint)
+    field4=tile_bytes(len-delimited)``.  Workers write shards in
+    parallel; returns the tile count.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        blobs = _encode_batch(batch)
+        xs = batch["x"].to_numpy()
+        ys = batch["y"].to_numpy()
+        zs = batch["z"].to_numpy()
+        buf = bytearray()
+        for x, y, z, blob in zip(xs, ys, zs, blobs):
+            msg = (b"\x08" + _varint(int(z)) + b"\x10" + _varint(int(x))
+                   + b"\x18" + _varint(int(y)) + b"\x22"
+                   + _varint(len(blob)) + bytes(blob))
+            buf += _varint(len(msg)) + msg
+        shard = os.path.join(
+            out_dir, f"tiles-{int(batch['tile_id'][0].as_py()):012d}.bin")
+        with open(shard, "wb") as f:
+            f.write(bytes(buf))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    out = tiles.map_batches(write_shard, batch_format="pyarrow").to_pandas()
+    return int(out["n"].sum())
+
+
+def read_proto_stream(out_dir: str) -> list[dict]:
+    """Decode a proto-stream directory back to tile dicts (test helper /
+    consumer contract)."""
+    import os
+
+    tiles = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".bin"):
+            continue
+        data = open(os.path.join(out_dir, name), "rb").read()
+        pos = 0
+
+        def rv(p):
+            r, s = 0, 0
+            while True:
+                b = data[p]
+                p += 1
+                r |= (b & 0x7F) << s
+                if not b & 0x80:
+                    return r, p
+                s += 7
+
+        while pos < len(data):
+            ln, pos = rv(pos)
+            end = pos + ln
+            t = {}
+            while pos < end:
+                key, pos = rv(pos)
+                field = key >> 3
+                if key & 7 == 0:
+                    v, pos = rv(pos)
+                    t[{1: "z", 2: "x", 3: "y"}[field]] = v
+                else:
+                    bl, pos = rv(pos)
+                    t["bytes"] = data[pos:pos + bl]
+                    pos += bl
+            tiles.append(t)
+    return tiles
+
+
 def tile_size_stats(tiles: "ray.data.Dataset", top_n: int = 10) -> dict:
     """Tileset summary statistics (``util/TilesetSummaryStatistics.java``).
 

@@ -187,3 +187,27 @@ class TestSinks:
         stats = layer_stats(render_fragments(ds, cfg, bounds)).to_pandas()
         assert set(stats["layer"]) == {0, 1}
         assert (stats["n_features"] > 0).all()
+
+
+def test_write_proto_stream_roundtrip(ray_session, tmp_path):
+    """Length-prefixed proto stream: parallel shards decode back to the
+    exact tile set (WriteableProtoStreamArchive analog)."""
+    from planetiler_ray import fixtures, sinks
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.stages.render import RenderConfig
+
+    n = 120
+    path = fixtures.images_parquet(n, with_bytes=False)
+    import ray.data as rd
+    tiles = build_pyramid(
+        rd.read_parquet(path, columns=["image_id", "caption", "phash"]),
+        fixtures.image_ids(n), RenderConfig(0, 4), num_partitions=4)
+    out_dir = str(tmp_path / "proto")
+    n_written = sinks.write_proto_stream(tiles, out_dir)
+    back = sinks.read_proto_stream(out_dir)
+    assert len(back) == n_written == tiles.count()
+    df = tiles.to_pandas()
+    want = set(zip(df["z"], df["x"], df["y"]))
+    got = set((t["z"], t["x"], t["y"]) for t in back)
+    assert want == got
+    assert all(len(t["bytes"]) > 0 for t in back)
