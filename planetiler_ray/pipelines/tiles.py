@@ -358,7 +358,10 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
         .map_batches(pts, batch_format="pyarrow") \
         .groupby("user_id").map_groups(per_user, batch_format="pandas")
 
-    return tile_hash_exchange(parts, line_parts_per_tile)
+    # parts already flowed through the per-user sort-groupby; a second
+    # exchange hop measured slower than piggybacking on that sort
+    return parts.groupby("tile_id").map_groups(line_parts_per_tile,
+                                               batch_format="pyarrow")
 
 
 def tile_hash_exchange(parts: "ray.data.Dataset", reduce_fn,
@@ -515,7 +518,8 @@ def poly_tile_summary(sf_dir: str, zoom: int = 5):
             out["geom_sum"].append(int(gs))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
-    return tile_hash_exchange(parts, per_tile)
+    return parts.groupby("tile_id").map_groups(per_tile,
+                                               batch_format="pyarrow")
 
 
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,

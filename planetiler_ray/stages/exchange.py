@@ -42,23 +42,30 @@ import ray
 import ray.data
 
 
-def _split_block(tbl: pa.Table, num_targets: int,
-                 key_offset: int = 0, key_div: int = 1) -> list[pa.Table]:
-    """Split one block into per-target sub-tables (vectorized).
+def _split_block(num_targets: int, key_offset: int, key_div: int,
+                 *tbls: pa.Table) -> list[pa.Table]:
+    """Split one or more blocks into per-target sub-tables (vectorized).
 
     Target of a row = ``(part - key_offset) // key_div`` — identity for
     the flat exchange, the coarse bucket id for level 1 of the two-level
-    exchange, the bucket-local partition for level 2.
+    exchange, the bucket-local partition for level 2.  Several small
+    input blocks may arrive per task (the driver groups tiny blocks so
+    split-task count tracks data volume, not upstream block count).
 
     Fan-out batches arrive pre-sorted by ``part``; blocks concatenating
     several batches are near-sorted, so skip the argsort when possible
     and slice zero-copy.
     """
-    if tbl.num_rows == 0 or "part" not in tbl.schema.names:
+    live = [t for t in tbls
+            if t.num_rows and "part" in t.schema.names]
+    if not live:
         # Ray Data passes 0-row blocks through map_batches without
         # calling the UDF, producing schema-less empties — route one
         # (harmless) empty piece to every target
-        return [tbl.slice(0, 0)] * num_targets
+        empty = next((t.slice(0, 0) for t in tbls if t.num_columns),
+                     tbls[0].slice(0, 0))
+        return [empty] * num_targets
+    tbl = live[0] if len(live) == 1 else pa.concat_tables(live)
     part = tbl.column("part").to_numpy()
     if bool((np.diff(part) >= 0).all()):
         sorted_tbl, sp = tbl, part
@@ -101,17 +108,31 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     """
     # stream blocks out of the fan-out as they complete and launch their
     # split tasks immediately — overlaps the map side with the exchange
-    # (no barrier until the reduce, which inherently needs every piece)
+    # (no barrier until the reduce, which inherently needs every piece).
+    # Tiny upstream blocks (e.g. out of a per-group stage) are grouped
+    # into one split task each, so task and piece counts track data
+    # volume, not upstream block count.
     split = ray.remote(_split_block)
 
-    def launch_split(ref, n, offset=0, div=1):
-        out = split.options(num_returns=n).remote(ref, n, offset, div)
+    def launch_split(refs, n, offset=0, div=1):
+        out = split.options(num_returns=n).remote(n, offset, div, *refs)
         return [out] if n == 1 else out
 
-    block_refs = [block_ref
-                  for bundle in frags.iter_internal_ref_bundles()
-                  for block_ref in bundle.block_refs]
-    n_blocks = len(block_refs)
+    target_rows = 65536
+    block_groups: list[list] = []
+    cur: list = []
+    cur_rows = 0
+    for bundle in frags.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            rows = meta.num_rows if meta.num_rows is not None else target_rows
+            cur.append(block_ref)
+            cur_rows += rows
+            if cur_rows >= target_rows or len(cur) >= 64:
+                block_groups.append(cur)
+                cur, cur_rows = [], 0
+    if cur:
+        block_groups.append(cur)
+    n_blocks = len(block_groups)
     if n_blocks == 0:
         return ray.data.from_items([])
 
@@ -142,8 +163,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
 
     out_refs = []
     if n_blocks * num_partitions <= two_level_threshold or num_partitions < 4:
-        # flat exchange: one split per block, B×P refs is affordable
-        pieces = [launch_split(ref, num_partitions) for ref in block_refs]
+        # flat exchange: one split per block group, B×P refs is affordable
+        pieces = [launch_split(grp, num_partitions) for grp in block_groups]
         for p in run:
             out_refs.append(tree_reduce(p, [pieces[b][p]
                                             for b in range(n_blocks)]))
@@ -152,8 +173,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     # two-level: coarse buckets of ~√P contiguous partitions
     bucket_size = max(1, math.ceil(math.sqrt(num_partitions)))
     n_buckets = math.ceil(num_partitions / bucket_size)
-    coarse = [launch_split(ref, n_buckets, 0, bucket_size)
-              for ref in block_refs]
+    coarse = [launch_split(grp, n_buckets, 0, bucket_size)
+              for grp in block_groups]
     run_arr = np.asarray(run, np.int64)
     for g in range(n_buckets):
         p_lo = g * bucket_size
@@ -161,7 +182,7 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         local = run_arr[(run_arr >= p_lo) & (run_arr < p_hi)]
         if len(local) == 0:
             continue
-        sub = [launch_split(coarse[b][g], p_hi - p_lo, p_lo, 1)
+        sub = [launch_split([coarse[b][g]], p_hi - p_lo, p_lo, 1)
                for b in range(n_blocks)]
         for p in local:
             out_refs.append(tree_reduce(int(p), [sub[b][p - p_lo]
