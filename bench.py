@@ -161,15 +161,18 @@ def run_bench() -> dict:
 
     # operator micro-suite over the shared sf tables
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        from planetiler_ray.pipelines.queries_osm import QUERIES_OSM
         from planetiler_ray.pipelines.tiles import (line_tile_summary,
                                                     mvt_tile_summary)
         suite = dict(QUERIES)
         suite["mvt_tiles_z6"] = mvt_tile_summary
         suite["line_tiles_z4"] = line_tile_summary
+        suite.update(QUERIES_OSM)
         for name in ["tile_assign_z14", "pip_boxes_z7", "labelgrid_topk_z10",
                      "pricing_summary", "user_sessions", "dedup_exact",
                      "minhash_lsh_pairs", "simhash_docs", "ann_cosine_topk",
-                     "multimodal_decode", "mvt_tiles_z6", "line_tiles_z4"]:
+                     "multimodal_decode", "mvt_tiles_z6", "line_tiles_z4",
+                     "osm_line_tiles", "wikidata_names"]:
             t0 = time.monotonic()
             res = suite[name](sf_dir)
             if hasattr(res, "count"):
