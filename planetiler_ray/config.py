@@ -118,5 +118,7 @@ def osm_rules_from_yaml(path: str) -> list:
         rules.append(OsmLayerRule(
             lay["name"], lay.get("element", "line"), expr,
             attrs=tuple(lay.get("attrs", [])),
-            tag_keys=tuple(sorted(fields))))
+            tag_keys=tuple(sorted(fields)),
+            min_zoom=int(lay.get("min_zoom", 0)),
+            max_zoom=int(lay.get("max_zoom", 15))))
     return rules

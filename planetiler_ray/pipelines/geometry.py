@@ -53,6 +53,14 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
     # kind-derived layer id
     row_layer = (batch["layer_id"].to_numpy()
                  if "layer_id" in batch.schema.names else None)
+    # optional per-row zoom range (ZoomFunction analog: each feature
+    # carries its own min/max zoom, clipped to the pipeline's range)
+    rz_min = (batch["min_zoom"].to_numpy().astype(np.int64)
+              if "min_zoom" in batch.schema.names
+              else np.full(batch.num_rows, min_zoom, np.int64))
+    rz_max = (batch["max_zoom"].to_numpy().astype(np.int64)
+              if "max_zoom" in batch.schema.names
+              else np.full(batch.num_rows, max_zoom, np.int64))
     xs_l = batch["xs"].combine_chunks()
     ys_l = batch["ys"].combine_chunks()
     offs = np.asarray(xs_l.offsets.to_numpy(), np.int64)
@@ -106,9 +114,12 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
         koffs = np.concatenate([[0], np.cumsum(counts[sel])])
         for z in range(max_zoom, min_zoom - 1, -1):
             f = float(1 << z)
-            gate = ((world_size[sel] * f * 256.0 >= min_pixel_size)
-                    | (z == max_zoom)) if kind_name != "point" \
-                else np.ones(len(sel), bool)
+            # per-feature zoom window; the size gate never drops a
+            # feature at its OWN max zoom (reference semantics)
+            zr = (rz_min[sel] <= z) & (z <= rz_max[sel])
+            gate = zr if kind_name == "point" else (
+                zr & ((world_size[sel] * f * 256.0 >= min_pixel_size)
+                      | (z == rz_max[sel])))
             gi = np.flatnonzero(gate)
             if not len(gi):
                 continue

@@ -505,7 +505,8 @@ class OsmLayerRule:
     """
 
     def __init__(self, name: str, element: str, match, *,
-                 attrs: tuple[str, ...] = (), tag_keys: tuple[str, ...] = ()):
+                 attrs: tuple[str, ...] = (), tag_keys: tuple[str, ...] = (),
+                 min_zoom: int = 0, max_zoom: int = 15):
         assert element in ("point", "line", "area")
         self.name = name
         self.element = element
@@ -513,6 +514,10 @@ class OsmLayerRule:
         self.attrs = tuple(attrs)
         # keys the match expression needs beyond the attrs
         self.tag_keys = tuple(dict.fromkeys(tag_keys + attrs))
+        # per-rule zoom window (every reference profile sets these;
+        # rows carry them into the fan-out's per-feature zoom gate)
+        self.min_zoom = min_zoom
+        self.max_zoom = max_zoom
 
 
 def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
@@ -528,6 +533,8 @@ def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
         cols = {"geom_id": pa.array([], pa.int64()),
                 "kind": pa.array([], pa.string()),
                 "layer_id": pa.array([], pa.int8()),
+                "min_zoom": pa.array([], pa.int8()),
+                "max_zoom": pa.array([], pa.int8()),
                 "xs": pa.array([], pa.list_(pa.float64())),
                 "ys": pa.array([], pa.list_(pa.float64()))}
         for a in all_attrs:
@@ -555,6 +562,10 @@ def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
                     "kind": pa.array([kind] * sub.num_rows, pa.string()),
                     "layer_id": pa.array(
                         np.full(sub.num_rows, layer_ids[r.name], np.int8)),
+                    "min_zoom": pa.array(
+                        np.full(sub.num_rows, r.min_zoom, np.int8)),
+                    "max_zoom": pa.array(
+                        np.full(sub.num_rows, r.max_zoom, np.int8)),
                     "xs": xs, "ys": ys}
             for a in all_attrs:
                 cols[a] = (sub[a] if a in r.attrs

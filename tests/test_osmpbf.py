@@ -189,3 +189,34 @@ def test_build_osm_tiles_profile(pbf_file, ray_session):
     assert attrs_of(t["pois"], poi[0]).get("highway") == "primary"
     # higher zooms still carry the layers that survive the size gate
     assert (tiles.z.max()) == 2
+
+
+def test_rule_zoom_windows(pbf_file, ray_session):
+    """Per-rule min/max zoom gates features out of the fan-out — the
+    per-feature ZoomFunction window through the profile path."""
+    import pyarrow as pa
+
+    from planetiler_ray.functions.expression import match_field
+    from planetiler_ray.pipelines.osm import OsmLayerRule, build_osm_tiles
+    from planetiler_ray.tilemath.mvt_pb import decode_tile
+
+    rules = [
+        OsmLayerRule("roads", "line", match_field("highway"),
+                     tag_keys=("highway",), min_zoom=2),
+        OsmLayerRule("pois", "point", match_field("highway"),
+                     tag_keys=("highway",), max_zoom=1),
+    ]
+    tiles = build_osm_tiles(read_osm_nodes(str(pbf_file)),
+                            read_osm_ways(str(pbf_file)), rules,
+                            min_zoom=0, max_zoom=3, min_pixel_size=0.0,
+                            num_partitions=2).to_pandas()
+    by_z: dict[int, set] = {}
+    for _, row in tiles.iterrows():
+        layers = set(decode_tile(bytes(row["mvt_bytes"])))
+        by_z.setdefault(int(row["z"]), set()).update(layers)
+    assert "roads" not in by_z.get(0, set())
+    assert "roads" not in by_z.get(1, set())
+    assert "roads" in by_z.get(2, set()) and "roads" in by_z.get(3, set())
+    assert "pois" in by_z.get(0, set()) and "pois" in by_z.get(1, set())
+    assert "pois" not in by_z.get(2, set())
+    assert "pois" not in by_z.get(3, set())
