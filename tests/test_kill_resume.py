@@ -89,3 +89,36 @@ def test_kill_mid_run_then_resume(tmp_path, ray_session):
     assert len(a) == len(b)
     assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
     assert (a["content_hash"].to_numpy() == b["content_hash"].to_numpy()).all()
+
+
+def test_run_stats_counters(ray_session):
+    """Central counter actor: per-batch buffered flush from workers,
+    driver-side totals (Stats.dataError analog)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from planetiler_ray.state.stats import RunStats
+
+    stats = RunStats.create("testrun")
+
+    def fn(batch: pa.Table, stats=stats) -> pa.Table:
+        bad = int((batch["v"].to_numpy() % 7 == 0).sum())
+        stats.data_error("mod7", bad)
+        stats.add("rows", batch.num_rows)
+        stats.time("fn", 0.001)
+        stats.flush()
+        return batch
+
+    rd.range(1000).map_batches(
+        lambda b: pa.table({"v": b["id"]}), batch_format="pyarrow") \
+        .map_batches(fn, batch_format="pyarrow").count()
+    import time
+    totals = None
+    for _ in range(50):          # fire-and-forget flushes need a beat
+        totals = stats.totals()
+        if totals["counters"].get("rows") == 1000:
+            break
+        time.sleep(0.1)
+    assert totals["counters"]["rows"] == 1000
+    assert totals["counters"]["data_errors.mod7"] == 143
+    assert totals["timers"]["fn"] > 0
