@@ -264,12 +264,14 @@ def relation_way_members(relations: "ray.data.Dataset") -> "ray.data.Dataset":
     return relations.map_batches(explode, batch_format="pyarrow")
 
 
-def _stitch_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
+def _stitch_rings(segments: list[np.ndarray],
+                  stats=None) -> list[np.ndarray]:
     """Connect open way segments end-to-end into closed rings —
     ``OsmMultipolygon.connectPolygonSegments`` semantics (greedy
     endpoint matching, either orientation).  Input/output coords are
-    (n, 2) arrays; unclosable leftovers are dropped (skip-and-count
-    convention)."""
+    (n, 2) arrays; unclosable leftovers are dropped and counted against
+    ``data_errors.unclosed_ring`` when a ``RunStats`` handle is given
+    (skip-and-count convention)."""
     segs = [s for s in segments if len(s) >= 2]
     rings = []
     while segs:
@@ -286,6 +288,8 @@ def _stitch_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
                     found, piece = i, s[::-1][1:]
                     break
             if found is None:
+                if stats is not None:
+                    stats.data_error("unclosed_ring")
                 cur = None
                 break
             segs.pop(found)
@@ -297,7 +301,8 @@ def _stitch_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
 
 def assemble_multipolygons(relations: "ray.data.Dataset",
                            way_geoms: "ray.data.Dataset",
-                           num_partitions: int = 8) -> "ray.data.Dataset":
+                           num_partitions: int = 8,
+                           stats=None) -> "ray.data.Dataset":
     """type=multipolygon relations + member way geometries →
     Dataset(rel_id, ring_idx, is_hole, xs, ys) with stitched rings and
     the snap+fix orientation contract (outer CCW, hole CW) applied via
@@ -405,7 +410,7 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
             for seg in np.split(order, bounds):
                 r = int(tbl["rel_id"][seg[0]].as_py())
                 segs = [np.column_stack([xs[i], ys[i]]) for i in seg]
-                rings = _stitch_rings(segs)
+                rings = _stitch_rings(segs, stats)
                 if not rings:
                     continue
                 flat_x = np.concatenate([rg[:, 0] for rg in rings])
@@ -440,6 +445,8 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
                     out["is_hole"].append(hole)
                     out["xs"].append(seg_x.tolist())
                     out["ys"].append(seg_y.tolist())
+        if stats is not None:
+            stats.flush()
         return pa.table({
             "rel_id": pa.array(out["rel_id"], pa.int64()),
             "ring_idx": pa.array(out["ring_idx"], pa.int64()),

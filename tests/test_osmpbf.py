@@ -220,3 +220,36 @@ def test_rule_zoom_windows(pbf_file, ray_session):
     assert "pois" in by_z.get(0, set()) and "pois" in by_z.get(1, set())
     assert "pois" not in by_z.get(2, set())
     assert "pois" not in by_z.get(3, set())
+
+
+def test_unclosed_ring_counted(tmp_path, ray_session):
+    """A multipolygon whose member ways can't close rings drops the
+    leftovers AND counts them (skip-and-count via RunStats)."""
+    import time
+
+    from planetiler_ray.pipelines.osm import (assemble_multipolygons,
+                                              way_geometries)
+    from planetiler_ray.state.stats import RunStats
+
+    p = tmp_path / "open.osm.pbf"
+    strings = ["", "type", "multipolygon", "outer"]
+    s = {v: i for i, v in enumerate(strings)}
+    nodes = W.dense_nodes([1, 2, 3, 4], [0.0, 1.0, 2.0, 3.0],
+                          [0.0, 1.0, 2.0, 3.0], [0] * 4)
+    ways = W.way(100, [1, 2]) + W.way(101, [3, 4])   # disjoint: no ring
+    rels = W.relation(500, [100, 101], [1, 1], [s["outer"], s["outer"]],
+                      keyidx=[s["type"]], validx=[s["multipolygon"]])
+    W.write_pbf(p, [W.primitive_block(strings, [nodes, ways, rels])])
+
+    stats = RunStats.create("unclosed")
+    geoms = way_geometries(read_osm_nodes(str(p)), read_osm_ways(str(p)),
+                           num_partitions=2)
+    rings = assemble_multipolygons(read_osm_relations(str(p)), geoms,
+                                   num_partitions=2, stats=stats).to_pandas()
+    assert len(rings) == 0
+    for _ in range(50):
+        totals = stats.totals()
+        if totals["counters"].get("data_errors.unclosed_ring", 0) >= 2:
+            break
+        time.sleep(0.1)
+    assert totals["counters"]["data_errors.unclosed_ring"] == 2
