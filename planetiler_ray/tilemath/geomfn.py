@@ -79,3 +79,106 @@ def box_centroid(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
 
 box_point_on_surface = box_centroid
 centroid_if_convex = box_centroid
+
+
+# ---------------------------------------------------------------------------
+# general polygon derivations
+# ---------------------------------------------------------------------------
+
+
+def polygon_centroid(ring: np.ndarray) -> np.ndarray:
+    """Area-weighted centroid of a simple (possibly concave) ring —
+    ``WithGeometry.centroid`` for general polygons."""
+    r = np.asarray(ring, np.float64)
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if abs(a) < 1e-30:
+        return r.mean(axis=0)
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return np.array([cx, cy])
+
+
+def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    crosses = ((y > py) != (yn > py)) & (
+        px < x + (py - y) * (xn - x) / np.where(yn != y, yn - y, 1e-300))
+    return bool(crosses.sum() % 2)
+
+
+def _dist_to_edges(px: np.ndarray, py: np.ndarray,
+                   ring: np.ndarray) -> np.ndarray:
+    """Min distance from each probe point to the ring's edges
+    (vectorized probe × edge)."""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    d = b - a
+    ll = np.maximum((d ** 2).sum(axis=1), 1e-300)
+    # (n_pts, n_edges) projections
+    wx = px[:, None] - a[None, :, 0]
+    wy = py[:, None] - a[None, :, 1]
+    t = np.clip((wx * d[None, :, 0] + wy * d[None, :, 1]) / ll[None, :],
+                0.0, 1.0)
+    ex = wx - t * d[None, :, 0]
+    ey = wy - t * d[None, :, 1]
+    return np.sqrt(ex * ex + ey * ey).min(axis=1)
+
+
+def point_on_surface(ring: np.ndarray) -> np.ndarray:
+    """A point guaranteed inside the ring — the centroid when interior,
+    else the interior probe (midpoint of the widest in-polygon span on
+    the centroid's scanline): ``WithGeometry.pointOnSurface``."""
+    r = np.asarray(ring, np.float64)
+    c = polygon_centroid(r)
+    if _point_in_ring(c[0], c[1], r):
+        return c
+    # scanline at cy: collect edge crossings, take widest inside span
+    cy = c[1]
+    x, y = r[:, 0], r[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    m = (y > cy) != (yn > cy)
+    xs = np.sort(x[m] + (cy - y[m]) * (xn[m] - x[m])
+                 / np.where(yn[m] != y[m], yn[m] - y[m], 1e-300))
+    if len(xs) < 2:
+        return c
+    spans = xs[1::2] - xs[0::2] if len(xs) % 2 == 0 else xs[1:2] - xs[0:1]
+    i = int(np.argmax(spans))
+    return np.array([(xs[2 * i] + xs[2 * i + 1]) / 2.0, cy])
+
+
+def innermost_point(ring: np.ndarray, precision: float = 0.01) -> np.ndarray:
+    """Pole of inaccessibility — the interior point maximizing distance
+    to the boundary (``WithGeometry.innermostPoint``; the reference uses
+    JTS MaximumInscribedCircle).  Iterative vectorized grid refinement:
+    each round probes a shrinking grid around the best cell;
+    ``precision`` is relative to the bbox diagonal."""
+    r = np.asarray(ring, np.float64)
+    lo = r.min(axis=0)
+    hi = r.max(axis=0)
+    diag = float(np.hypot(*(hi - lo)))
+    if diag <= 0:
+        return r[0]
+    cx, cy = (lo + hi) / 2.0
+    half = float(max(hi[0] - lo[0], hi[1] - lo[1])) / 2.0
+    best = point_on_surface(r)
+    best_d = float(_dist_to_edges(best[:1], best[1:2], r)[0]) \
+        if _point_in_ring(best[0], best[1], r) else 0.0
+    G = 9
+    while half > precision * diag:
+        gx, gy = np.meshgrid(np.linspace(cx - half, cx + half, G),
+                             np.linspace(cy - half, cy + half, G))
+        px, py = gx.ravel(), gy.ravel()
+        inside = np.array([_point_in_ring(px[i], py[i], r)
+                           for i in range(len(px))])
+        if inside.any():
+            d = np.where(inside, _dist_to_edges(px, py, r), -np.inf)
+            i = int(np.argmax(d))
+            if d[i] > best_d:
+                best_d = float(d[i])
+                best = np.array([px[i], py[i]])
+                cx, cy = best
+        half /= 2.0
+    return best

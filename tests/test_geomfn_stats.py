@@ -87,3 +87,39 @@ class TestTileSizeStats:
                 rows += [json.loads(l) for l in fh if l.strip()]
         assert len(rows) > 0
         assert {"x", "y", "z", "encoded"} <= set(rows[0])
+
+
+class TestPolygonDerivations:
+    def test_centroid_square(self):
+        from planetiler_ray.tilemath.geomfn import polygon_centroid
+        sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+        assert np.allclose(polygon_centroid(sq), [2, 2])
+
+    def test_point_on_surface_concave(self):
+        """U-shape whose centroid falls outside the polygon."""
+        from planetiler_ray.tilemath.geomfn import (_point_in_ring,
+                                                    point_on_surface,
+                                                    polygon_centroid)
+        u = np.array([[0, 0], [6, 0], [6, 6], [4, 6], [4, 2],
+                      [2, 2], [2, 6], [0, 6]], float)
+        c = polygon_centroid(u)
+        assert not _point_in_ring(c[0], c[1], u)       # the tricky case
+        p = point_on_surface(u)
+        assert _point_in_ring(p[0], p[1], u)
+
+    def test_innermost_point_square(self):
+        from planetiler_ray.tilemath.geomfn import innermost_point
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        p = innermost_point(sq, precision=0.001)
+        assert np.allclose(p, [5, 5], atol=0.1)
+
+    def test_innermost_point_rectangle(self):
+        """For a 10x2 rectangle the pole lies on the long midline,
+        distance 1 from the boundary."""
+        from planetiler_ray.tilemath.geomfn import (_dist_to_edges,
+                                                    innermost_point)
+        rect = np.array([[0, 0], [10, 0], [10, 2], [0, 2]], float)
+        p = innermost_point(rect, precision=0.001)
+        assert abs(p[1] - 1.0) < 0.05
+        d = _dist_to_edges(p[:1], p[1:2], rect)[0]
+        assert abs(d - 1.0) < 0.05
