@@ -95,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
 
     from planetiler_ray.pipelines.sqlgen import (sql_osm_line_tiles,
                                                  sql_osm_multipolygon_stats,
+                                                 sql_osm_poi_stats,
                                                  sql_osm_way_stats)
 
     out = dict(ORACLE_SQL)
@@ -106,4 +107,5 @@ def oracle_sql() -> dict[str, str]:
     out["osm_way_stats"] = sql_osm_way_stats()
     out["osm_multipolygon_stats"] = sql_osm_multipolygon_stats()
     out["osm_line_tiles"] = sql_osm_line_tiles()
+    out["osm_poi_stats"] = sql_osm_poi_stats()
     return out

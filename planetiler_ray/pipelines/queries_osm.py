@@ -197,8 +197,54 @@ def q_osm_line_tiles(sf_dir: str, zoom: int = 6):
                               line_parts_per_tile)
 
 
+def q_osm_poi_stats(sf_dir: str):
+    """Per poi-class stats over tagged nodes (every 10th node carries
+    ``poi = str(id mod 7)``) — exercises DenseNodes tag decode through
+    the driver gate."""
+    from ray.data.aggregate import Count, Max, Min
+
+    n_docs = docs_count(sf_dir)
+    path = osm_world_pbf(n_docs)
+    nodes = read_osm_nodes(path)
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"poi": pa.array([], pa.string()),
+                          "node_id": pa.array([], pa.int64()),
+                          "lon": pa.array([], pa.float64())})
+        if batch.num_rows == 0 or "node_id" not in batch.schema.names:
+            return empty
+        batch = batch.combine_chunks()
+        tk = batch["tag_keys"].combine_chunks()
+        flat_k = pc.list_flatten(tk)
+        parents = pc.list_parent_indices(tk).to_numpy()
+        vals = pc.list_flatten(
+            batch["tag_vals"].combine_chunks()).to_numpy(
+            zero_copy_only=False)
+        hit = np.asarray(pc.equal(flat_k, "poi").to_numpy(
+            zero_copy_only=False), bool)
+        rows = parents[hit]
+        # generic nodes only (relation corner nodes are untagged anyway)
+        return pa.table({
+            "poi": pa.array(vals[hit], pa.string()),
+            "node_id": batch["node_id"].take(pa.array(rows, pa.int64())),
+            "lon": batch["lon"].take(pa.array(rows, pa.int64())),
+        })
+
+    out = nodes.map_batches(tagged, batch_format="pyarrow") \
+        .groupby("poi").aggregate(Count(alias_name="n"),
+                                  Min("node_id", alias_name="min_id"),
+                                  Max("node_id", alias_name="max_id"),
+                                  Min("lon", alias_name="min_lon"),
+                                  Max("lon", alias_name="max_lon")) \
+        .to_pandas()
+    for c in ("n", "min_id", "max_id"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("poi").reset_index(drop=True)
+
+
 QUERIES_OSM = {
     "osm_way_stats": q_osm_way_stats,
     "osm_multipolygon_stats": q_osm_multipolygon_stats,
     "osm_line_tiles": q_osm_line_tiles,
+    "osm_poi_stats": q_osm_poi_stats,
 }

@@ -900,3 +900,22 @@ SELECT 10000000 + r AS rel_id,
        min(y) AS min_y, max(y) AS max_y
 FROM v GROUP BY r
 """
+
+
+def sql_osm_poi_stats() -> str:
+    """Oracle for ``osm_poi_stats``: every 10th generic node carries
+    ``poi = str(id mod 7)`` (``osmworld.build_osm_world``)."""
+    return """
+WITH p AS (SELECT 4 * count(*) AS n_nodes FROM documents),
+d AS (SELECT CAST(row_number() OVER () AS BIGINT) * 10 AS r10
+      FROM documents, generate_series(0, 3)),
+i AS (SELECT d.r10 AS i FROM d, p WHERE d.r10 <= p.n_nodes)
+SELECT CAST(i % 7 AS VARCHAR) AS poi,
+       CAST(count(*) AS BIGINT) AS n,
+       min(i) AS min_id, max(i) AS max_id,
+       min(1e-9 * (100 * ((i * 2654435761) % 3400000000 - 1700000000)))
+           AS min_lon,
+       max(1e-9 * (100 * ((i * 2654435761) % 3400000000 - 1700000000)))
+           AS max_lon
+FROM i GROUP BY 1
+"""
