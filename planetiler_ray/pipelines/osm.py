@@ -505,8 +505,9 @@ class OsmLayerRule:
 
     The declarative unit of the ``Profile.processFeature`` switch every
     reference profile implements (e.g. ``ForwardingProfile`` handlers):
-    ``element`` ∈ {"point", "line", "area"} selects node features, open
-    ways, or closed ways rendered as polygons; ``match`` is a compiled
+    ``element`` ∈ {"point", "line", "area", "relation"} selects node
+    features, open ways, closed ways rendered as polygons, or
+    multipolygon-relation rings; ``match`` is a compiled
     tag expression (``functions/expression.py``) over the promoted tag
     columns; ``attrs`` are the tag keys carried into MVT feature attrs.
     """
@@ -514,7 +515,7 @@ class OsmLayerRule:
     def __init__(self, name: str, element: str, match, *,
                  attrs: tuple[str, ...] = (), tag_keys: tuple[str, ...] = (),
                  min_zoom: int = 0, max_zoom: int = 15):
-        assert element in ("point", "line", "area")
+        assert element in ("point", "line", "area", "relation")
         self.name = name
         self.element = element
         self.match = match
@@ -529,9 +530,14 @@ class OsmLayerRule:
 
 def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
                  rules: list[OsmLayerRule],
-                 num_partitions: int = 16) -> "ray.data.Dataset":
-    """Nodes + resolved ways → profile-filtered geometry rows
-    (geom_id, kind, xs, ys, layer_id, attr columns)."""
+                 num_partitions: int = 16,
+                 relations: "ray.data.Dataset | None" = None
+                 ) -> "ray.data.Dataset":
+    """Nodes + resolved ways (+ multipolygon relations) →
+    profile-filtered geometry rows (geom_id, kind, xs, ys, layer_id,
+    attr columns).  Relation rules match against the RELATION's tags,
+    broadcast driver-side (the reference holds relation info in RAM on
+    every worker, "≤500MB", ``OsmReader.java:83-87`` — same budget)."""
     all_attrs = tuple(dict.fromkeys(a for r in rules for a in r.attrs))
     layer_ids = {name: i for i, name in enumerate(
         dict.fromkeys(r.name for r in rules))}
@@ -584,12 +590,15 @@ def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
 
     way_rules = [r for r in rules if r.element in ("line", "area")]
     node_rules = [r for r in rules if r.element == "point"]
+    rel_rules = [r for r in rules if r.element == "relation"]
     out = []
+    geoms = (way_geometries(nodes, ways, num_partitions)
+             if (way_rules or (rel_rules and relations is not None))
+             else None)
 
     if way_rules:
         way_keys = tuple(dict.fromkeys(
             k for r in way_rules for k in r.tag_keys))
-        geoms = way_geometries(nodes, ways, num_partitions)
 
         def ways_fn(batch: pa.Table, keys=way_keys) -> pa.Table:
             if batch.num_rows == 0 or "way_id" not in batch.schema.names:
@@ -639,6 +648,42 @@ def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
 
         out.append(nodes.map_batches(nodes_fn, batch_format="pyarrow"))
 
+    if rel_rules and relations is not None:
+        rel_keys = tuple(dict.fromkeys(
+            k for r in rel_rules for k in r.tag_keys))
+        rings = assemble_multipolygons(relations, geoms, num_partitions)
+        # broadcast rel_id → tags (small side by the reference contract)
+        tag_df = relations.select_columns(
+            ["rel_id", "tag_keys", "tag_vals"]).to_pandas()
+        order = np.argsort(tag_df["rel_id"].to_numpy(), kind="stable")
+        idx_ref = ray.put((tag_df["rel_id"].to_numpy()[order],
+                           tag_df["tag_keys"].to_numpy()[order],
+                           tag_df["tag_vals"].to_numpy()[order]))
+
+        def rel_fn(batch: pa.Table, keys=rel_keys) -> pa.Table:
+            if batch.num_rows == 0 or "rel_id" not in batch.schema.names:
+                return empty()
+            batch = batch.combine_chunks()
+            rid = batch["rel_id"].to_numpy()
+            srid, skeys, svals = ray.get(idx_ref)
+            pos = np.searchsorted(srid, rid)
+            pos = np.minimum(pos, max(len(srid) - 1, 0))
+            hit = (srid[pos] == rid) if len(srid) else np.zeros(len(rid), bool)
+            tk = [list(skeys[p]) if h else [] for p, h in zip(pos, hit)]
+            tv = [list(svals[p]) if h else [] for p, h in zip(pos, hit)]
+            tmp = pa.table({
+                "geom_id": pa.array(rid),
+                "xs": batch["xs"], "ys": batch["ys"],
+                "tag_keys": pa.array(tk, pa.list_(pa.string())),
+                "tag_vals": pa.array(tv, pa.list_(pa.string())),
+            })
+            tmp = tags_to_columns(tmp, keys)
+            # rings are already open + oriented (holes reversed); they
+            # render as polygon rows sharing the relation's geom_id
+            return apply_rules(tmp, {"relation": ("polygon", None)})
+
+        out.append(rings.map_batches(rel_fn, batch_format="pyarrow"))
+
     if not out:
         return ray.data.from_arrow(empty())
     ds = out[0]
@@ -651,7 +696,9 @@ def build_osm_tiles(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
                     rules: list[OsmLayerRule], min_zoom: int = 0,
                     max_zoom: int = 14, num_partitions: int = 16,
                     line_merge: dict | None = None,
-                    min_pixel_size: float = 1.0) -> "ray.data.Dataset":
+                    min_pixel_size: float = 1.0,
+                    relations: "ray.data.Dataset | None" = None
+                    ) -> "ray.data.Dataset":
     """The Planetiler main flow, Ray-Data-native: OSM elements →
     profile rules → named MVT layers → tile Dataset (ready for the
     PMTiles/MBTiles sinks).  ``Planetiler.java:791-996`` +
@@ -661,7 +708,8 @@ def build_osm_tiles(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
     all_attrs = tuple(dict.fromkeys(a for r in rules for a in r.attrs))
     names = {i: name for i, name in enumerate(
         dict.fromkeys(r.name for r in rules))}
-    feats = osm_features(nodes, ways, rules, num_partitions)
+    feats = osm_features(nodes, ways, rules, num_partitions,
+                         relations=relations)
     return build_geometry_tiles(feats, min_zoom=min_zoom, max_zoom=max_zoom,
                                 attr_cols=all_attrs, line_merge=line_merge,
                                 layer_names=names,

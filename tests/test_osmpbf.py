@@ -253,3 +253,30 @@ def test_unclosed_ring_counted(tmp_path, ray_session):
             break
         time.sleep(0.1)
     assert totals["counters"]["data_errors.unclosed_ring"] == 2
+
+
+def test_relation_rule_renders_multipolygon(pbf_file, ray_session):
+    """A 'relation' profile rule renders multipolygon rings as a named
+    polygon layer (outer + hole rows share the relation id)."""
+    import pyarrow as pa
+
+    from planetiler_ray.pipelines.osm import OsmLayerRule, build_osm_tiles
+    from planetiler_ray.tilemath.mvt_pb import decode_tile
+
+    def always(t):
+        return pa.array([True] * t.num_rows)
+
+    rules = [OsmLayerRule("water", "relation", always)]
+    tiles = build_osm_tiles(read_osm_nodes(str(pbf_file)),
+                            read_osm_ways(str(pbf_file)), rules,
+                            min_zoom=0, max_zoom=1, min_pixel_size=0.5,
+                            num_partitions=2,
+                            relations=read_osm_relations(str(pbf_file))
+                            ).to_pandas()
+    z0 = tiles[tiles.z == 0]
+    assert len(z0) == 1
+    t = decode_tile(bytes(z0.iloc[0]["mvt_bytes"]))
+    assert set(t) == {"water"}
+    feats = t["water"]["features"]
+    assert len(feats) == 2                       # outer ring + hole ring
+    assert all(ft["id"] == feats[0]["id"] for ft in feats)
