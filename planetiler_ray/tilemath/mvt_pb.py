@@ -373,10 +373,16 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         base_s + np.array([layname_off[int(l)] for l in lay_layer]),
         lay_name_len)
 
-    # section 2: features — fixed slot pattern, item = feat_pos*64 + slot
+    # section 2: features — item = per-feature slot base + slot.  The
+    # base is a segmented cumsum of each feature's slot need (26 fixed
+    # slots + one per geometry int), NOT a fixed stride: a fixed stride
+    # lets long geometries (>18 vertices) overflow into the next
+    # feature's slot range and interleave the output bytes.
     ftile = tile_idx
     ford = lay_ord[lay_idx]
-    fbase = feat_pos * 64
+    slot_need = 26 + gcount
+    fbase = np.cumsum(slot_need) - slot_need
+    fbase = fbase - fbase[lay_starts][lay_idx]            # restart per layer
     onef = np.ones(n)
 
     def fadd(slot, starts_, lens_):

@@ -116,3 +116,29 @@ def test_utf8_attrs():
     lay = M.decode_tile(blob)["labels"]
     at = M.decode_feature_attrs(lay, lay["features"][0])
     assert at["caption"] == "wörld — ütf8"
+
+
+def test_long_line_does_not_corrupt_following_features():
+    """Regression: geometry-int slots beyond the old fixed 64-per-feature
+    stride used to spill into the next feature's byte range."""
+    import numpy as np
+
+    from planetiler_ray.tilemath.mvt_pb import (KIND_LINE,
+                                                decode_tile,
+                                                encode_tile_batch)
+
+    for nv1 in (19, 40, 200):
+        vx = np.concatenate([np.linspace(0, 100, nv1), [10, 20, 30]])
+        vy = np.concatenate([np.linspace(0, 50, nv1), [5, 6, 7]])
+        voff = np.array([0, nv1, nv1 + 3], np.int64)
+        tid = np.array([7, 7], np.int64)
+        _, blobs = encode_tile_batch(
+            tid, np.array([2, 2], np.int8),
+            np.array([KIND_LINE, KIND_LINE], np.int8),
+            np.array([1, 2], np.int64), np.zeros(2), np.zeros(2),
+            np.zeros(2), np.zeros(2), {2: "lines"},
+            line_verts=(vx, vy, voff))
+        f = decode_tile(blobs[0].as_py())["lines"]["features"]
+        assert [ft["id"] for ft in f] == [1, 2]
+        assert len(f[0]["geometry"]) == 2 + 2 * nv1
+        assert len(f[1]["geometry"]) == 8
