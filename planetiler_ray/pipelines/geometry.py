@@ -261,7 +261,8 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
 
 def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
                   line_merge: dict | None = None,
-                  layer_names: dict | None = None) -> pa.Table:
+                  layer_names: dict | None = None,
+                  merge_rings: bool = True) -> pa.Table:
     if grp.num_rows and line_merge is not None:
         grp = _merge_tile_lines(grp, attr_cols, line_merge)
     if grp.num_rows == 0:
@@ -293,11 +294,16 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
         ax[pi] = vx[voff[pi]]
         ay[pi] = vy[voff[pi]]
     attrs = {a: grp[a].to_numpy(zero_copy_only=False) for a in attr_cols}
+    # polygon rings sharing a geom_id merge into ONE feature with
+    # multiple rings (holes inside the same feature, per the MVT spec);
+    # rows are sorted (tile, layer, geom_id) so groups are consecutive
+    group = (np.where(kind == KIND_POLY, gid, -(np.arange(n) + 1))
+             if merge_rings else None)
     utid, blobs = encode_tile_batch(
         tid, grp["layer"].to_numpy(), kind, gid, ax, ay,
         np.full(n, np.nan), np.full(n, np.nan),
         layer_names if layer_names is not None else LAYER_NAMES,
-        attrs or None, line_verts=(vx, vy, voff))
+        attrs or None, line_verts=(vx, vy, voff), feature_group=group)
 
     from ..tilemath.tilecoord import tms_decode
     x_t, y_t, z_t = tms_decode(utid)

@@ -79,6 +79,7 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
                       attrs: dict[str, np.ndarray] | None = None,
                       line_verts: tuple[np.ndarray, np.ndarray,
                                         np.ndarray] | None = None,
+                      feature_group: np.ndarray | None = None,
                       ) -> tuple[np.ndarray, pa.LargeBinaryArray]:
     """Encode fragments (sorted by tile, layer) into one MVT blob per tile.
 
@@ -88,6 +89,12 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     frag_vert_offsets)`` — flat px coords plus each fragment's [start,
     end) range (empty for non-line fragments).  ``attrs`` maps attr
     name → per-fragment string values (nulls → '').
+    ``feature_group`` (optional, per-fragment): CONSECUTIVE fragments
+    of the same tile/layer sharing a group value merge into ONE feature
+    whose geometry concatenates their command streams — the
+    multipolygon-with-holes / multi-part encoding (id/type/attrs come
+    from the group's first fragment).  Default: one feature per
+    fragment.
     Returns (unique tile ids in order, LargeBinaryArray of tile bytes).
     """
     n = len(tile_ids)
@@ -210,29 +217,43 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         u_within = np.empty(0, np.int64)
         n_uniq = 0
 
-    # --- tag pairs: (key_idx, within-layer value idx) per attr ---
+    # --- feature grouping (multi-ring / multi-part features) ---
+    if feature_group is None:
+        g_change = np.ones(n, bool)
+    else:
+        fg = np.asarray(feature_group)
+        g_change = l_change.copy()
+        g_change[1:] |= fg[1:] != fg[:-1]
+        g_change[0] = True
+    gfirst = np.flatnonzero(g_change)                 # feature start fragment
+    n_feat = len(gfirst)
+
+    # --- tag pairs: (key_idx, within-layer value idx) per FEATURE ---
     if K:
-        tag_ints = np.empty((n, 2 * K), dtype=np.uint64)
+        tag_ints = np.empty((n_feat, 2 * K), dtype=np.uint64)
         for k in range(K):
             tag_ints[:, 2 * k] = k
-            tag_ints[:, 2 * k + 1] = val_idx_within[np.arange(n) * K + k] \
+            tag_ints[:, 2 * k + 1] = val_idx_within[gfirst * K + k] \
                 .astype(np.uint64)
         tag_ints = tag_ints.reshape(-1)
         tag_int_lens = _vlen(tag_ints)
-        tseg = np.arange(n) * 2 * K
-        tags_len = np.add.reduceat(tag_int_lens, tseg) if n else np.zeros(0, np.int64)
+        tseg = np.arange(n_feat) * 2 * K
+        tags_len = np.add.reduceat(tag_int_lens, tseg) if n_feat \
+            else np.zeros(0, np.int64)
     else:
         tag_ints = np.empty(0, np.uint64)
-        tags_len = np.zeros(n, np.int64)
+        tags_len = np.zeros(n_feat, np.int64)
 
-    # --- feature message lengths (bottom-up arithmetic) ---
-    fid = np.asarray(feat_id, dtype=np.uint64)
+    # --- feature message lengths (bottom-up arithmetic, per FEATURE) ---
+    fid = np.asarray(feat_id, dtype=np.uint64)[gfirst]
     ftype = np.array([_GEOM_TYPE[KIND_BOX], _GEOM_TYPE[KIND_POINT],
                       _GEOM_TYPE[KIND_LINE], _GEOM_TYPE[KIND_POLY]
-                      ])[kind.astype(np.int64)].astype(np.uint64)
+                      ])[kind.astype(np.int64)[gfirst]].astype(np.uint64)
+    geom_len_f = np.add.reduceat(geom_len, gfirst) if n_feat \
+        else np.zeros(0, np.int64)
     feat_len = (1 + _vlen(fid)                            # id
                 + 1 + 1                                   # type (tag + 1-byte varint)
-                + 1 + _vlen(geom_len) + geom_len)         # geometry
+                + 1 + _vlen(geom_len_f) + geom_len_f)     # geometry
     if K:
         feat_len = feat_len + 1 + _vlen(tags_len) + tags_len
 
@@ -249,7 +270,7 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     lay_name_len = np.array([len(name_bytes[int(lid)]) for lid in lay_layer])
     feat_framed = 1 + _vlen(feat_len) + feat_len
     lay_feat_bytes = np.zeros(n_lays, np.int64)
-    np.add.at(lay_feat_bytes, lay_idx, feat_framed)
+    np.add.at(lay_feat_bytes, lay_idx[gfirst], feat_framed)
     keys_enc = [kn.encode("utf-8") for kn in key_names]
     keys_framed_const = sum(1 + int(varint_lengths(np.array([len(kb)]))[0]) + len(kb)
                             for kb in keys_enc)
@@ -273,7 +294,7 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         np.asarray(lay_name_len, np.uint64),
         feat_len.astype(np.uint64), fid, ftype,
         tags_len.astype(np.uint64) if K else np.empty(0, np.uint64),
-        geom_len.astype(np.uint64),
+        geom_len_f.astype(np.uint64),
         tag_ints, geom_ints,
         np.asarray(val_len, np.uint64) if K else np.empty(0, np.uint64),
         np.asarray(str_lens, np.uint64) if K else np.empty(0, np.uint64),
@@ -291,11 +312,11 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
 
     vi_laylen = take(n_lays)
     vi_layname = take(n_lays)
-    vi_featlen = take(n)
-    vi_fid = take(n)
-    vi_ftype = take(n)
-    vi_tagslen = take(n if K else 0)
-    vi_geomlen = take(n)
+    vi_featlen = take(n_feat)
+    vi_fid = take(n_feat)
+    vi_ftype = take(n_feat)
+    vi_tagslen = take(n_feat if K else 0)
+    vi_geomlen = take(n_feat)
     vi_tagints = take(len(tag_ints))
     vi_geomints = take(len(geom_ints))
     vi_vallen = take(n_uniq)
@@ -373,45 +394,51 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         base_s + np.array([layname_off[int(l)] for l in lay_layer]),
         lay_name_len)
 
-    # section 2: features — item = per-feature slot base + slot.  The
-    # base is a segmented cumsum of each feature's slot need (26 fixed
-    # slots + one per geometry int), NOT a fixed stride: a fixed stride
-    # lets long geometries (>18 vertices) overflow into the next
-    # feature's slot range and interleave the output bytes.
+    # section 2: features — item = per-fragment slot base + slot.  The
+    # base is a segmented cumsum of each fragment's slot need (26 fixed
+    # feature-header slots for a group's FIRST fragment + one per
+    # geometry int), NOT a fixed stride: a fixed stride lets long
+    # geometries (>18 vertices) overflow into the next feature's slot
+    # range and interleave the output bytes.  Non-first fragments of a
+    # multi-ring feature contribute only geometry ints.
     ftile = tile_idx
     ford = lay_ord[lay_idx]
-    slot_need = 26 + gcount
+    hdr = np.where(g_change, 26, 0)
+    slot_need = hdr + gcount
     fbase = np.cumsum(slot_need) - slot_need
     fbase = fbase - fbase[lay_starts][lay_idx]            # restart per layer
-    onef = np.ones(n)
+    fb_f = fbase[gfirst]
+    ftile_f = tile_idx[gfirst]
+    ford_f = ford[gfirst]
+    onef = np.ones(n_feat)
 
     def fadd(slot, starts_, lens_):
-        add(skey(ftile, ford, 2, fbase + slot), starts_, lens_)
+        add(skey(ftile_f, ford_f, 2, fb_f + slot), starts_, lens_)
 
-    fadd(0, np.full(n, _T_FEATURE), onef)
+    fadd(0, np.full(n_feat, _T_FEATURE), onef)
     st, ln = vpiece(vi_featlen)
     fadd(1, st, ln)
-    fadd(2, np.full(n, _F_ID), onef)
+    fadd(2, np.full(n_feat, _F_ID), onef)
     st, ln = vpiece(vi_fid)
     fadd(3, st, ln)
     if K:
-        fadd(4, np.full(n, _F_TAGS), onef)
+        fadd(4, np.full(n_feat, _F_TAGS), onef)
         st, ln = vpiece(vi_tagslen)
         fadd(5, st, ln)
         # packed tag ints: slots 6..6+2K-1 (K ≤ 8 fits the pattern)
         assert 2 * K <= 16
-        tag_slot = vi_tagints.reshape(n, 2 * K)
+        tag_slot = vi_tagints.reshape(n_feat, 2 * K)
         for j in range(2 * K):   # loop over ATTR COLUMNS (tiny), not rows
             st, ln = vpiece(tag_slot[:, j])
             fadd(6 + j, st, ln)
-    fadd(22, np.full(n, _F_TYPE), onef)
+    fadd(22, np.full(n_feat, _F_TYPE), onef)
     st, ln = vpiece(vi_ftype)
     fadd(23, st, ln)
-    fadd(24, np.full(n, _F_GEOM), onef)
+    fadd(24, np.full(n_feat, _F_GEOM), onef)
     st, ln = vpiece(vi_geomlen)
     fadd(25, st, ln)
     gi_frag = np.repeat(np.arange(n), gcount)             # fragment of each geom int
-    gi_slot = np.arange(len(geom_ints)) - gseg[gi_frag] + 26
+    gi_slot = np.arange(len(geom_ints)) - gseg[gi_frag] + hdr[gi_frag]
     st, ln = vpiece(vi_geomints)
     add(skey(ftile[gi_frag], ford[gi_frag], 2, fbase[gi_frag] + gi_slot), st, ln)
 

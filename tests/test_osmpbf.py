@@ -278,5 +278,8 @@ def test_relation_rule_renders_multipolygon(pbf_file, ray_session):
     t = decode_tile(bytes(z0.iloc[0]["mvt_bytes"]))
     assert set(t) == {"water"}
     feats = t["water"]["features"]
-    assert len(feats) == 2                       # outer ring + hole ring
-    assert all(ft["id"] == feats[0]["id"] for ft in feats)
+    assert len(feats) == 1                       # ONE feature, two rings
+    g = feats[0]["geometry"]
+    n_moveto = sum(1 for v in g if v == 9)       # MoveTo command per ring
+    assert n_moveto == 2
+    assert sum(1 for v in g if v == 15) == 2     # two ClosePath
