@@ -294,11 +294,18 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
         ax[pi] = vx[voff[pi]]
         ay[pi] = vy[voff[pi]]
     attrs = {a: grp[a].to_numpy(zero_copy_only=False) for a in attr_cols}
-    # polygon rings sharing a geom_id merge into ONE feature with
-    # multiple rings (holes inside the same feature, per the MVT spec);
+    # polygon rings / line parts sharing geom_id AND identical attrs
+    # merge into ONE feature with multiple rings/parts (holes inside
+    # the same polygon feature, clipped way parts as one
+    # multi-linestring — the reference's merged-feature output shape);
     # rows are sorted (tile, layer, geom_id) so groups are consecutive
-    group = (np.where(kind == KIND_POLY, gid, -(np.arange(n) + 1))
-             if merge_rings else None)
+    group = None
+    if merge_rings and n > 1:
+        same = ((kind[1:] != KIND_POINT) & (kind[:-1] == kind[1:])
+                & (gid[1:] == gid[:-1]))
+        for a in attr_cols:
+            same &= attrs[a][1:] == attrs[a][:-1]
+        group = np.cumsum(np.concatenate([[True], ~same]))
     utid, blobs = encode_tile_batch(
         tid, grp["layer"].to_numpy(), kind, gid, ax, ay,
         np.full(n, np.nan), np.full(n, np.nan),
