@@ -16,13 +16,28 @@ World layout for ``n_docs`` documents:
   generic ways   w = 1..W,  W = n_docs
       L(w) = 4 + (w mod 4) refs; ref k = 1 + (w·7919 + k·104729) mod N
       tags: ``highway = CLS[w mod 5]``; ``name = "way " + w`` when w≡0 (3)
-  relations      r = 1..R,  R = max(1, n_docs // 100)
-      an axis-aligned square (side 0.04°) with a square hole
-      (side 0.012°), outer split into two open ways + one closed hole
-      way, roles outer/outer/inner, ``type=multipolygon``.
-      center:  cx_e7(r) = (r·1076767) mod 3000000000 − 1500000000
-               cy_e7(r) = (r·433494437) mod 1400000000 − 700000000
-      dedicated node ids 10^7 + 100r + 0..7, way ids 10^6 + 10r + 0..2.
+  relations      r = 1..R,  R = max(1, n_docs // 100) — THREE families
+      per r, all centered on the same deterministic point:
+        center:  cx_e7(r) = (r·1076767) mod 3000000000 − 1500000000
+                 cy_e7(r) = (r·433494437) mod 1400000000 − 700000000
+      family 1 (square-with-hole, rel_id 10^7 + r): an axis-aligned
+        square (half-side 0.02°) with a square hole (half-side 0.006°),
+        outer split into two open ways + one closed hole way, roles
+        outer/outer/inner.  Node ids 10^7 + 100r + 0..7, way ids
+        10^6 + 10r + 0..2.
+      family 2 (cshape, rel_id 2·10^7 + r): a C-shaped outer (the
+        square with a rectangular notch cut from its right edge to the
+        center, half-height 0.006°) plus a DISJOINT small square
+        (half-side 0.003°) sitting inside the notch — geometrically
+        outside the C but inside its bbox.  Two shells, zero holes:
+        the adversarial case for bbox-only hole nesting
+        (``OsmMultipolygon.java:178-237`` real-containment semantics).
+        Node ids 2·10^7 + 100r + 0..11, way ids 2·10^6 + 10r + 0..2.
+      family 3 (nested3, rel_id 3·10^7 + r): three concentric squares
+        (half-sides 0.02° / 0.012° / 0.004°) — island-in-lake-in-island
+        3-level nesting: shell, hole, shell again (depth parity).
+        Node ids 3·10^7 + 100r + 0..11, way ids 3·10^6 + 10r + 0..3.
+      All three tagged ``type=multipolygon``.
 
 The PBF encoder here is a fixture generator, not a scale path — plain
 Python packing is fine at fixture sizes (≤10⁵ elements).
@@ -45,6 +60,10 @@ REF_A, REF_B = 7919, 104729
 CX_MULT, CX_MOD, CX_OFF = 1076767, 3000000000, 1500000000
 CY_MULT, CY_MOD, CY_OFF = 433494437, 1400000000, 700000000
 SQ_HALF, HOLE_HALF = 200000, 60000           # 1e-7° units
+NOTCH_HALF = 60000                           # cshape notch half-height
+ISLE_HALF = 30000                            # cshape disjoint square half-side
+ISLE_CX = 100000                             # its center offset from cx
+MID_HALF, INNER_HALF = 120000, 40000         # nested3 middle/inner half-sides
 REL_NODE_BASE, REL_WAY_BASE = 10_000_000, 1_000_000
 CLS = ["motorway", "primary", "secondary", "residential", "path"]
 
@@ -69,14 +88,35 @@ def rel_center_e7(r: int) -> tuple[int, int]:
             (r * CY_MULT) % CY_MOD - CY_OFF)
 
 
+def _square(cx: int, cy: int, half: int) -> list[tuple[int, int]]:
+    return [(cx - half, cy - half), (cx + half, cy - half),
+            (cx + half, cy + half), (cx - half, cy + half)]
+
+
 def rel_corners_e7(r: int) -> list[tuple[int, int]]:
     """8 corners: outer square c0..c3 (CCW in lon/lat) then hole c4..c7."""
     cx, cy = rel_center_e7(r)
-    out = []
-    for half in (SQ_HALF, HOLE_HALF):
-        out += [(cx - half, cy - half), (cx + half, cy - half),
-                (cx + half, cy + half), (cx - half, cy + half)]
-    return out
+    return _square(cx, cy, SQ_HALF) + _square(cx, cy, HOLE_HALF)
+
+
+def cshape_corners_e7(r: int) -> list[tuple[int, int]]:
+    """12 corners: C-shape v0..v7 (CCW in lon/lat; rectangular notch cut
+    from the right edge in to the center, half-height ``NOTCH_HALF``)
+    then the disjoint small square b0..b3 inside the notch."""
+    cx, cy = rel_center_e7(r)
+    a, h = SQ_HALF, NOTCH_HALF
+    cshape = [(cx - a, cy - a), (cx + a, cy - a), (cx + a, cy - h),
+              (cx, cy - h), (cx, cy + h), (cx + a, cy + h),
+              (cx + a, cy + a), (cx - a, cy + a)]
+    return cshape + _square(cx + ISLE_CX, cy, ISLE_HALF)
+
+
+def nested3_corners_e7(r: int) -> list[tuple[int, int]]:
+    """12 corners: outer o0..o3, middle m0..m3, inner i0..i3 —
+    island-in-lake-in-island concentric squares."""
+    cx, cy = rel_center_e7(r)
+    return (_square(cx, cy, SQ_HALF) + _square(cx, cy, MID_HALF)
+            + _square(cx, cy, INNER_HALF))
 
 
 # ---------------------------------------------------------------------------
@@ -214,18 +254,22 @@ def build_osm_world(path: str, n_docs: int,
             group += _way(w, way_refs(w, n_nodes), keyi, vali)
         frames.append(_frame("OSMData", _block(wstrings + names, [group])))
 
-    # relations: square-with-hole multipolygons on dedicated nodes/ways
+    # relations: three multipolygon families on dedicated nodes/ways
     rstrings = ["", "type", "multipolygon", "outer", "inner"]
     ridx = {s: i for i, s in enumerate(rstrings)}
     nd_ids, nd_lon, nd_lat = [], [], []
     wgroup, rgroup = b"", b""
-    for r in range(1, n_rels + 1):
-        corners = rel_corners_e7(r)
-        base = REL_NODE_BASE + 100 * r
+
+    def add_nodes(base, corners):
         for c, (x, y) in enumerate(corners):
             nd_ids.append(base + c)
             nd_lon.append(x)
             nd_lat.append(y)
+
+    for r in range(1, n_rels + 1):
+        # family 1: square with hole (outer split in two + closed hole)
+        base = REL_NODE_BASE + 100 * r
+        add_nodes(base, rel_corners_e7(r))
         wb = REL_WAY_BASE + 10 * r
         wgroup += _way(wb + 0, [base + 0, base + 1, base + 2])
         wgroup += _way(wb + 1, [base + 2, base + 3, base + 0])
@@ -234,6 +278,35 @@ def build_osm_world(path: str, n_docs: int,
         rgroup += _relation(
             REL_WAY_BASE * 10 + r, [wb, wb + 1, wb + 2], [1, 1, 1],
             [ridx["outer"], ridx["outer"], ridx["inner"]],
+            keyidx=[ridx["type"]], validx=[ridx["multipolygon"]])
+        # family 2: C-shaped outer + disjoint square inside its bbox —
+        # the bbox-nesting adversarial case (two shells, no holes)
+        base = 2 * REL_NODE_BASE + 100 * r
+        add_nodes(base, cshape_corners_e7(r))
+        wb = 2 * REL_WAY_BASE + 10 * r
+        wgroup += _way(wb + 0, [base + c for c in range(5)])
+        wgroup += _way(wb + 1, [base + 4, base + 5, base + 6, base + 7,
+                                base + 0])
+        wgroup += _way(wb + 2, [base + 8, base + 9, base + 10, base + 11,
+                                base + 8])
+        rgroup += _relation(
+            2 * REL_WAY_BASE * 10 + r, [wb, wb + 1, wb + 2], [1, 1, 1],
+            [ridx["outer"], ridx["outer"], ridx["outer"]],
+            keyidx=[ridx["type"]], validx=[ridx["multipolygon"]])
+        # family 3: island-in-lake-in-island (3-level depth parity)
+        base = 3 * REL_NODE_BASE + 100 * r
+        add_nodes(base, nested3_corners_e7(r))
+        wb = 3 * REL_WAY_BASE + 10 * r
+        wgroup += _way(wb + 0, [base + 0, base + 1, base + 2])
+        wgroup += _way(wb + 1, [base + 2, base + 3, base + 0])
+        wgroup += _way(wb + 2, [base + 4, base + 5, base + 6, base + 7,
+                                base + 4])
+        wgroup += _way(wb + 3, [base + 8, base + 9, base + 10, base + 11,
+                                base + 8])
+        rgroup += _relation(
+            3 * REL_WAY_BASE * 10 + r, [wb, wb + 1, wb + 2, wb + 3],
+            [1, 1, 1, 1],
+            [ridx["outer"], ridx["outer"], ridx["inner"], ridx["outer"]],
             keyidx=[ridx["type"]], validx=[ridx["multipolygon"]])
     frames.append(_frame("OSMData", _block(
         rstrings, [_dense_nodes(nd_ids, nd_lat, nd_lon, [0] * len(nd_ids)),
@@ -252,7 +325,8 @@ def build_osm_world(path: str, n_docs: int,
 def osm_world_pbf(n_docs: int) -> str:
     """Cached deterministic OSM PBF for a given documents row count."""
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"osmworld_{n_docs}.pbf")
+    # v3: three relation families (cache name versions the world layout)
+    path = os.path.join(CACHE_DIR, f"osmworld_v3_{n_docs}.pbf")
     if not os.path.exists(path):
         build_osm_world(path, n_docs)
     return path

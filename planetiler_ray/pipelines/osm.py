@@ -299,6 +299,68 @@ def _stitch_rings(segments: list[np.ndarray],
     return rings
 
 
+def _ring_bboxes(fx: np.ndarray, fy: np.ndarray, offs: np.ndarray):
+    starts = offs[:-1]
+    return (np.minimum.reduceat(fx, starts), np.minimum.reduceat(fy, starts),
+            np.maximum.reduceat(fx, starts), np.maximum.reduceat(fy, starts))
+
+
+def _point_in_ring(px: float, py: float, rx: np.ndarray,
+                   ry: np.ndarray) -> bool:
+    """Crossing-number point-in-polygon test (half-open edge rule), one
+    point against one open ring, vectorized over the ring's edges."""
+    x2 = np.roll(rx, -1)
+    y2 = np.roll(ry, -1)
+    cond = (ry > py) != (y2 > py)
+    if not cond.any():
+        return False
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = rx + (py - ry) * (x2 - rx) / (y2 - ry)
+    return bool(np.count_nonzero(cond & (px < xint)) & 1)
+
+
+def _nest_rings(fx: np.ndarray, fy: np.ndarray, offs: np.ndarray,
+                areas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Real geometric ring nesting — ``OsmMultipolygon.java:51-57,
+    178-237`` semantics: rings sorted by |area| descending, each ring's
+    immediate parent is the SMALLEST larger ring geometrically
+    containing its first vertex (bbox prefilter, then crossing-number
+    test), and a ring is a hole iff its nesting depth is odd.  A
+    bbox-only test misclassifies a disjoint ring whose bbox nests
+    inside a concave ring's bbox (e.g. an island beside a C-shaped
+    outer) — the round-2 latent defect this replaces.
+
+    Returns ``(emit_order, is_hole)`` where ``emit_order`` lists each
+    exterior ring immediately followed by its own interior rings (the
+    MVT 2.1 §4.3.4.4 ring order the encoder's feature grouping relies
+    on)."""
+    k = len(offs) - 1
+    order = np.argsort(-np.abs(areas), kind="stable")
+    bx0, by0, bx1, by1 = _ring_bboxes(fx, fy, offs)
+    depth = np.zeros(k, np.int64)
+    parent = np.full(k, -1, np.int64)
+    for rank in range(1, k):
+        i = order[rank]
+        px0, py0 = fx[offs[i]], fy[offs[i]]
+        for rj in range(rank - 1, -1, -1):    # smallest containing ring wins
+            j = order[rj]
+            if not (bx0[j] <= px0 <= bx1[j] and by0[j] <= py0 <= by1[j]):
+                continue
+            if _point_in_ring(px0, py0, fx[offs[j]:offs[j + 1]],
+                              fy[offs[j]:offs[j + 1]]):
+                parent[i] = j
+                depth[i] = depth[j] + 1
+                break
+    is_hole = (depth & 1) == 1
+    shell_of = np.where(is_hole, parent, np.arange(k))
+    rank_of = np.empty(k, np.int64)
+    rank_of[order] = np.arange(k)
+    # a hole's shell always has a smaller area rank, so sorting by
+    # (shell's rank, own rank) puts each shell directly before its holes
+    emit = np.lexsort((rank_of, rank_of[shell_of]))
+    return emit, is_hole
+
+
 def assemble_multipolygons(relations: "ray.data.Dataset",
                            way_geoms: "ray.data.Dataset",
                            num_partitions: int = 8,
@@ -417,31 +479,25 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
                 flat_y = np.concatenate([rg[:, 1] for rg in rings])
                 roff = np.zeros(len(rings) + 1, np.int64)
                 np.cumsum([len(rg) for rg in rings], out=roff[1:])
-                # orientation: largest |area| ring = outer, others with
-                # opposite containment... simplified: area sign after
-                # normalize — outers are the rings not inside another
                 fixed = snap_fix_rings(flat_x, flat_y, roff,
                                        is_hole=np.zeros(len(rings), bool),
                                        scale=1e7)
-                # holes: rings whose bbox falls inside another kept ring
-                k = int(fixed["ring_keep"].sum())
                 offs = fixed["offsets"]
                 fx, fy = fixed["xs"], fixed["ys"]
-                boxes = [(fx[offs[i]:offs[i + 1]].min(), fy[offs[i]:offs[i + 1]].min(),
-                          fx[offs[i]:offs[i + 1]].max(), fy[offs[i]:offs[i + 1]].max())
-                         for i in range(k)]
-                for i in range(k):
-                    hole = any(j != i and boxes[j][0] <= boxes[i][0]
-                               and boxes[j][1] <= boxes[i][1]
-                               and boxes[j][2] >= boxes[i][2]
-                               and boxes[j][3] >= boxes[i][3]
-                               for j in range(k))
+                if len(offs) <= 1:
+                    continue
+                # hole ⇔ odd nesting depth under real containment
+                # (area-sorted shells, point-in-ring parent test)
+                emit, holes = _nest_rings(fx, fy, offs,
+                                          fixed["signed_area"])
+                for out_i, i in enumerate(emit):
+                    hole = bool(holes[i])
                     seg_x = fx[offs[i]:offs[i + 1]]
                     seg_y = fy[offs[i]:offs[i + 1]]
                     if hole != (fixed["signed_area"][i] < 0):
                         seg_x, seg_y = seg_x[::-1], seg_y[::-1]
                     out["rel_id"].append(r)
-                    out["ring_idx"].append(i)
+                    out["ring_idx"].append(out_i)
                     out["is_hole"].append(hole)
                     out["xs"].append(seg_x.tolist())
                     out["ys"].append(seg_y.tolist())

@@ -74,9 +74,40 @@ def q_osm_way_stats(sf_dir: str):
     return out.sort_values("way_id").reset_index(drop=True)
 
 
+def _ring_area2_grid(xs_col: pa.ChunkedArray,
+                     ys_col: pa.ChunkedArray) -> np.ndarray:
+    """Per-ring 2×signed shoelace area on the 1e-7 snapped INTEGER grid
+    (exact int64 — bit-reproducible in SQL).  Rings are open; the
+    closing edge is implied.  Sign follows the emitted orientation:
+    shells positive, holes negative."""
+    arr_x = xs_col.combine_chunks()
+    arr_y = ys_col.combine_chunks()
+    gx = np.round(pc.list_flatten(arr_x).to_numpy() * 1e7).astype(np.int64)
+    gy = np.round(pc.list_flatten(arr_y).to_numpy() * 1e7).astype(np.int64)
+    counts = pc.list_value_length(arr_x).to_numpy().astype(np.int64)
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    if len(gx) == 0:
+        return np.zeros(len(counts), np.int64)
+    rid = np.repeat(np.arange(len(counts)), counts)
+    idx = np.arange(len(gx), dtype=np.int64)
+    nxt = idx + 1
+    is_last = idx == starts[rid] + counts[rid] - 1
+    nxt[is_last] = starts[rid[is_last]]
+    cross = gx * gy[nxt] - gx[nxt] * gy
+    out = np.zeros(len(counts), np.int64)
+    nonempty = counts > 0
+    if nonempty.any():
+        out[nonempty] = np.add.reduceat(cross, starts[nonempty])
+    return out
+
+
 def q_osm_multipolygon_stats(sf_dir: str):
-    """Per multipolygon relation: ring/hole/vertex counts + snapped
-    vertex bbox — exercises member join + ring stitching + snap+fix."""
+    """Per multipolygon relation: ring/hole/vertex counts, snapped
+    vertex bbox, and the sum of signed 2×shoelace areas on the integer
+    snap grid — exercises member join, ring stitching, snap+fix AND the
+    real-containment hole nesting (the cshape / nested3 families flip
+    sign under bbox-only nesting)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     n_docs = docs_count(sf_dir)
@@ -94,6 +125,7 @@ def q_osm_multipolygon_stats(sf_dir: str):
                 "rel_id": pa.array([], pa.int64()),
                 "is_hole_i": pa.array([], pa.int64()),
                 "n_v": pa.array([], pa.int64()),
+                "area2": pa.array([], pa.int64()),
                 "rmin_x": pa.array([], pa.float64()),
                 "rmax_x": pa.array([], pa.float64()),
                 "rmin_y": pa.array([], pa.float64()),
@@ -107,6 +139,7 @@ def q_osm_multipolygon_stats(sf_dir: str):
             "is_hole_i": pc.cast(batch["is_hole"], pa.int64()),
             "n_v": pc.cast(pc.list_value_length(
                 batch["xs"].combine_chunks()), pa.int64()),
+            "area2": pa.array(_ring_area2_grid(batch["xs"], batch["ys"])),
             "rmin_x": pa.array(min_x),
             "rmax_x": pa.array(max_x),
             "rmin_y": pa.array(min_y),
@@ -118,12 +151,13 @@ def q_osm_multipolygon_stats(sf_dir: str):
         .aggregate(Count(alias_name="n_rings"),
                    Sum("is_hole_i", alias_name="n_holes"),
                    Sum("n_v", alias_name="n_vertices"),
+                   Sum("area2", alias_name="area2_sum"),
                    Min("rmin_x", alias_name="min_x"),
                    Max("rmax_x", alias_name="max_x"),
                    Min("rmin_y", alias_name="min_y"),
                    Max("rmax_y", alias_name="max_y")) \
         .to_pandas()
-    for c in ("n_rings", "n_holes", "n_vertices"):
+    for c in ("n_rings", "n_holes", "n_vertices", "area2_sum"):
         agg[c] = agg[c].astype(np.int64)
     return agg.sort_values("rel_id").reset_index(drop=True)
 

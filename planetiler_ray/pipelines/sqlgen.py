@@ -866,11 +866,30 @@ FROM v GROUP BY w
 """
 
 
+def _grid_x(lon_e7: str) -> str:
+    """Integer snap-grid x of a 1e-7° longitude expression —
+    ``round(world_x * 1e7)`` as BIGINT (the engine's scale=1e7 snap)."""
+    return (f"CAST(round(((1e-9 * (100 * ({lon_e7}))) + 180) / 360 * 1e7) "
+            f"AS BIGINT)")
+
+
+def _grid_y(lat_e7: str) -> str:
+    """Integer snap-grid y of a 1e-7° latitude expression."""
+    return (f"CAST(round(({_merc_y(f'1e-9 * (100 * ({lat_e7}))')}) * 1e7) "
+            f"AS BIGINT)")
+
+
 def sql_osm_multipolygon_stats() -> str:
-    """Oracle for ``osm_multipolygon_stats``: each synthetic relation is
-    a square-with-hole multipolygon; corners come straight from the
-    center formula, snapped to the 1e-7 world grid like the engine's
-    snap+fix ladder (``pipelines/osm.py`` stitch, scale=1e7)."""
+    """Oracle for ``osm_multipolygon_stats`` covering all THREE relation
+    families of ``osmworld.py`` (square-with-hole, cshape + disjoint
+    square, 3-level nesting).  All rings are rectilinear, so each
+    ring's 2×shoelace area on the 1e-7 integer snap grid is an exact
+    product of grid-coordinate differences; shells count positive,
+    holes negative — the column that catches bbox-only hole nesting
+    (cshape's disjoint square and nested3's inner island would flip
+    sign)."""
+    gx = _grid_x
+    gy = _grid_y
     return f"""
 WITH p AS (SELECT greatest(1, count(*) // 100) AS n_rels FROM documents),
 rn AS (SELECT CAST(row_number() OVER () AS BIGINT) AS r FROM documents),
@@ -878,27 +897,41 @@ r AS (SELECT rn.r,
         (rn.r * 1076767) % 3000000000 - 1500000000 AS cx,
         (rn.r * 433494437) % 1400000000 - 700000000 AS cy
       FROM rn, p WHERE rn.r <= p.n_rels),
-corner AS (SELECT r.r,
-        r.cx + (CASE g.c % 4 WHEN 0 THEN -1 WHEN 1 THEN 1 WHEN 2 THEN 1
-                ELSE -1 END) * (CASE WHEN g.c < 4 THEN 200000 ELSE 60000 END)
-            AS lon_e7,
-        r.cy + (CASE g.c % 4 WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN 1
-                ELSE 1 END) * (CASE WHEN g.c < 4 THEN 200000 ELSE 60000 END)
-            AS lat_e7
-      FROM r, generate_series(0, 7) AS g(c)),
-ll AS (SELECT r, 1e-9 * (100 * lon_e7) AS lon, 1e-9 * (100 * lat_e7) AS lat
-       FROM corner),
-v AS (SELECT r,
-        round(((lon + 180) / 360) * 1e7) / 1e7 AS x,
-        round(({_merc_y('lat')}) * 1e7) / 1e7 AS y
-      FROM ll)
+g AS (SELECT r,
+        {gx('cx - 200000')} AS xl,  {gx('cx + 200000')} AS xr,
+        {gx('cx - 60000')}  AS xhl, {gx('cx + 60000')}  AS xhr,
+        {gx('cx')}          AS xc,
+        {gx('cx + 70000')}  AS xbl, {gx('cx + 130000')} AS xbr,
+        {gx('cx - 120000')} AS xml, {gx('cx + 120000')} AS xmr,
+        {gx('cx - 40000')}  AS xil, {gx('cx + 40000')}  AS xir,
+        {gy('cy - 200000')} AS yb,  {gy('cy + 200000')} AS yt,
+        {gy('cy - 60000')}  AS yhb, {gy('cy + 60000')}  AS yht,
+        {gy('cy - 30000')}  AS ybb, {gy('cy + 30000')}  AS ybt,
+        {gy('cy - 120000')} AS ymb, {gy('cy + 120000')} AS ymt,
+        {gy('cy - 40000')}  AS yib, {gy('cy + 40000')}  AS yit
+      FROM r)
 SELECT 10000000 + r AS rel_id,
-       CAST(2 AS BIGINT) AS n_rings,
-       CAST(1 AS BIGINT) AS n_holes,
+       CAST(2 AS BIGINT) AS n_rings, CAST(1 AS BIGINT) AS n_holes,
        CAST(8 AS BIGINT) AS n_vertices,
-       min(x) AS min_x, max(x) AS max_x,
-       min(y) AS min_y, max(y) AS max_y
-FROM v GROUP BY r
+       2 * (xr - xl) * (yb - yt) - 2 * (xhr - xhl) * (yhb - yht)
+           AS area2_sum,
+       xl / 1e7 AS min_x, xr / 1e7 AS max_x,
+       yt / 1e7 AS min_y, yb / 1e7 AS max_y
+FROM g
+UNION ALL
+SELECT 20000000 + r,
+       CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(12 AS BIGINT),
+       2 * ((xr - xl) * (yb - yt) - (xr - xc) * (yhb - yht))
+           + 2 * (xbr - xbl) * (ybb - ybt),
+       xl / 1e7, xr / 1e7, yt / 1e7, yb / 1e7
+FROM g
+UNION ALL
+SELECT 30000000 + r,
+       CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(12 AS BIGINT),
+       2 * ((xr - xl) * (yb - yt) - (xmr - xml) * (ymb - ymt)
+            + (xir - xil) * (yib - yit)),
+       xl / 1e7, xr / 1e7, yt / 1e7, yb / 1e7
+FROM g
 """
 
 

@@ -283,3 +283,45 @@ def test_relation_rule_renders_multipolygon(pbf_file, ray_session):
     n_moveto = sum(1 for v in g if v == 9)       # MoveTo command per ring
     assert n_moveto == 2
     assert sum(1 for v in g if v == 15) == 2     # two ClosePath
+
+
+def test_nest_rings_containment():
+    """Real-containment nesting (OsmMultipolygon.java:178-237): a
+    disjoint ring whose bbox nests inside a C-shape's bbox is a SHELL,
+    and 3-level concentric nesting alternates shell/hole/shell."""
+    from planetiler_ray.pipelines.osm import _nest_rings
+
+    def ring(pts):
+        a = np.asarray(pts, float)
+        return a[:, 0], a[:, 1]
+
+    # C-shape (notch cut from right edge to center) + small square in
+    # the notch: bbox containment says hole, geometry says shell
+    cs = [(0, 0), (10, 0), (10, 4), (5, 4), (5, 6), (10, 6),
+          (10, 10), (0, 10)]
+    sq = [(7, 4.5), (8, 4.5), (8, 5.5), (7, 5.5)]
+    xs = np.concatenate([np.asarray(cs, float)[:, 0],
+                         np.asarray(sq, float)[:, 0]])
+    ys = np.concatenate([np.asarray(cs, float)[:, 1],
+                         np.asarray(sq, float)[:, 1]])
+    offs = np.array([0, 8, 12])
+    areas = np.array([80.0, 1.0])
+    emit, holes = _nest_rings(xs, ys, offs, areas)
+    assert not holes.any()                       # both shells
+    # island-in-lake-in-island: outer shell, middle hole, inner shell
+    sq3 = [(0, 0), (12, 0), (12, 12), (0, 12),
+           (2, 2), (10, 2), (10, 10), (2, 10),
+           (4, 4), (8, 4), (8, 8), (4, 8)]
+    a3 = np.asarray(sq3, float)
+    offs3 = np.array([0, 4, 8, 12])
+    areas3 = np.array([144.0, 64.0, 16.0])
+    emit3, holes3 = _nest_rings(a3[:, 0], a3[:, 1], offs3, areas3)
+    assert holes3.tolist() == [False, True, False]
+    # shells come immediately before their own holes
+    assert emit3.tolist() == [0, 1, 2]
+    # two disjoint squares under one relation: two shells
+    two = np.asarray([(0, 0), (1, 0), (1, 1), (0, 1),
+                      (5, 5), (6, 5), (6, 6), (5, 6)], float)
+    _, h2 = _nest_rings(two[:, 0], two[:, 1], np.array([0, 4, 8]),
+                        np.array([1.0, 1.0]))
+    assert not h2.any()
