@@ -39,6 +39,13 @@ from ..tilemath.mvt_pb import (KIND_LINE, KIND_POINT, KIND_POLY,
                                encode_tile_batch)
 from ..tilemath.tilecoord import tms_encode
 
+def pd_isnull_obj(a: np.ndarray) -> np.ndarray:
+    """Vectorized null mask over an object/str numpy array (Arrow nulls
+    surface as None after ``to_numpy(zero_copy_only=False)``)."""
+    import pandas as pd
+    return np.asarray(pd.isnull(a))
+
+
 LAYER_OF_KIND = {"point": (1, "points", KIND_POINT),
                  "line": (2, "lines", KIND_LINE),
                  "polygon": (0, "polygons", KIND_POLY)}
@@ -316,11 +323,37 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
     x_t, y_t, z_t = tms_decode(utid)
     starts = np.concatenate([[0], np.flatnonzero(np.diff(tid)) + 1])
     counts = np.diff(np.concatenate([starts, [n]]))
-    # content hash: segmented FNV fold of per-fragment hashes (shared
-    # vectorized kernel — O(total fragments) regardless of skew)
+    # content hash: segmented FNV fold of per-fragment hashes.  The
+    # fragment hash folds the QUANTIZED vertex stream (position-weighted
+    # XOR — vectorized, order-sensitive), the layer and every attr
+    # value, mirroring the record path (stages/reduce.py rec_hash):
+    # id-set-only hashes collide for distinct tiles crossed by the same
+    # features, and the hash keys PMTiles RLE / archive blob dedup.
     from ..stages.reduce import _segmented_fnv_fold
+    from ..tilemath.hashing import fnv1a_64_strings
+    from ..tilemath.mvt_pb import quant
+    nv = np.diff(voff)
+    qvx = quant(vx).astype(np.uint64)
+    qvy = quant(vy).astype(np.uint64)
+    pos = (np.arange(len(vx)) - np.repeat(voff[:-1], nv)).astype(np.uint64)
+    vh = mix64(qvx ^ mix64(qvy ^ mix64(pos + np.uint64(0x9E37))))
+    frag_vh = np.zeros(n, np.uint64)
+    ne = nv > 0
+    if ne.any():
+        # consecutive non-empty starts delimit exactly each non-empty
+        # fragment's vertex range (empty fragments own no vertices)
+        frag_vh[ne] = np.bitwise_xor.reduceat(vh, voff[:-1][ne])
+    attr_h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for ci, a in enumerate(attr_cols):
+            vals = np.where(pd_isnull_obj(attrs[a]), "", attrs[a])
+            attr_h ^= mix64(fnv1a_64_strings(vals.astype("U"))
+                            + np.uint64(0xA5A5 * (ci + 1)))
     rec = fnv1a_64_u64(mix64(gid.astype(np.uint64))
-                       ^ kind.astype(np.uint64))
+                       ^ kind.astype(np.uint64)
+                       ^ mix64(grp["layer"].to_numpy().astype(np.uint64)
+                               + np.uint64(0x51))
+                       ^ frag_vh ^ attr_h)
     chash = _segmented_fnv_fold(rec, starts, counts)
     return pa.table({
         "tile_id": pa.array(utid),

@@ -196,3 +196,39 @@ def test_geometry_shuffle_strategies_identical(ray_session):
     assert a["n_features"].equals(b["n_features"])
     assert all(bytes(x) == bytes(y)
                for x, y in zip(a["mvt_bytes"], b["mvt_bytes"]))
+
+
+def test_content_hash_distinguishes_geometry(ray_session):
+    """Two tiles crossed by the same single feature must get DIFFERENT
+    content hashes: the hash folds quantized vertex coords, not just the
+    feature-id set (round-2 ADVICE: id-only hashes made PMTiles RLE /
+    archive dedup serve wrong tile bytes)."""
+    import ray.data
+    from planetiler_ray.pipelines.geometry import build_geometry_tiles
+
+    # one horizontal line crossing two z1 tiles at different y-profiles
+    tbl = pa.table({
+        "geom_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["line"], pa.string()),
+        "xs": pa.array([[0.05, 0.95]], pa.list_(pa.float64())),
+        "ys": pa.array([[0.10, 0.40]], pa.list_(pa.float64())),
+    })
+    tiles = build_geometry_tiles(ray.data.from_arrow(tbl), min_zoom=1,
+                                 max_zoom=1).take_all()
+    z1 = [t for t in tiles if t["z"] == 1]
+    assert len(z1) == 2
+    hashes = {t["content_hash"] for t in z1}
+    assert len(hashes) == 2, "same feature id, different clip → same hash"
+    # attrs flow into the hash too: same geometry, different attr value
+    def tiles_for(name):
+        t2 = pa.table({
+            "geom_id": pa.array([7], pa.int64()),
+            "kind": pa.array(["point"], pa.string()),
+            "xs": pa.array([[0.3]], pa.list_(pa.float64())),
+            "ys": pa.array([[0.3]], pa.list_(pa.float64())),
+            "name": pa.array([name], pa.string()),
+        })
+        out = build_geometry_tiles(ray.data.from_arrow(t2), min_zoom=0,
+                                   max_zoom=0, attr_cols=("name",)).take_all()
+        return out[0]["content_hash"]
+    assert tiles_for("a") != tiles_for("b")
