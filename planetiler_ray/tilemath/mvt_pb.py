@@ -188,29 +188,51 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
 
     # --- attr values: per-(tile,layer) DEDUPLICATED value table ---------
     # (the spec's SHOULD-dedupe; indices are within-layer ranks of the
-    # sorted unique strings — all derived with one lexsort, no loops)
+    # sorted unique strings — all derived with one lexsort, no loops).
+    # Null / empty attr values are ABSENT: no tag pair is emitted for
+    # them and they never enter the value table — the reference omits
+    # unset attrs per feature (``VectorTile.java`` tag emission).
     if K:
-        enc_cols = [np.char.encode(np.asarray(attrs[nm]).astype("U"), "utf-8")
-                    for nm in key_names]
+        enc_cols = []
+        for nm in key_names:
+            a = np.asarray(attrs[nm])
+            if a.dtype == object:
+                import pandas as pd
+                a = np.where(pd.isnull(a), "", a)
+            enc_cols.append(np.char.encode(a.astype("U"), "utf-8"))
         flat_strs = np.stack(enc_cols, axis=1).reshape(-1)     # feature-major
+        slot_len = np.char.str_len(flat_strs).astype(np.int64)
         val_lay = np.repeat(lay_idx, K)
-        vorder = np.lexsort((flat_strs, val_lay))
-        sl, ss = val_lay[vorder], flat_strs[vorder]
-        new_u = np.concatenate([[True], (np.diff(sl) != 0) | (ss[1:] != ss[:-1])])
-        uid_sorted = np.cumsum(new_u) - 1
-        uid = np.empty(n * K, np.int64)
-        uid[vorder] = uid_sorted
-        n_uniq = int(uid_sorted[-1]) + 1
-        u_first = vorder[new_u]                    # representative slot/unique
-        u_lay = val_lay[u_first]                   # ascending
+        act_idx = np.flatnonzero(slot_len > 0)     # present (feature, key) slots
+        a_lay = val_lay[act_idx]
+        a_strs = flat_strs[act_idx]
+        vorder = np.lexsort((a_strs, a_lay))
+        sl, ss = a_lay[vorder], a_strs[vorder]
+        if len(sl):
+            new_u = np.concatenate([[True],
+                                    (np.diff(sl) != 0) | (ss[1:] != ss[:-1])])
+            uid_sorted = np.cumsum(new_u) - 1
+            n_uniq = int(uid_sorted[-1]) + 1
+        else:
+            new_u = np.zeros(0, bool)
+            uid_sorted = np.zeros(0, np.int64)
+            n_uniq = 0
+        uid_act = np.empty(len(act_idx), np.int64)
+        uid_act[vorder] = uid_sorted
+        u_first = vorder[new_u]                    # representative active slot
+        u_lay = a_lay[u_first]                     # ascending
         lay_first_uid = np.zeros(n_lays, np.int64)
-        fol = np.concatenate([[True], np.diff(u_lay) != 0])
-        lay_first_uid[u_lay[fol]] = np.flatnonzero(fol)
-        val_idx_within = uid - lay_first_uid[val_lay]
+        if n_uniq:
+            fol = np.concatenate([[True], np.diff(u_lay) != 0])
+            lay_first_uid[u_lay[fol]] = np.flatnonzero(fol)
+        # -1 marks absent slots (no tag pair, not in the value table)
+        val_idx_within = np.full(n * K, -1, np.int64)
+        val_idx_within[act_idx] = uid_act - lay_first_uid[a_lay]
         u_within = np.arange(n_uniq) - lay_first_uid[u_lay]
-        u_strs = flat_strs[u_first]
+        u_strs = a_strs[u_first]
     else:
         flat_strs = np.empty(0, "S1")
+        slot_len = np.empty(0, np.int64)
         u_strs = np.empty(0, "S1")
         val_idx_within = np.empty(0, np.int64)
         u_lay = np.empty(0, np.int64)
@@ -229,20 +251,31 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     n_feat = len(gfirst)
 
     # --- tag pairs: (key_idx, within-layer value idx) per FEATURE ---
+    # ``pres`` masks present (feature, key) pairs; absent pairs keep a
+    # reserved slot whose piece length is ZEROED below — the framing
+    # arithmetic stays fixed-stride while the wire bytes are variable.
     if K:
+        pres = slot_len.reshape(n, K)[gfirst] > 0          # (n_feat, K)
         tag_ints = np.empty((n_feat, 2 * K), dtype=np.uint64)
         for k in range(K):
             tag_ints[:, 2 * k] = k
-            tag_ints[:, 2 * k + 1] = val_idx_within[gfirst * K + k] \
+            vi = val_idx_within[gfirst * K + k]
+            tag_ints[:, 2 * k + 1] = np.where(pres[:, k], vi, 0) \
                 .astype(np.uint64)
         tag_ints = tag_ints.reshape(-1)
         tag_int_lens = _vlen(tag_ints)
+        pres2 = np.repeat(pres, 2, axis=1).reshape(-1)
+        tag_piece_lens = np.where(pres2, tag_int_lens, 0)
         tseg = np.arange(n_feat) * 2 * K
-        tags_len = np.add.reduceat(tag_int_lens, tseg) if n_feat \
+        tags_len = np.add.reduceat(tag_piece_lens, tseg) if n_feat \
             else np.zeros(0, np.int64)
+        has_tags = pres.any(axis=1)
     else:
+        pres = np.zeros((n_feat, 0), bool)
         tag_ints = np.empty(0, np.uint64)
+        tag_piece_lens = np.empty(0, np.int64)
         tags_len = np.zeros(n_feat, np.int64)
+        has_tags = np.zeros(n_feat, bool)
 
     # --- feature message lengths (bottom-up arithmetic, per FEATURE) ---
     fid = np.asarray(feat_id, dtype=np.uint64)[gfirst]
@@ -255,7 +288,9 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
                 + 1 + 1                                   # type (tag + 1-byte varint)
                 + 1 + _vlen(geom_len_f) + geom_len_f)     # geometry
     if K:
-        feat_len = feat_len + 1 + _vlen(tags_len) + tags_len
+        # tags framing only for features with ≥1 present attr
+        feat_len = feat_len + np.where(has_tags,
+                                       1 + _vlen(tags_len) + tags_len, 0)
 
     # --- value messages: one per UNIQUE (layer, string) ---
     if K:
@@ -342,7 +377,7 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
         keys_off.append(s_cursor)
         spool_parts.append(np.frombuffer(kb, np.uint8))
         s_cursor += len(kb)
-    if K and u_strs.dtype.itemsize:
+    if K and n_uniq and u_strs.dtype.itemsize:
         # padded byte matrix → masked gather (vectorized utf-8 pool),
         # unique (layer, string) values only
         width = u_strs.dtype.itemsize
@@ -422,15 +457,16 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     st, ln = vpiece(vi_fid)
     fadd(3, st, ln)
     if K:
-        fadd(4, np.full(n_feat, _F_TAGS), onef)
+        fadd(4, np.full(n_feat, _F_TAGS), np.where(has_tags, 1, 0))
         st, ln = vpiece(vi_tagslen)
-        fadd(5, st, ln)
-        # packed tag ints: slots 6..6+2K-1 (K ≤ 8 fits the pattern)
+        fadd(5, st, np.where(has_tags, ln, 0))
+        # packed tag ints: slots 6..6+2K-1 (K ≤ 8 fits the pattern);
+        # absent pairs emit zero-length pieces
         assert 2 * K <= 16
         tag_slot = vi_tagints.reshape(n_feat, 2 * K)
         for j in range(2 * K):   # loop over ATTR COLUMNS (tiny), not rows
             st, ln = vpiece(tag_slot[:, j])
-            fadd(6 + j, st, ln)
+            fadd(6 + j, st, np.where(pres[:, j // 2], ln, 0))
     fadd(22, np.full(n_feat, _F_TYPE), onef)
     st, ln = vpiece(vi_ftype)
     fadd(23, st, ln)

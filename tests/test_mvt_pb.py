@@ -142,3 +142,36 @@ def test_long_line_does_not_corrupt_following_features():
         assert [ft["id"] for ft in f] == [1, 2]
         assert len(f[0]["geometry"]) == 2 + 2 * nv1
         assert len(f[1]["geometry"]) == 8
+
+
+def test_null_and_empty_attrs_omitted():
+    """Null / empty attr values never reach the tile: no tag pair, no
+    'None' string, no value-table entry (reference omits unset attrs;
+    round-2 ADVICE: Arrow nulls were stringified to 'None')."""
+    import numpy as np
+    import pyarrow as pa
+    from planetiler_ray.tilemath.mvt_pb import (decode_feature_attrs,
+                                                decode_tile,
+                                                encode_tile_batch)
+
+    tid = np.array([5, 5, 9], np.int64)
+    layer = np.zeros(3, np.int8)
+    kind = np.ones(3, np.int8)            # points
+    fid = np.array([1, 2, 3], np.int64)
+    ax = np.array([10.0, 20.0, 30.0])
+    ay = np.array([10.0, 20.0, 30.0])
+    nan = np.full(3, np.nan)
+    attrs = {"name": np.array(["alpha", None, None], object),
+             "cls": np.array([None, "x", None], object)}
+    utid, blobs = encode_tile_batch(tid, layer, kind, fid, ax, ay, nan, nan,
+                                    {0: "pts"}, attrs)
+    t5 = decode_tile(blobs[0].as_py())["pts"]
+    t9 = decode_tile(blobs[1].as_py())["pts"]
+    a1 = decode_feature_attrs(t5, t5["features"][0])
+    a2 = decode_feature_attrs(t5, t5["features"][1])
+    a3 = decode_feature_attrs(t9, t9["features"][0])
+    assert a1 == {"name": "alpha"}
+    assert a2 == {"cls": "x"}
+    assert a3 == {}                        # all attrs absent → no tags
+    assert "None" not in t5["values"] and "" not in t5["values"]
+    assert t9["values"] == []              # unused values dropped per layer
