@@ -100,6 +100,21 @@ def _deserialize_directory(data: bytes) -> list[tuple[int, int, int, int]]:
     return out
 
 
+def tile_extent_bounds(ext: dict) -> tuple[float, float, float, float]:
+    """(lon_min, lat_min, lon_max, lat_max) of a deepest-zoom tile-range
+    extent; world bounds when no z/x/y columns were seen."""
+    import math
+    if ext["z"] < 0:
+        return -180.0, -85.0511287, 180.0, 85.0511287
+    inv = 1.0 / (1 << ext["z"])
+    lon0 = ext["x0"] * inv * 360.0 - 180.0
+    lon1 = (ext["x1"] + 1) * inv * 360.0 - 180.0
+    # inverse web-mercator: lat = atan(sinh(pi * (1 - 2y)))
+    lat1 = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * ext["y0"] * inv))))
+    lat0 = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * (ext["y1"] + 1) * inv))))
+    return lon0, lat0, lon1, lat1
+
+
 def write_pmtiles(tiles: "ray.data.Dataset", path: str,
                   metadata: dict | None = None,
                   min_zoom: int = 0, max_zoom: int = 14) -> dict:
@@ -118,9 +133,26 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
     n_addressed = 0
     n_contents = 0
     prev_hash = None
+    # actual extent: union of tile envelopes at the deepest zoom present
+    # (viewers open on the tileset, not the world — round-2 ADVICE)
+    ext = {"z": -1, "x0": 0, "x1": 0, "y0": 0, "y1": 0}
     with open(data_tmp, "wb") as df:
         for batch in ordered.iter_batches(batch_size=4096,
                                           batch_format="pyarrow"):
+            if batch.num_rows and {"z", "x", "y"} <= set(batch.schema.names):
+                zc = batch["z"].to_numpy()
+                zb = int(zc.max())
+                sel = zc == zb
+                xs = batch["x"].to_numpy()[sel]
+                ys = batch["y"].to_numpy()[sel]
+                if zb > ext["z"]:
+                    ext = {"z": zb, "x0": int(xs.min()), "x1": int(xs.max()),
+                           "y0": int(ys.min()), "y1": int(ys.max())}
+                elif zb == ext["z"]:
+                    ext["x0"] = min(ext["x0"], int(xs.min()))
+                    ext["x1"] = max(ext["x1"], int(xs.max()))
+                    ext["y0"] = min(ext["y0"], int(ys.min()))
+                    ext["y1"] = max(ext["y1"], int(ys.max()))
             blobs = _encode_batch(batch)
             hils = batch["hilbert_id"].to_numpy()
             hashes = batch["content_hash"].to_numpy()
@@ -176,10 +208,14 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
     header[99] = TILETYPE_MVT
     header[100] = min_zoom
     header[101] = max_zoom
-    struct.pack_into("<iiii", header, 102, -180 * 10**7, -85 * 10**7,
-                     180 * 10**7, 85 * 10**7)
+    lon0, lat0, lon1, lat1 = tile_extent_bounds(ext)
+    struct.pack_into("<iiii", header, 102,
+                     int(round(lon0 * 10**7)), int(round(lat0 * 10**7)),
+                     int(round(lon1 * 10**7)), int(round(lat1 * 10**7)))
     header[118] = min_zoom
-    struct.pack_into("<ii", header, 119, 0, 0)
+    struct.pack_into("<ii", header, 119,
+                     int(round((lon0 + lon1) / 2 * 10**7)),
+                     int(round((lat0 + lat1) / 2 * 10**7)))
 
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -202,13 +238,17 @@ def read_pmtiles_header(path: str) -> dict:
     assert h[0:7] == MAGIC and h[7] == VERSION
     vals = struct.unpack_from("<QQQQQQQQ", h, 8)
     n_add, n_ent, n_cont = struct.unpack_from("<QQQ", h, 72)
+    lon0, lat0, lon1, lat1 = struct.unpack_from("<iiii", h, 102)
+    clon, clat = struct.unpack_from("<ii", h, 119)
     return {"root_off": vals[0], "root_len": vals[1],
             "meta_off": vals[2], "meta_len": vals[3],
             "leaf_off": vals[4], "leaf_len": vals[5],
             "data_off": vals[6], "data_len": vals[7],
             "n_addressed": n_add, "n_entries": n_ent, "n_contents": n_cont,
             "clustered": bool(h[96]), "tile_type": h[99],
-            "min_zoom": h[100], "max_zoom": h[101]}
+            "min_zoom": h[100], "max_zoom": h[101],
+            "bounds": (lon0 / 1e7, lat0 / 1e7, lon1 / 1e7, lat1 / 1e7),
+            "center": (clon / 1e7, clat / 1e7)}
 
 
 def read_pmtiles_tile(path: str, hilbert_id: int) -> bytes | None:

@@ -121,3 +121,25 @@ class TestShardedArchive:
             layers = decode_tile(raw)
             assert sum(len(l["features"]) for l in layers.values()) \
                 == row["n_features"]
+
+
+def test_pmtiles_bounds_from_extent(tiles, tmp_path):
+    """Header bounds/center come from the actual deepest-zoom tile
+    envelope, not hardcoded world bounds (round-2 ADVICE)."""
+    from planetiler_ray.sinks_pmtiles import read_pmtiles_header, write_pmtiles
+
+    path = str(tmp_path / "b.pmtiles")
+    write_pmtiles(tiles, path, min_zoom=0, max_zoom=5)
+    hdr = read_pmtiles_header(path)
+    lon0, lat0, lon1, lat1 = hdr["bounds"]
+    df = tiles.to_pandas()
+    z = int(df["z"].max())
+    sub = df[df["z"] == z]
+    exp_lon0 = sub["x"].min() / (1 << z) * 360.0 - 180.0
+    exp_lon1 = (sub["x"].max() + 1) / (1 << z) * 360.0 - 180.0
+    assert lon0 == pytest.approx(exp_lon0, abs=1e-6)
+    assert lon1 == pytest.approx(exp_lon1, abs=1e-6)
+    assert -85.1 < lat0 < lat1 < 85.1
+    clon, clat = hdr["center"]
+    assert clon == pytest.approx((lon0 + lon1) / 2, abs=1e-6)
+    assert lat0 <= clat <= lat1
