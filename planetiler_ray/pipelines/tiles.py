@@ -248,12 +248,11 @@ def mvt_tile_summary(sf_dir: str, zoom: int = 6, num_partitions: int = 16):
     quantization and command framing), and an XOR of FNV-1a caption
     hashes (covers the keys/values attribute tables).
     """
-    from functools import partial as _partial
-
     from ..sources.images import images_from_documents, sample_image_ids
     from ..stages.georef import georef_batch
+    from ..stages.reduce import prepare_fragments
     from ..tilemath.hashing import fnv1a_64_strings
-    from ..tilemath.mvt_pb import decode_feature_attrs, decode_tile
+    from ..tilemath.mvt_pb import encode_tile_batch
 
     images = images_from_documents(sf_dir)
     ids = sample_image_ids(sf_dir)
@@ -265,43 +264,53 @@ def mvt_tile_summary(sf_dir: str, zoom: int = 6, num_partitions: int = 16):
         return render_fanout(geo, cfg, bounds, extra_cols=("caption", "fmt"))
 
     frags = images.map_batches(fanout, batch_format="pyarrow", batch_size=8192)
-    reduce_fn = _partial(reduce_partition, with_feature_ids=False,
-                         mvt_attrs=("caption", "fmt"))
-    tiles = exchange_reduce(frags, num_partitions, reduce_fn)
+    NAMES = {0: "chips", 1: "labels"}
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        rows = {"tile_id": [], "layer": [], "n_features": [],
-                "geom_sum": [], "caption_fnv_xor": [], "n_png": []}
-        tids = batch["tile_id"].to_numpy()
-        for i in range(batch.num_rows):
-            layers = decode_tile(batch["mvt_bytes"][i].as_py())
-            for lname, lay in layers.items():
-                caps = []
-                n_png = 0
-                gsum = 0
-                for f in lay["features"]:
-                    gsum += sum(f["geometry"])
-                    at = decode_feature_attrs(lay, f)
-                    caps.append(at.get("caption", ""))
-                    n_png += at.get("fmt") == "png"
-                fx = np.bitwise_xor.reduce(
-                    fnv1a_64_strings(np.array(caps, dtype="U"))) if caps else np.uint64(0)
-                rows["tile_id"].append(int(tids[i]))
-                rows["layer"].append(lname)
-                rows["n_features"].append(len(lay["features"]))
-                rows["geom_sum"].append(int(gsum))
-                rows["caption_fnv_xor"].append(int(np.int64(np.uint64(fx).astype(np.int64))))
-                rows["n_png"].append(int(n_png))
+    def summarize(group: pa.Table) -> pa.Table:
+        """Same sort/limit/dedup front-half as ``reduce_partition``,
+        then per-(tile, layer) stats straight from the ENCODER's
+        vectorized command arrays + one reduceat over the per-feature
+        attr streams — no Python decode loop (the independent decoder
+        verifies these numbers in ``tests/test_mvt_pb.py`` goldens)."""
+        empty = pa.table({
+            "tile_id": pa.array([], pa.int64()),
+            "layer": pa.array([], pa.string()),
+            "n_features": pa.array([], pa.int64()),
+            "geom_sum": pa.array([], pa.int64()),
+            "caption_fnv_xor": pa.array([], pa.int64()),
+            "n_png": pa.array([], pa.int64())})
+        fr = prepare_fragments(group, mvt_attrs=("caption", "fmt"))
+        if fr is None:
+            return empty
+        utid, _, st = encode_tile_batch(
+            fr["tile"], fr["layer"], fr["kind"], fr["idx"],
+            fr["ax"], fr["ay"], fr["bx"], fr["by"], NAMES,
+            {a: fr["attr_vals"][a] for a in ("caption", "fmt")},
+            return_stats=True)
+        n_lays = len(st["lay_tile_ord"])
+        feat_lay = st["feat_lay"]            # non-decreasing per feature
+        lay_starts_f = np.concatenate(
+            [[0], np.flatnonzero(np.diff(feat_lay)) + 1])
+        caps = fr["attr_vals"]["caption"][st["feat_first_frag"]]
+        cap_h = fnv1a_64_strings(caps.astype("U"))
+        cap_xor = np.zeros(n_lays, np.uint64)
+        cap_xor[feat_lay[lay_starts_f]] = np.bitwise_xor.reduceat(
+            cap_h, lay_starts_f)
+        fmts = fr["attr_vals"]["fmt"][st["feat_first_frag"]]
+        png = (fmts == "png").astype(np.int64)
+        n_png = np.zeros(n_lays, np.int64)
+        n_png[feat_lay[lay_starts_f]] = np.add.reduceat(png, lay_starts_f)
+        lay_names = np.array([NAMES[i] for i in sorted(NAMES)], dtype=object)
         return pa.table({
-            "tile_id": pa.array(rows["tile_id"], pa.int64()),
-            "layer": pa.array(rows["layer"], pa.string()),
-            "n_features": pa.array(rows["n_features"], pa.int64()),
-            "geom_sum": pa.array(rows["geom_sum"], pa.int64()),
-            "caption_fnv_xor": pa.array(rows["caption_fnv_xor"], pa.int64()),
-            "n_png": pa.array(rows["n_png"], pa.int64()),
+            "tile_id": pa.array(utid[st["lay_tile_ord"]], pa.int64()),
+            "layer": pa.array(lay_names[st["lay_layer"]], pa.string()),
+            "n_features": pa.array(st["lay_n_features"], pa.int64()),
+            "geom_sum": pa.array(st["lay_geom_sum"], pa.int64()),
+            "caption_fnv_xor": pa.array(cap_xor.view(np.int64)),
+            "n_png": pa.array(n_png, pa.int64()),
         })
 
-    return tiles.map_batches(summarize, batch_format="pyarrow")
+    return exchange_reduce(frags, num_partitions, summarize)
 
 
 def line_tile_summary(sf_dir: str, zoom: int = 4):
@@ -316,52 +325,80 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
     DuckDB oracle recomputes part/vertex counts and the geometry command
     sum from the same clipping arithmetic in SQL windows.
     """
-    import pandas as pd
-
     from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_lines
-    from ..tilemath.mvt_pb import KIND_LINE, decode_tile, encode_tile_batch
+    from ..tilemath.hashing import mix64
     from ..tilemath.tilecoord import tms_encode
     from .queries import _event_world
 
     f = float(1 << zoom)
     buf = DEFAULT_BUFFER_PX / 256.0
+    num_partitions = 64
 
     def pts(batch: pa.Table) -> pa.Table:
         t = _event_world(batch)
-        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
-                         "event_id": t["event_id"], "wx": t["wx"], "wy": t["wy"]})
+        uid = batch["user_id"].to_numpy()
+        part = (mix64(uid.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({"part": pa.array(part),
+                         "user_id": batch["user_id"], "ts": batch["ts"],
+                         "event_id": t["event_id"], "wx": t["wx"],
+                         "wy": t["wy"]})
 
-    def per_user(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["ts", "event_id"])
-        px = g["wx"].to_numpy() * f
-        py = g["wy"].to_numpy() * f
-        r = slice_lines(px, py, np.array([0, len(px)]), zoom, buf)
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        """All users of one hash partition at once: one lexsort, ONE
+        ``slice_lines`` call over per-user segment offsets — the
+        vectorized replacement for the round-2 per-user ``map_groups``
+        (one pandas call per user anti-scales at planet user counts)."""
+        empty = pa.table({"tile_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "part_seq": pa.array([], pa.int64()),
+                          "vx": pa.array([], pa.list_(pa.float32())),
+                          "vy": pa.array([], pa.list_(pa.float32()))})
+        if tbl.num_rows == 0:
+            return empty
+        uid = tbl["user_id"].to_numpy()
+        order = np.lexsort((tbl["event_id"].to_numpy(),
+                            tbl["ts"].to_numpy(), uid))
+        uid = uid[order]
+        px = tbl["wx"].to_numpy()[order] * f
+        py = tbl["wy"].to_numpy()[order] * f
+        ustarts = np.concatenate([[0], np.flatnonzero(np.diff(uid)) + 1,
+                                  [len(uid)]])
+        r = slice_lines(px, py, ustarts, zoom, buf)
         n_parts = len(r["x"])
         if n_parts == 0:
-            return pa.table({"tile_id": pa.array([], pa.int64()),
-                             "user_id": pa.array([], pa.int64()),
-                             "part_seq": pa.array([], pa.int64()),
-                             "vx": pa.array([], pa.list_(pa.float32())),
-                             "vy": pa.array([], pa.list_(pa.float32()))})
+            return empty
+        line_uid = uid[ustarts[:-1]][r["line"]]
+        # part_seq: occurrence order within each line (slice_lines emits
+        # a line's parts in segment order)
+        po = np.argsort(r["line"], kind="stable")
+        change = np.empty(n_parts, bool)
+        change[0] = True
+        change[1:] = np.diff(r["line"][po]) != 0
+        run_start = np.flatnonzero(change)
+        rel = np.arange(n_parts) - np.repeat(
+            run_start, np.diff(np.append(run_start, n_parts)))
+        part_seq = np.empty(n_parts, np.int64)
+        part_seq[po] = rel
         tid = tms_encode(r["x"], r["y"], np.full(n_parts, zoom, np.int64))
         off = pa.array(r["part_offsets"].astype(np.int32))
-        vx = pa.ListArray.from_arrays(off, pa.array(r["vx"].astype(np.float32)))
-        vy = pa.ListArray.from_arrays(off, pa.array(r["vy"].astype(np.float32)))
         return pa.table({
             "tile_id": pa.array(tid),
-            "user_id": pa.array(np.full(n_parts, int(g["user_id"].iloc[0]),
-                                        np.int64)),
-            "part_seq": pa.array(np.arange(n_parts, dtype=np.int64)),
-            "vx": vx, "vy": vy})
+            "user_id": pa.array(line_uid),
+            "part_seq": pa.array(part_seq),
+            "vx": pa.ListArray.from_arrays(
+                off, pa.array(r["vx"].astype(np.float32))),
+            "vy": pa.ListArray.from_arrays(
+                off, pa.array(r["vy"].astype(np.float32)))})
 
-    parts = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    parts = exchange_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"),
+        num_partitions, per_partition)
 
-    # parts already flowed through the per-user sort-groupby; a second
-    # exchange hop measured slower than piggybacking on that sort
-    return parts.groupby("tile_id").map_groups(line_parts_per_tile,
-                                               batch_format="pyarrow")
+    # hash-exchange: many tiles per reduce task (per-tile map_groups
+    # spends a task per tile — anti-scales at planet tile counts)
+    return tile_hash_exchange(parts, line_parts_per_tile, 64)
 
 
 def tile_hash_exchange(parts: "ray.data.Dataset", reduce_fn,
@@ -394,9 +431,12 @@ def tile_hash_exchange(parts: "ray.data.Dataset", reduce_fn,
 
 def line_parts_per_tile(grp: pa.Table) -> pa.Table:
     """Per-tile reduce shared by the line-layer summaries: sort parts
-    (tile, line, part_seq), encode a real MVT ``lines`` layer, decode it
-    with the independent decoder, summarize counts + command sum."""
-    from ..tilemath.mvt_pb import KIND_LINE, decode_tile, encode_tile_batch
+    (tile, line, part_seq), encode a real MVT ``lines`` layer, and
+    summarize counts + the raw geometry-command sum straight from the
+    encoder's vectorized stats (the independent Python decoder verifies
+    the same numbers in the pytest goldens — ``tests/test_mvt_pb.py``;
+    re-decoding every tile here was the round-2 bench hotspot)."""
+    from ..tilemath.mvt_pb import KIND_LINE, encode_tile_batch
 
     if grp.num_rows == 0:
         return pa.table({k: pa.array([], pa.int64()) for k in
@@ -413,21 +453,16 @@ def line_parts_per_tile(grp: pa.Table) -> pa.Table:
     vx = vx_l.flatten().to_numpy()
     vy = vy_l.flatten().to_numpy()
     n = len(tid)
-    _, blobs = encode_tile_batch(
+    utid, _, st = encode_tile_batch(
         tid, np.full(n, 2, np.int8), np.full(n, KIND_LINE, np.int8),
         uid, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
-        {2: "lines"}, line_verts=(vx, vy, voff))
-    out = {"tile_id": [], "n_parts": [], "n_vertices": [], "geom_sum": []}
-    utid = tid[np.concatenate([[True], np.diff(tid) != 0])] if n else []
-    for t_id, blob in zip(utid, blobs):
-        lay = decode_tile(blob.as_py())["lines"]
-        nv = sum((len(ft["geometry"]) - 2) // 2 for ft in lay["features"])
-        gs = sum(sum(ft["geometry"]) for ft in lay["features"])
-        out["tile_id"].append(int(t_id))
-        out["n_parts"].append(len(lay["features"]))
-        out["n_vertices"].append(int(nv))
-        out["geom_sum"].append(int(gs))
-    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        {2: "lines"}, line_verts=(vx, vy, voff), return_stats=True)
+    return pa.table({
+        "tile_id": pa.array(utid[st["lay_tile_ord"]]),
+        "n_parts": pa.array(st["lay_n_features"]),
+        "n_vertices": pa.array(st["lay_vert_sum"]),
+        "geom_sum": pa.array(st["lay_geom_sum"]),
+    })
 
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
@@ -448,7 +483,7 @@ def poly_tile_summary(sf_dir: str, zoom: int = 5):
     import pandas as pd
 
     from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_polygons
-    from ..tilemath.mvt_pb import KIND_POLY, decode_tile, encode_tile_batch
+    from ..tilemath.mvt_pb import KIND_POLY, encode_tile_batch
     from ..tilemath.tilecoord import tms_encode
     from .queries import _event_world
 
@@ -500,26 +535,22 @@ def poly_tile_summary(sf_dir: str, zoom: int = 5):
         vy_l = grp["vy"].combine_chunks()
         voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
         n = len(tid)
-        _, blobs = encode_tile_batch(
+        # summary comes from the encoder's vectorized stats; decode-based
+        # verification lives in the pytest goldens (round-2 hotspot)
+        utid, _, st = encode_tile_batch(
             tid, np.full(n, 0, np.int8), np.full(n, KIND_POLY, np.int8),
             eid, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
             {0: "polys"},
             line_verts=(vx_l.flatten().to_numpy(), vy_l.flatten().to_numpy(),
-                        voff))
-        out = {"tile_id": [], "n_polys": [], "n_vertices": [], "geom_sum": []}
-        utid = tid[np.concatenate([[True], np.diff(tid) != 0])]
-        for t_id, blob in zip(utid, blobs):
-            lay = decode_tile(blob.as_py())["polys"]
-            nv = sum((len(ft["geometry"]) - 3) // 2 for ft in lay["features"])
-            gs = sum(sum(ft["geometry"]) for ft in lay["features"])
-            out["tile_id"].append(int(t_id))
-            out["n_polys"].append(len(lay["features"]))
-            out["n_vertices"].append(int(nv))
-            out["geom_sum"].append(int(gs))
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+                        voff), return_stats=True)
+        return pa.table({
+            "tile_id": pa.array(utid[st["lay_tile_ord"]]),
+            "n_polys": pa.array(st["lay_n_features"]),
+            "n_vertices": pa.array(st["lay_vert_sum"]),
+            "geom_sum": pa.array(st["lay_geom_sum"]),
+        })
 
-    return parts.groupby("tile_id").map_groups(per_tile,
-                                               batch_format="pyarrow")
+    return tile_hash_exchange(parts, per_tile)
 
 
 def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,

@@ -93,6 +93,34 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     n = group.num_rows
     if n == 0:
         return _empty_tiles_table(with_feature_ids)
+    fr = prepare_fragments(group, label_grid_limit, tile_post_process,
+                           mvt_attrs, skip_filled_tiles, max_point_buffer)
+    if fr is None:
+        return _empty_tiles_table(with_feature_ids,
+                                  with_mvt=mvt_attrs is not None)
+    tile, layer, kind = fr["tile"], fr["layer"], fr["kind"]
+    sort_key, idx = fr["sort_key"], fr["idx"]
+    ax, ay, bx, by = fr["ax"], fr["ay"], fr["bx"], fr["by"]
+    is_fill, image_id, attr_vals = fr["is_fill"], fr["image_id"], fr["attr_vals"]
+    m = len(tile)
+    return _encode_prepared(tile, layer, kind, sort_key, idx, ax, ay, bx, by,
+                            with_feature_ids, image_id, attr_vals, mvt_attrs,
+                            layer_names)
+
+
+def prepare_fragments(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
+                      tile_post_process=None,
+                      mvt_attrs: tuple[str, ...] | None = None,
+                      skip_filled_tiles: bool = False,
+                      max_point_buffer: float | None = None) -> dict | None:
+    """Steps 1–3 of the per-partition reduce (big sort, label-grid
+    limit, duplicate drop, output-shaping flags, profile hook) as a
+    reusable front-half: returns the sorted/limited fragment arrays, or
+    ``None`` when nothing survives.  ``reduce_partition`` and the driver
+    tile summaries share this so their inputs stay byte-identical."""
+    n = group.num_rows
+    if n == 0:
+        return None
 
     tile = group["tile_id"].to_numpy()
     layer = group["layer"].to_numpy()
@@ -134,7 +162,7 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
                  for a in (mvt_attrs or ()) if a in group.column_names}
     m = len(tile)
     if m == 0:
-        return _empty_tiles_table(with_feature_ids, with_mvt=mvt_attrs is not None)
+        return None
 
     if tile_post_process is not None:
         frags = {"tile": tile, "layer": layer, "kind": kind, "sort_key": sort_key,
@@ -164,8 +192,7 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
             attr_vals[a] = frags[a]
         m = len(tile)
         if m == 0:
-            return _empty_tiles_table(with_feature_ids,
-                                      with_mvt=mvt_attrs is not None)
+            return None
 
     # output-shaping flags (config/PlanetilerConfig.java:55-71)
     def _filter_rows(mask: np.ndarray):
@@ -189,8 +216,7 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
         if bad.any():
             _filter_rows(~bad)
             if m == 0:
-                return _empty_tiles_table(with_feature_ids,
-                                          with_mvt=mvt_attrs is not None)
+                return None
     if skip_filled_tiles and m:
         # drop tiles whose every fragment is an interior fill
         tb = np.flatnonzero(np.diff(tile)) + 1
@@ -201,9 +227,18 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
             drop_tiles = np.repeat(all_fill, tc)
             _filter_rows(~drop_tiles)
             if m == 0:
-                return _empty_tiles_table(with_feature_ids,
-                                          with_mvt=mvt_attrs is not None)
+                return None
 
+    return {"tile": tile, "layer": layer, "kind": kind,
+            "sort_key": sort_key, "idx": idx, "ax": ax, "ay": ay,
+            "bx": bx, "by": by, "is_fill": is_fill, "image_id": image_id,
+            "attr_vals": attr_vals}
+
+
+def _encode_prepared(tile, layer, kind, sort_key, idx, ax, ay, bx, by,
+                     with_feature_ids, image_id, attr_vals,
+                     mvt_attrs=None, layer_names=None) -> pa.Table:
+    m = len(tile)
     # 4. encode fixed-width records (quantize px → extent units, MVT scale)
     rec = np.zeros(m, dtype=RECORD_DTYPE)
     rec["layer"] = layer

@@ -246,6 +246,10 @@ def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
     (clipped ring vertices, local px), ``is_fill`` (the window is fully
     interior — clipped ring is the whole buffered window).
     """
+    chunked = _sliced_in_chunks(slice_polygons, px, py, ring_offsets, z,
+                                buffer, extents, "row")
+    if chunked is not None:
+        return chunked
     n_tiles = 1 << z
     nb = buffer + NEIGHBOR_BUFFER_EPS
     px = np.asarray(px, np.float64)
@@ -348,6 +352,83 @@ def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
     }
 
 
+# candidate (segment, tile) pairs per internal slice chunk: the clip
+# kernels materialize ~20 float64 arrays per candidate, so beyond ~10⁵
+# candidates the working set falls out of cache and throughput drops
+# ~8× on memory-bandwidth-bound hosts (measured).  Chunks cut at
+# line/ring boundaries — outputs identical to the monolithic call.
+SLICE_CHUNK_CANDIDATES = 98304
+
+
+def _chunk_by_cost(offsets: np.ndarray, cost: np.ndarray,
+                   budget: int) -> np.ndarray:
+    """Cut points (indices into ``offsets``) so each chunk carries ≈
+    ``budget`` estimated candidates, always on geometry boundaries."""
+    cum = np.concatenate([[0], np.cumsum(cost)])
+    total = int(cum[-1])
+    approx = np.arange(budget, total, budget)
+    pos = np.minimum(np.searchsorted(cum, approx, side="left"),
+                     len(offsets) - 1)
+    return np.unique(np.concatenate([[0], pos, [len(offsets) - 1]]))
+
+
+def _slice_cost(px, py, offsets, buffer, closed: bool) -> np.ndarray:
+    """Per-geometry candidate-count estimate: Σ segment-bbox tile areas
+    for open lines, ring-bbox tile area for closed rings."""
+    offsets = np.asarray(offsets, np.int64)
+    counts = np.diff(offsets)
+    if closed:
+        gx0 = np.minimum.reduceat(px, offsets[:-1])
+        gx1 = np.maximum.reduceat(px, offsets[:-1])
+        gy0 = np.minimum.reduceat(py, offsets[:-1])
+        gy1 = np.maximum.reduceat(py, offsets[:-1])
+        return ((gx1 - gx0 + 1 + 2 * buffer)
+                * (gy1 - gy0 + 1 + 2 * buffer)).astype(np.int64) + 1
+    dx = np.abs(np.diff(px)) + 1 + 2 * buffer
+    dy = np.abs(np.diff(py)) + 1 + 2 * buffer
+    seg_cost = dx * dy
+    # zero the pairs that straddle a geometry boundary
+    seg_cost[offsets[1:-1] - 1] = 0.0
+    cs = np.concatenate([[0.0], np.cumsum(seg_cost)])
+    return (cs[np.minimum(offsets[1:] - 1, len(cs) - 1)]
+            - cs[offsets[:-1]]).astype(np.int64) + 1
+
+
+def _sliced_in_chunks(fn, px, py, offsets, z, buffer, extents,
+                      geom_key: str) -> dict[str, np.ndarray] | None:
+    """Run a slice kernel over candidate-budget chunks and merge the
+    result dicts (``geom_key`` = per-part input-geometry index column).
+    Returns None when the input fits one chunk."""
+    offsets = np.asarray(offsets, np.int64)
+    if len(offsets) <= 2:
+        return None
+    cost = _slice_cost(px, py, offsets, buffer, closed=geom_key == "row")
+    if int(cost.sum()) <= SLICE_CHUNK_CANDIDATES * 3 // 2:
+        return None
+    cuts = _chunk_by_cost(offsets, cost, SLICE_CHUNK_CANDIDATES)
+    if len(cuts) <= 2:
+        return None
+    outs = []
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        a, b = int(offsets[lo]), int(offsets[hi])
+        r = fn(px[a:b], py[a:b], offsets[lo:hi + 1] - offsets[lo], z,
+               buffer, extents)
+        r[geom_key] = r[geom_key] + lo
+        outs.append(r)
+    merged: dict[str, np.ndarray] = {}
+    for k in outs[0]:
+        if k == "part_offsets":
+            base = np.concatenate(
+                [[0], np.cumsum([int(o["part_offsets"][-1])
+                                 for o in outs])[:-1]])
+            merged[k] = np.concatenate(
+                [o["part_offsets"][:-1] + b for o, b in zip(outs, base)]
+                + [[base[-1] + int(outs[-1]["part_offsets"][-1])]])
+        else:
+            merged[k] = np.concatenate([o[k] for o in outs])
+    return merged
+
+
 def slice_lines(px: np.ndarray, py: np.ndarray, line_offsets: np.ndarray,
                 z: int, buffer: float, extents=None) -> dict[str, np.ndarray]:
     """Clip polylines (tile units) into per-tile sub-polyline fragments.
@@ -369,6 +450,10 @@ def slice_lines(px: np.ndarray, py: np.ndarray, line_offsets: np.ndarray,
       ``part_offsets`` — start of each part in the vertex stream
       ``vx, vy`` — vertex coords in local tile px (0..256 ± buffer·256)
     """
+    chunked = _sliced_in_chunks(slice_lines, px, py, line_offsets, z,
+                                buffer, extents, "line")
+    if chunked is not None:
+        return chunked
     n_tiles = 1 << z
     nb = buffer + NEIGHBOR_BUFFER_EPS
     px = np.asarray(px, np.float64)

@@ -71,6 +71,15 @@ def quant(v: np.ndarray) -> np.ndarray:
                         * SCALE + 0.5).astype(np.int64)
 
 
+# fragments per internal encode chunk: the encoder builds ~30 piece-slot
+# entries per fragment (keys/starts/lens) plus the varint pool — beyond
+# ~32k fragments the working set falls out of cache and throughput drops
+# ~10× on memory-bandwidth-bound hosts (measured 400k frags: 15.8s
+# monolithic vs 1.4s in 25k chunks).  Chunks cut at TILE boundaries, so
+# output bytes are identical to the monolithic call.
+ENCODE_CHUNK = 32768
+
+
 def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
                       kind: np.ndarray, feat_id: np.ndarray,
                       ax: np.ndarray, ay: np.ndarray,
@@ -80,7 +89,80 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
                       line_verts: tuple[np.ndarray, np.ndarray,
                                         np.ndarray] | None = None,
                       feature_group: np.ndarray | None = None,
+                      return_stats: bool = False,
                       ) -> tuple[np.ndarray, pa.LargeBinaryArray]:
+    """Cache-chunked front of :func:`_encode_tile_chunk` (see its
+    docstring for the full contract): large inputs are cut at tile
+    boundaries into ``ENCODE_CHUNK``-fragment chunks and the outputs
+    (blobs + optional stats) merged — byte-identical, ~10× faster on
+    bandwidth-bound hosts."""
+    n = len(tile_ids)
+    if n > ENCODE_CHUNK + ENCODE_CHUNK // 2:
+        tile_ids = np.asarray(tile_ids)
+        tstarts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(tile_ids) != 0) + 1])
+        approx = np.arange(ENCODE_CHUNK, n, ENCODE_CHUNK)
+        pos = np.minimum(np.searchsorted(tstarts, approx, side="left"),
+                         len(tstarts) - 1)
+        cuts = np.unique(np.concatenate([[0], tstarts[pos], [n]]))
+        if len(cuts) > 2:
+            utids, blobs, stats = [], [], []
+            for lo, hi in zip(cuts[:-1], cuts[1:]):
+                lo, hi = int(lo), int(hi)
+                lv = None
+                if line_verts is not None:
+                    vx, vy, voff = line_verts
+                    a, b = int(voff[lo]), int(voff[hi])
+                    lv = (vx[a:b], vy[a:b], voff[lo:hi + 1] - voff[lo])
+                r = _encode_tile_chunk(
+                    tile_ids[lo:hi], layer[lo:hi], kind[lo:hi],
+                    feat_id[lo:hi], ax[lo:hi], ay[lo:hi], bx[lo:hi],
+                    by[lo:hi], layer_names,
+                    {k: v[lo:hi] for k, v in (attrs or {}).items()} or None,
+                    lv,
+                    None if feature_group is None else feature_group[lo:hi],
+                    return_stats)
+                utids.append(r[0])
+                blobs.append(r[1])
+                if return_stats:
+                    stats.append((r[2], lo))
+            utid = np.concatenate(utids)
+            arr = pa.concat_arrays([b.combine_chunks()
+                                    if isinstance(b, pa.ChunkedArray) else b
+                                    for b in blobs])
+            if not return_stats:
+                return utid, arr
+            merged = {}
+            tile_base = np.concatenate(
+                [[0], np.cumsum([len(u) for u in utids])[:-1]])
+            lay_base = np.concatenate(
+                [[0], np.cumsum([len(s["lay_layer"]) for s, _ in stats])[:-1]])
+            merged["lay_tile_ord"] = np.concatenate(
+                [s["lay_tile_ord"] + tb for (s, _), tb in zip(stats, tile_base)])
+            for k in ("lay_layer", "lay_n_features", "lay_geom_sum",
+                      "lay_vert_sum"):
+                merged[k] = np.concatenate([s[k] for s, _ in stats])
+            merged["feat_first_frag"] = np.concatenate(
+                [s["feat_first_frag"] + lo for s, lo in stats])
+            merged["feat_lay"] = np.concatenate(
+                [s["feat_lay"] + lb for (s, _), lb in zip(stats, lay_base)])
+            return utid, arr, merged
+    return _encode_tile_chunk(tile_ids, layer, kind, feat_id, ax, ay, bx, by,
+                              layer_names, attrs, line_verts, feature_group,
+                              return_stats)
+
+
+def _encode_tile_chunk(tile_ids: np.ndarray, layer: np.ndarray,
+                       kind: np.ndarray, feat_id: np.ndarray,
+                       ax: np.ndarray, ay: np.ndarray,
+                       bx: np.ndarray, by: np.ndarray,
+                       layer_names: dict[int, str],
+                       attrs: dict[str, np.ndarray] | None = None,
+                       line_verts: tuple[np.ndarray, np.ndarray,
+                                         np.ndarray] | None = None,
+                       feature_group: np.ndarray | None = None,
+                       return_stats: bool = False,
+                       ) -> tuple[np.ndarray, pa.LargeBinaryArray]:
     """Encode fragments (sorted by tile, layer) into one MVT blob per tile.
 
     ``tile_ids`` is the per-fragment tile id (consecutive runs).  Box
@@ -95,10 +177,26 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     multipolygon-with-holes / multi-part encoding (id/type/attrs come
     from the group's first fragment).  Default: one feature per
     fragment.
-    Returns (unique tile ids in order, LargeBinaryArray of tile bytes).
+    Returns (unique tile ids in order, LargeBinaryArray of tile bytes);
+    with ``return_stats=True`` a third dict of per-(tile, layer)
+    summaries straight from the encoder's vectorized command arrays —
+    what the driver tile summaries read instead of re-decoding every
+    tile with the Python reference decoder (that decode stays in the
+    pytest goldens): ``lay_tile_ord`` / ``lay_layer`` per layer run,
+    ``lay_n_features``, ``lay_geom_sum`` (sum of raw geometry command
+    ints — the oracle-checked quantity), ``lay_vert_sum`` (per-fragment
+    encoded vertex count: max(nv, 2) for lines/rings), plus
+    ``feat_first_frag`` / ``feat_lay`` so callers can fold per-feature
+    attr stats with one reduceat.
     """
     n = len(tile_ids)
     if n == 0:
+        if return_stats:
+            z = np.empty(0, np.int64)
+            return (z, pa.array([], pa.large_binary()),
+                    {"lay_tile_ord": z, "lay_layer": z, "lay_n_features": z,
+                     "lay_geom_sum": z, "lay_vert_sum": z,
+                     "feat_first_frag": z, "feat_lay": z})
         return np.empty(0, np.int64), pa.array([], pa.large_binary())
     attrs = attrs or {}
     key_names = list(attrs)
@@ -524,7 +622,27 @@ def encode_tile_batch(tile_ids: np.ndarray, layer: np.ndarray,
     arr = pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n_tiles,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())])
-    return tile_ids[np.flatnonzero(t_change)], arr
+    utids = tile_ids[np.flatnonzero(t_change)]
+    if not return_stats:
+        return utids, arr
+    feat_lay = lay_idx[gfirst]
+    stats = {
+        "lay_tile_ord": lay_tile,
+        "lay_layer": lay_layer,
+        "lay_n_features": np.bincount(feat_lay, minlength=n_lays)
+        .astype(np.int64),
+        # sums of raw geometry command ints per (tile, layer) — gints
+        # are laid out in fragment order and fragments are contiguous
+        # per layer, so one reduceat per layer start covers it
+        "lay_geom_sum": np.add.reduceat(gints.astype(np.int64),
+                                        gseg[lay_starts]),
+        "lay_vert_sum": np.add.reduceat(
+            np.where(is_line, np.maximum(nv, 2),
+                     np.where(is_pt, 1, 4)).astype(np.int64), lay_starts),
+        "feat_first_frag": gfirst,
+        "feat_lay": feat_lay,
+    }
+    return utids, arr, stats
 
 
 # ---------------------------------------------------------------------------
