@@ -215,11 +215,17 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
     vy = vy_l.flatten().to_numpy().astype(np.float64)
     attr_arrays = {a: lines[a].to_numpy(zero_copy_only=False)
                    for a in attr_cols}
-    # group key: (tile, attr values) — identical-attr merge semantics
-    import pandas as pd
-    key_df = pd.DataFrame({"t": tid, **{a: attr_arrays[a] for a in attr_cols}})
-    _, ginv = np.unique(key_df.apply(tuple, axis=1).to_numpy(),
-                        return_inverse=True)
+    # group key: (tile, attr values) — identical-attr merge semantics.
+    # Pairwise factorization (np.unique codes), no per-row Python: each
+    # step packs (group_code, col_code) into one int64 (< n² — safe).
+    ginv = np.unique(tid, return_inverse=True)[1]
+    for a in attr_cols:
+        col = attr_arrays[a]
+        if col.dtype == object:
+            col = np.where(pd_isnull_obj(col), "", col).astype("U")
+        c = np.unique(col, return_inverse=True)[1]
+        pair = ginv.astype(np.int64) * (np.int64(c.max()) + 1) + c
+        ginv = np.unique(pair, return_inverse=True)[1]
     rows = {"tile_id": [], "z": [], "layer": [], "kind": [], "geom_id": [],
             "is_fill": [], "vx": [], "vy": [], "nv": []}
     z_arr = lines["z"].to_numpy()

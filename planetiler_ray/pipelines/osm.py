@@ -378,12 +378,15 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
     from ..tilemath.validity import snap_fix_rings
 
     def is_mp(batch: pa.Table) -> pa.Table:
-        keys = batch["tag_keys"].to_pylist()
-        vals = batch["tag_vals"].to_pylist()
-        keep = [i for i, (ks, vs) in enumerate(zip(keys, vals))
-                if ks is not None and "type" in ks
-                and vs[ks.index("type")] in ("multipolygon", "boundary")]
-        return batch.take(pa.array(keep, pa.int64()))
+        # vectorized over the flattened tag stream (the tags_to_columns
+        # idiom) — no per-relation Python
+        if batch.num_rows == 0:
+            return batch
+        t = tags_to_columns(batch.select(["rel_id", "tag_keys", "tag_vals"]),
+                            ("type",))
+        m = pc.is_in(t["type"],
+                     value_set=pa.array(["multipolygon", "boundary"]))
+        return batch.filter(pc.fill_null(m, False))
 
     members = relation_way_members(relations.map_batches(
         is_mp, batch_format="pyarrow"))

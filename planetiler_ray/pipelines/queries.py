@@ -42,7 +42,8 @@ EPS_PX = EPS_TILE * 256        # = 0.00625
 
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ._util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 from ._util import round_half_away  # noqa: E402

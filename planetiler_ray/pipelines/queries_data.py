@@ -19,7 +19,8 @@ from ._util import round_half_away
 
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ._util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

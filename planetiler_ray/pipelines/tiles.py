@@ -466,7 +466,8 @@ def line_parts_per_tile(grp: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ._util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def poly_tile_summary(sf_dir: str, zoom: int = 5):

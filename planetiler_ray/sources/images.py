@@ -40,8 +40,9 @@ def _docs_to_images(batch: pa.Table) -> pa.Table:
 
 def images_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """documents.parquet → input-hint-shaped images Dataset (metadata-only)."""
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"]) \
+    from ..pipelines._util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]) \
         .map_batches(_docs_to_images, batch_format="pyarrow")
 
 

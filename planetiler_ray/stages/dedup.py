@@ -68,16 +68,15 @@ def shingle_hash_stream(batch: pa.Table, text_col: str = "text",
     materialization.  Shared by MinHash, SimHash and the SQL oracle
     (``pipelines.sqlgen.shingle_hash_ctes``).
     """
-    ids = batch[id_col].to_numpy()
-    words_all = batch[text_col].to_pandas().astype(str).str.lower().str.findall(WORD_RE)
-    n_docs = len(ids)
+    from .text import word_hash_stream
 
-    # flatten every word of the batch, remember per-doc boundaries
-    counts = words_all.map(len).to_numpy(np.int64)
-    flat_words = np.array([w for ws in words_all for w in ws], dtype=object) \
-        if counts.sum() else np.empty(0, dtype=object)
-    word_h = mix64(fnv1a_64_strings(flat_words.astype("U"))) if len(flat_words) \
-        else np.empty(0, np.uint64)
+    ids = batch[id_col].to_numpy()
+    n_docs = len(ids)
+    # shared no-per-word-Python stream (byte-run scan; hashes identical
+    # to fnv1a_64_strings of the word strings)
+    raw_h, _, counts = word_hash_stream(
+        batch[text_col].to_pandas().astype(str).str.lower())
+    word_h = mix64(raw_h) if len(raw_h) else np.empty(0, np.uint64)
 
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     with np.errstate(over="ignore"):

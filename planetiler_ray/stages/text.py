@@ -48,15 +48,65 @@ def token_char_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def _flat_words(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """Flatten per-doc word lists → (flat word array 'U', per-doc counts).
 
-    The shared flatten used by the vectorized word-stat kernels: all
-    per-word work then runs batch-wide (np.isin / np.char / reduceat),
-    never per document.
+    Regex fallback for the byte-run scanner below (non-ASCII batches or
+    apostrophe-joined words) — the only remaining per-word Python, off
+    the fixture hot path.
     """
     words = s.str.findall(WORD_RE)
     counts = words.map(len).to_numpy(np.int64)
     flat = (np.array([w for ws in words for w in ws], dtype="U")
             if counts.sum() else np.empty(0, "U1"))
     return flat, counts
+
+
+def word_hash_stream(s: pd.Series) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """FNV-1a hash + char length of every ``WORD_RE`` word of the batch
+    in doc order, plus words per doc — the shared word stream of the
+    text kernels with NO per-word Python: one byte-run scan over the
+    ``\\x00``-joined corpus (word starts/ends from a boolean mask, word
+    hashes via a ≤max-word-len column sweep).  Hashes are byte-identical
+    to ``fnv1a_64_strings`` of the word strings, so consumers do
+    stopword membership with ``np.isin`` on hashes.  Falls back to the
+    regex flatten for non-ASCII batches or apostrophe-joined words
+    (``don't``), where the run scan would mis-tokenize."""
+    from ..tilemath.hashing import (FNV1_64_INIT, FNV1_PRIME_64,
+                                    fnv1a_64_strings)
+
+    def fallback():
+        flat, counts = _flat_words(s)
+        if not len(flat):
+            return (np.empty(0, np.uint64), np.empty(0, np.int64), counts)
+        return (fnv1a_64_strings(flat),
+                np.char.str_len(flat).astype(np.int64), counts)
+
+    vals = s.tolist()
+    joined = "\x00".join(vals)
+    if not joined:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.zeros(len(vals), np.int64))
+    b = np.frombuffer(joined.encode("utf-8"), np.uint8)
+    if len(b) != len(joined):                  # non-ASCII → byte offsets shift
+        return fallback()
+    isc = ((b >= 97) & (b <= 122)) | ((b >= 48) & (b <= 57))
+    if (b == 39).any():
+        isal = (b >= 97) & (b <= 122)
+        if ((b[1:-1] == 39) & isc[:-2] & isal[2:]).any():
+            return fallback()                  # apostrophe-joined words
+    prev = np.concatenate([[False], isc[:-1]])
+    nxt = np.concatenate([isc[1:], [False]])
+    w_start = np.flatnonzero(isc & ~prev)
+    lengths = np.flatnonzero(isc & ~nxt) + 1 - w_start
+    doc_lens = s.str.len().to_numpy(np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(doc_lens + 1)])
+    counts = np.diff(np.searchsorted(w_start, doc_off))
+    h = np.full(len(w_start), FNV1_64_INIT, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lengths.max()) if len(lengths) else 0):
+            m = lengths > j
+            h[m] = (h[m] ^ b[w_start[m] + j].astype(np.uint64)) \
+                * FNV1_PRIME_64
+    return h, lengths.astype(np.int64), counts.astype(np.int64)
 
 
 def _segment_sums(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -75,15 +125,18 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     Batch-vectorized: one flattened word stream per batch; stopword
     membership via ``np.isin``, per-doc sums via ``np.add.reduceat``.
     """
+    from ..tilemath.hashing import fnv1a_64_strings
+
     s = batch[text_col].to_pandas().astype(str)
     n = s.str.len().to_numpy(np.float64)
     n = np.maximum(n, 1)
     punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
-    flat, counts = _flat_words(s)
-    stop_all = np.sort(np.array(sorted(set().union(*STOPWORDS.values())), dtype="U"))
+    word_h, word_len, counts = word_hash_stream(s)
+    stop_all = np.array(sorted(set().union(*STOPWORDS.values())), dtype="U")
+    stop_hashes = np.sort(fnv1a_64_strings(stop_all))
     denom = np.maximum(counts, 1).astype(np.float64)
-    stop_ratio = _segment_sums(np.isin(flat, stop_all), counts) / denom
-    mean_wl = _segment_sums(np.char.str_len(flat), counts) / denom
+    stop_ratio = _segment_sums(np.isin(word_h, stop_hashes), counts) / denom
+    mean_wl = _segment_sums(word_len, counts) / denom
     punct_ratio = punct / n
     # simple composite quality heuristic in [0,1]
     q = (1.0 - np.clip(punct_ratio * 5, 0, 1)) * 0.4 \
@@ -104,16 +157,21 @@ class LangId:
     """
 
     def __init__(self):
+        from ..tilemath.hashing import fnv1a_64_strings
+
         # langs ordered DESC so argmax (first max) = the tie-break winner
         # of max(score, lang): highest score, then lexicographically
         # largest language code
         self.langs = sorted(STOPWORDS, reverse=True)
-        self.profiles = [np.sort(np.array(sorted(STOPWORDS[lg]), dtype="U"))
-                         for lg in self.langs]
+        self.profiles = [
+            np.sort(fnv1a_64_strings(
+                np.array(sorted(STOPWORDS[lg]), dtype="U")))
+            for lg in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        flat, counts = _flat_words(batch["text"].astype(str).str.lower())
-        scores = np.stack([_segment_sums(np.isin(flat, prof), counts)
+        word_h, _, counts = word_hash_stream(
+            batch["text"].astype(str).str.lower())
+        scores = np.stack([_segment_sums(np.isin(word_h, prof), counts)
                            for prof in self.profiles], axis=1)
         best = scores.argmax(axis=1)
         top = scores[np.arange(len(best)), best]
