@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["mvt_tiles_z6"] = mvt_tile_summary
     out["line_tiles_z4"] = line_tile_summary
     out["poly_tiles_z5"] = poly_tile_summary
+    from planetiler_ray.pipelines.tiles import poly_merge_tile_summary
+    out["poly_merge_tiles"] = poly_merge_tile_summary
     out.update(QUERIES_OSM)
     return out
 
@@ -104,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
     out["mvt_tiles_z6"] = sql_mvt_tile_summary()
     out["line_tiles_z4"] = sql_line_tile_summary()
     out["poly_tiles_z5"] = sql_poly_tile_summary()
+    from planetiler_ray.pipelines.sqlgen import sql_poly_merge_tiles
+    out["poly_merge_tiles"] = sql_poly_merge_tiles()
     out["osm_way_stats"] = sql_osm_way_stats()
     out["osm_multipolygon_stats"] = sql_osm_multipolygon_stats()
     out["osm_line_tiles"] = sql_osm_line_tiles()

@@ -215,17 +215,8 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
     vy = vy_l.flatten().to_numpy().astype(np.float64)
     attr_arrays = {a: lines[a].to_numpy(zero_copy_only=False)
                    for a in attr_cols}
-    # group key: (tile, attr values) — identical-attr merge semantics.
-    # Pairwise factorization (np.unique codes), no per-row Python: each
-    # step packs (group_code, col_code) into one int64 (< n² — safe).
-    ginv = np.unique(tid, return_inverse=True)[1]
-    for a in attr_cols:
-        col = attr_arrays[a]
-        if col.dtype == object:
-            col = np.where(pd_isnull_obj(col), "", col).astype("U")
-        c = np.unique(col, return_inverse=True)[1]
-        pair = ginv.astype(np.int64) * (np.int64(c.max()) + 1) + c
-        ginv = np.unique(pair, return_inverse=True)[1]
+    # group key: (tile, attr values) — identical-attr merge semantics
+    ginv = _attr_group_codes(tid, attr_arrays, attr_cols)
     rows = {"tile_id": [], "z": [], "layer": [], "kind": [], "geom_id": [],
             "is_fill": [], "vx": [], "vy": [], "nv": []}
     z_arr = lines["z"].to_numpy()
@@ -272,12 +263,110 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
                              merged_tbl]).combine_chunks()
 
 
+def _attr_group_codes(tid: np.ndarray, attr_arrays: dict,
+                      attr_cols: tuple[str, ...]) -> np.ndarray:
+    """(tile, attr values…) → dense group codes via pairwise integer
+    factorization (identical-attr merge semantics, no per-row Python)."""
+    ginv = np.unique(tid, return_inverse=True)[1]
+    for a in attr_cols:
+        col = attr_arrays[a]
+        if col.dtype == object:
+            col = np.where(pd_isnull_obj(col), "", col).astype("U")
+        c = np.unique(col, return_inverse=True)[1]
+        pair = ginv.astype(np.int64) * (np.int64(c.max()) + 1) + c
+        ginv = np.unique(pair, return_inverse=True)[1]
+    return ginv
+
+
+def _merge_tile_polys(grp: pa.Table, attr_cols: tuple[str, ...],
+                      opts: dict) -> pa.Table:
+    """Per-tile mergeOverlapping/NearbyPolygons
+    (``FeatureMerge.java:291-394``): within each (tile, identical-attrs)
+    group, cluster polygon rings that overlap within ``min_dist`` and
+    replace them with the grid-boolean union's rings (outers + holes
+    share the cluster's merged id ``(min_id//10)*10`` so the encoder
+    groups them into one multipolygon feature).  Rows of other kinds
+    pass through untouched.  Opts: min_dist, min_area, min_hole_area,
+    grid_max (see ``stages.merge.merge_overlapping_polygons``)."""
+    from ..stages.merge import merge_overlapping_polygons
+
+    kind = grp["kind"].to_numpy()
+    is_poly = kind == KIND_POLY
+    if not is_poly.any():
+        return grp
+    keep = grp.filter(pa.array(~is_poly))
+    polys = grp.filter(pa.array(is_poly))
+    tid = polys["tile_id"].to_numpy()
+    gid = polys["geom_id"].to_numpy()
+    attr_arrays = {a: polys[a].to_numpy(zero_copy_only=False)
+                   for a in attr_cols}
+    vx_l = polys["vx"].combine_chunks()
+    vy_l = polys["vy"].combine_chunks()
+    voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+    vx = vx_l.flatten().to_numpy().astype(np.float64)
+    vy = vy_l.flatten().to_numpy().astype(np.float64)
+    ginv = _attr_group_codes(tid, attr_arrays, attr_cols)
+    z_arr = polys["z"].to_numpy()
+    lay = polys["layer"].to_numpy()
+    rows = {"tile_id": [], "z": [], "layer": [], "kind": [], "geom_id": [],
+            "is_fill": [], "vx": [], "vy": [], "nv": []}
+    for a in attr_cols:
+        rows[a] = []
+    for g in np.unique(ginv):
+        sel = np.flatnonzero(ginv == g)
+        # rings of one polygon = rows sharing geom_id within the group
+        pids, poly_of_ring = np.unique(gid[sel], return_inverse=True)
+        counts = voff[sel + 1] - voff[sel]
+        loff = np.zeros(len(sel) + 1, np.int64)
+        np.cumsum(counts, out=loff[1:])
+        vidx = np.concatenate([np.arange(voff[i], voff[i + 1])
+                               for i in sel])
+        r = merge_overlapping_polygons(pids, vx[vidx], vy[vidx], loff,
+                                       poly_of_ring, **opts)
+        ro = r["offsets"]
+        for c in range(len(r["offsets"]) - 1):
+            ci = int(r["cluster"][c])
+            rows["tile_id"].append(tid[sel[0]])
+            rows["z"].append(z_arr[sel[0]])
+            rows["layer"].append(lay[sel[0]])
+            rows["kind"].append(KIND_POLY)
+            rows["geom_id"].append(int(r["merged_id"][ci]))
+            rows["is_fill"].append(False)
+            rows["vx"].append(r["xs"][ro[c]:ro[c + 1]])
+            rows["vy"].append(r["ys"][ro[c]:ro[c + 1]])
+            rows["nv"].append(int(ro[c + 1] - ro[c]))
+            for a in attr_cols:
+                rows[a].append(attr_arrays[a][sel[0]])
+    if not rows["tile_id"]:
+        return keep
+    nv = np.array(rows["nv"], np.int32)
+    off = pa.array(np.concatenate([[0], np.cumsum(nv)]).astype(np.int32))
+    merged_tbl = pa.table({
+        "tile_id": pa.array(np.array(rows["tile_id"], np.int64)),
+        "z": pa.array(np.array(rows["z"], np.int8)),
+        "layer": pa.array(np.array(rows["layer"], np.int8)),
+        "kind": pa.array(np.array(rows["kind"], np.int8)),
+        "geom_id": pa.array(np.array(rows["geom_id"], np.int64)),
+        "is_fill": pa.array(np.array(rows["is_fill"], bool)),
+        "vx": pa.ListArray.from_arrays(
+            off, pa.array(np.concatenate(rows["vx"]).astype(np.float32))),
+        "vy": pa.ListArray.from_arrays(
+            off, pa.array(np.concatenate(rows["vy"]).astype(np.float32))),
+        **{a: pa.array(list(rows[a]), pa.string()) for a in attr_cols},
+    })
+    return pa.concat_tables([keep.select(merged_tbl.column_names),
+                             merged_tbl]).combine_chunks()
+
+
 def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
                   line_merge: dict | None = None,
+                  poly_merge: dict | None = None,
                   layer_names: dict | None = None,
                   merge_rings: bool = True) -> pa.Table:
     if grp.num_rows and line_merge is not None:
         grp = _merge_tile_lines(grp, attr_cols, line_merge)
+    if grp.num_rows and poly_merge is not None:
+        grp = _merge_tile_polys(grp, attr_cols, poly_merge)
     if grp.num_rows == 0:
         return pa.table({"tile_id": pa.array([], pa.int64()),
                          "z": pa.array([], pa.int8()),
@@ -378,6 +467,7 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                          min_pixel_size: float = 1.0,
                          attr_cols: tuple[str, ...] = (),
                          line_merge: dict | None = None,
+                         poly_merge: dict | None = None,
                          layer_names: dict | None = None,
                          shuffle: str = "exchange",
                          num_partitions: int = 64
@@ -388,6 +478,10 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
     stub_min_length, tolerance, precision) applied per (tile,
     identical-attrs) group inside the reduce — the
     ``FeatureMerge.mergeLineStrings`` hook.
+    ``poly_merge``: polygon overlap-merge options (min_dist, min_area,
+    min_hole_area, grid_max) — the
+    ``FeatureMerge.mergeOverlapping/NearbyPolygons`` hook (grid-boolean
+    union per (tile, identical-attrs) group).
     ``layer_names``: custom MVT layer names keyed by layer id; rows may
     carry a per-row ``layer_id`` column (profile rules) which overrides
     the kind-derived layer.
@@ -399,7 +493,7 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                   buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
                   attr_cols=attr_cols)
     enc = partial(_encode_tiles, attr_cols=attr_cols, line_merge=line_merge,
-                  layer_names=layer_names)
+                  poly_merge=poly_merge, layer_names=layer_names)
     frags = geoms.map_batches(fan, batch_format="pyarrow")
     if shuffle == "groupby":
         return frags.groupby("tile_id").map_groups(enc,

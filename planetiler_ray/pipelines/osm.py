@@ -755,6 +755,7 @@ def build_osm_tiles(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
                     rules: list[OsmLayerRule], min_zoom: int = 0,
                     max_zoom: int = 14, num_partitions: int = 16,
                     line_merge: dict | None = None,
+                    poly_merge: dict | None = None,
                     min_pixel_size: float = 1.0,
                     relations: "ray.data.Dataset | None" = None
                     ) -> "ray.data.Dataset":
@@ -771,5 +772,5 @@ def build_osm_tiles(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
                          relations=relations)
     return build_geometry_tiles(feats, min_zoom=min_zoom, max_zoom=max_zoom,
                                 attr_cols=all_attrs, line_merge=line_merge,
-                                layer_names=names,
+                                poly_merge=poly_merge, layer_names=names,
                                 min_pixel_size=min_pixel_size)

@@ -952,3 +952,33 @@ SELECT CAST(i % 7 AS VARCHAR) AS poi,
            AS max_lon
 FROM i GROUP BY 1
 """
+
+
+def sql_poly_merge_tiles(zoom: int = 5) -> str:
+    """Oracle for ``poly_merge_tiles``: rectangle-trio placement replayed
+    from ``event_id`` arithmetic; union areas by inclusion-exclusion
+    (r0∩r1 = r1∩r2 = 24, r0∩r2 = ∅ — the chained-overlap fixture of
+    ``pipelines.tiles.poly_merge_tile_summary``)."""
+    nt = 1 << zoom
+    return f"""
+WITH ev AS (SELECT event_id FROM events WHERE event_id < 110592),
+m AS (SELECT event_id // 3 AS g, count(*) AS m,
+             min(event_id) AS min_e
+      FROM ev GROUP BY 1),
+d AS (SELECT g, m, min_e,
+             (g % 1024) % {nt} AS tx, (g % 1024) // {nt} AS ty,
+             8 + ((g // 1024) % 6) * 40 AS sx,
+             8 + ((g // 1024) // 6) * 40 AS sy
+      FROM m)
+SELECT CAST({zoom_start(zoom)} + tx * {nt} + ({nt - 1} - ty) AS BIGINT)
+           AS tile_id,
+       (min_e // 10) * 10 AS merged_id,
+       CAST(m AS BIGINT) AS n_features,
+       CAST(m * 100 - CASE WHEN m >= 2 THEN 24 ELSE 0 END
+                    - CASE WHEN m >= 3 THEN 24 ELSE 0 END AS BIGINT)
+           AS union_area,
+       CAST(sx AS BIGINT) AS mx0, CAST(sy AS BIGINT) AS my0,
+       CAST(sx + 6 * (m - 1) + 10 AS BIGINT) AS mx1,
+       CAST(sy + CASE WHEN m >= 2 THEN 14 ELSE 10 END AS BIGINT) AS my1
+FROM d
+"""

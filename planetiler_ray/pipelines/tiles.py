@@ -587,3 +587,95 @@ def spatial_join(images: "ray.data.Dataset", sample_ids: np.ndarray,
                                                             num_partitions, cfg,
                                                             sample_ids))
     return exchange_reduce(frags, num_partitions, partial(_join_reduce, k=k))
+
+
+def poly_merge_tile_summary(sf_dir: str, zoom: int = 5):
+    """Driver query: GENERAL polygon overlap/nearby merge end-to-end,
+    oracle-checked (``FeatureMerge.mergeOverlappingPolygons``,
+    ``FeatureMerge.java:291-394``).
+
+    Deterministic rectangle trios per event group — chained overlaps
+    (r0∩r1, r1∩r2, r0∩r2 = ∅) — placed fully inside one z5 tile on the
+    integer px grid, so the grid-boolean union equals the exact
+    rectilinear union.  Per tile: bbox-sweep clustering + union-find +
+    grid union (``stages.merge.merge_overlapping_polygons``); the
+    DuckDB oracle replays the placement arithmetic with
+    inclusion-exclusion.  Events are capped at 110592 (= 3·36·1024):
+    beyond that the 6×6 per-tile slot grid would collide.
+    """
+    from ..stages.merge import merge_overlapping_polygons
+    from ..tilemath.tilecoord import tms_encode
+
+    CAP = 110592
+
+    def rects(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        eid = eid[eid < CAP]               # event ids are 0-based
+        g = eid // 3
+        k = eid % 3
+        t = g % 1024
+        s = g // 1024
+        sx = 8 + (s % 6) * 40
+        sy = 8 + (s // 6) * 40
+        x0 = (sx + 6 * k).astype(np.float64)
+        y0 = (sy + 4 * (k % 2)).astype(np.float64)
+        tid = tms_encode(t % 32, t // 32, np.full(len(eid), zoom, np.int64))
+        vx = np.column_stack([x0, x0 + 10, x0 + 10, x0]).reshape(-1)
+        vy = np.column_stack([y0, y0, y0 + 10, y0 + 10]).reshape(-1)
+        off = pa.array((np.arange(len(eid) + 1) * 4).astype(np.int32))
+        return pa.table({
+            "tile_id": pa.array(tid),
+            "poly_id": pa.array(eid),
+            "vx": pa.ListArray.from_arrays(off, pa.array(vx)),
+            "vy": pa.ListArray.from_arrays(off, pa.array(vy))})
+
+    def per_tile(grp: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.int64()) for k in
+                          ("tile_id", "merged_id", "n_features",
+                           "union_area", "mx0", "my0", "mx1", "my1")})
+        if grp.num_rows == 0:
+            return empty
+        order = np.lexsort((grp["poly_id"].to_numpy(),
+                            grp["tile_id"].to_numpy()))
+        grp = grp.take(pa.array(order))
+        tid = grp["tile_id"].to_numpy()
+        pid = grp["poly_id"].to_numpy()
+        vx_l = grp["vx"].combine_chunks()
+        vy_l = grp["vy"].combine_chunks()
+        voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+        vx = vx_l.flatten().to_numpy()
+        vy = vy_l.flatten().to_numpy()
+        rows = {k: [] for k in ("tile_id", "merged_id", "n_features",
+                                "union_area", "mx0", "my0", "mx1", "my1")}
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(tid)) + 1,
+                                 [len(tid)]])
+        for si, ei in zip(starts[:-1], starts[1:]):
+            sel = np.arange(si, ei)
+            a, b = voff[si], voff[ei]
+            r = merge_overlapping_polygons(
+                pid[sel], vx[a:b], vy[a:b], voff[si:ei + 1] - a,
+                np.arange(ei - si))
+            nc = len(r["merged_id"])
+            if nc == 0:
+                continue
+            # per-cluster bbox over its rings
+            ro = r["offsets"]
+            rbx0 = np.minimum.reduceat(r["xs"], ro[:-1])
+            rbx1 = np.maximum.reduceat(r["xs"], ro[:-1])
+            rby0 = np.minimum.reduceat(r["ys"], ro[:-1])
+            rby1 = np.maximum.reduceat(r["ys"], ro[:-1])
+            for c in range(nc):
+                m = r["cluster"] == c
+                rows["tile_id"].append(int(tid[si]))
+                rows["merged_id"].append(int(r["merged_id"][c]))
+                rows["n_features"].append(int(r["n_features"][c]))
+                rows["union_area"].append(int(round(r["union_area"][c])))
+                rows["mx0"].append(int(round(rbx0[m].min())))
+                rows["my0"].append(int(round(rby0[m].min())))
+                rows["mx1"].append(int(round(rbx1[m].max())))
+                rows["my1"].append(int(round(rby1[m].max())))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    parts = _read(sf_dir, "events", ["event_id"]) \
+        .map_batches(rects, batch_format="pyarrow")
+    return tile_hash_exchange(parts, per_tile, 64)

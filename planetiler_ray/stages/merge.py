@@ -478,3 +478,315 @@ def merge_lines(lines: list[np.ndarray], min_length: float = 0.0,
                    precision=precision)
     m.add_lines(lines)
     return m.merged()
+
+
+# ---------------------------------------------------------------------------
+# general-polygon overlap/nearby merge — FeatureMerge.mergeOverlapping/
+# NearbyPolygons (FeatureMerge.java:291-394,459-513) beyond boxes.
+#
+# No GEOS in this engine, so the buffer(+b) → union → buffer(−b) ladder
+# is re-expressed as a BOOLEAN ON THE QUANTIZED GRID: rasterize each
+# cluster's rings onto a local cell grid (even-odd per polygon, OR
+# across polygons), dilate/erode by b cells (square structuring element
+# — the reference's round buffer caps differ at corners; documented
+# approximation), then trace the boundary back into rectilinear rings.
+# For grid-aligned rectilinear input at res=1 the result equals the
+# exact union (what the SQL oracle checks); for general polygons it is
+# the union quantized to the tile's sub-pixel grid — the same precision
+# the MVT encode quantizes to anyway.
+# ---------------------------------------------------------------------------
+
+
+def _fill_polys_grid(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
+                     poly_of_ring: np.ndarray, W: int, H: int) -> np.ndarray:
+    """Rasterize polygons onto an H×W cell grid: cell (r, c) is filled
+    iff its center (c+0.5, r+0.5) lies inside ≥1 polygon, where each
+    polygon's interior is the even-odd fill of ITS rings (holes carve).
+    Fully vectorized over every (edge, row) crossing."""
+    if len(ring_offsets) <= 1 or len(px) == 0:
+        return np.zeros((H, W), bool)
+    from ..tilemath.clip import _expand_ranges
+    idx = np.arange(len(px), dtype=np.int64)
+    rid = np.searchsorted(ring_offsets, idx, side="right") - 1
+    nxt = idx + 1
+    last = ring_offsets[rid + 1] - 1
+    nxt[idx == last] = ring_offsets[rid[idx == last]]
+    pid = poly_of_ring[rid]
+    x1, y1, x2, y2 = px, py, px[nxt], py[nxt]
+    keep = y1 != y2
+    x1, y1, x2, y2, pid = x1[keep], y1[keep], x2[keep], y2[keep], pid[keep]
+    ylo, yhi = np.minimum(y1, y2), np.maximum(y1, y2)
+    r0 = np.clip(np.ceil(ylo - 0.5).astype(np.int64), 0, H)
+    r1 = np.clip(np.ceil(yhi - 0.5).astype(np.int64), 0, H)
+    eidx, rows = _expand_ranges(r0, r1 - 1)
+    if len(eidx) == 0:
+        return np.zeros((H, W), bool)
+    yc = rows + 0.5
+    xin = x1[eidx] + (yc - y1[eidx]) * (x2[eidx] - x1[eidx]) \
+        / (y2[eidx] - y1[eidx])
+    ep = pid[eidx]
+    # even-odd parity per (poly, row): sort crossings, alternate
+    order = np.lexsort((xin, rows, ep))
+    rows, xin, ep = rows[order], xin[order], ep[order]
+    grp_change = np.empty(len(rows), bool)
+    grp_change[0] = True
+    grp_change[1:] = (np.diff(ep) != 0) | (np.diff(rows) != 0)
+    pos = np.arange(len(rows)) - np.maximum.accumulate(
+        np.where(grp_change, np.arange(len(rows)), 0))
+    even = pos % 2 == 0
+    lo_x, hi_x, lo_r = xin[even], xin[~even], rows[even]
+    c0 = np.clip(np.ceil(lo_x - 0.5).astype(np.int64), 0, W)
+    c1 = np.clip(np.ceil(hi_x - 0.5).astype(np.int64), 0, W)
+    ok = c1 > c0
+    diff = np.zeros(H * W + 1, np.int64)
+    base = lo_r[ok] * W
+    np.add.at(diff, base + c0[ok], 1)
+    np.add.at(diff, base + c1[ok], -1)
+    # coverage count > 0 = union across polygons (per-poly even-odd
+    # already resolved into disjoint intervals per row)
+    return (np.cumsum(diff[:-1]) > 0).reshape(H, W)
+
+
+def _morph_square(grid: np.ndarray, k: int, dilate: bool) -> np.ndarray:
+    """Binary dilation/erosion by a (2k+1)² square structuring element
+    via 2-D window sums over an integral image — O(H·W)."""
+    if k <= 0:
+        return grid
+    H, W = grid.shape
+    S = np.zeros((H + 1, W + 1), np.int64)
+    np.cumsum(np.cumsum(grid.astype(np.int64), 0), 1, out=S[1:, 1:])
+    r0 = np.clip(np.arange(H) - k, 0, H)
+    r1 = np.clip(np.arange(H) + k + 1, 0, H)
+    c0 = np.clip(np.arange(W) - k, 0, W)
+    c1 = np.clip(np.arange(W) + k + 1, 0, W)
+    win = S[r1][:, c1] - S[r1][:, c0] - S[r0][:, c1] + S[r0][:, c0]
+    if dilate:
+        return win > 0
+    full = (r1 - r0)[:, None] * (c1 - c0)[None, :]
+    return win == full
+
+
+# directed-edge dirs: 0 = +x, 1 = +y, 2 = −x, 3 = −y
+_DIR_DX = np.array([1, 0, -1, 0])
+_DIR_DY = np.array([0, 1, 0, -1])
+
+
+def _trace_grid_rings(grid: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Boundary rings of a binary cell grid as rectilinear polygons.
+
+    Interior is kept on the LEFT of every directed boundary edge, so
+    outer rings come out CCW (positive shoelace) and holes CW.  At
+    checkerboard corners the walk takes the LEFT-most turn —
+    4-connectivity: corner-touching cells stay separate rings.  Edge
+    extraction and next-pointer resolution are vectorized; the final
+    walk is output-proportional (one step per boundary edge, emitting
+    only corner vertices).
+
+    Returns a list of (xs, ys) open rings in grid coordinates.
+    """
+    H, W = grid.shape
+    g = np.zeros((H + 2, W + 2), bool)
+    g[1:-1, 1:-1] = grid
+    # per filled cell (r, c) with empty neighbor → one directed edge,
+    # interior on the left (cells live at x∈[c,c+1], y∈[r,r+1]):
+    #   south empty → (c, r)   → +x     east empty  → (c+1, r)   → +y
+    #   north empty → (c+1,r+1)→ −x     west empty  → (c, r+1)   → −y
+    fx, fy, fd = [], [], []
+    south = g[1:, :] & ~g[:-1, :]            # south[r,c]: cell (r+1,c) filled,
+    r, c = np.nonzero(south)                 # (r,c) empty → bottom edge y=r+1
+    fx.append(c); fy.append(r + 1); fd.append(np.zeros(len(r), np.int64))
+    north = g[:-1, :] & ~g[1:, :]
+    r, c = np.nonzero(north)
+    fx.append(c + 1); fy.append(r + 1); fd.append(np.full(len(r), 2))
+    west = g[:, 1:] & ~g[:, :-1]
+    r, c = np.nonzero(west)
+    fx.append(c + 1); fy.append(r + 1); fd.append(np.full(len(r), 3))
+    east = g[:, :-1] & ~g[:, 1:]
+    r, c = np.nonzero(east)
+    fx.append(c + 1); fy.append(r); fd.append(np.full(len(r), 1))
+    ex = np.concatenate(fx)
+    ey = np.concatenate(fy)
+    ed = np.concatenate(fd).astype(np.int64)
+    E = len(ex)
+    if E == 0:
+        return []
+    tx = ex + _DIR_DX[ed]
+    ty = ey + _DIR_DY[ed]
+    # outgoing-edge lookup: one edge max per (vertex, dir)
+    VW = W + 3
+    out = np.full((H + 3) * VW * 4, -1, np.int64)
+    out[(ey * VW + ex) * 4 + ed] = np.arange(E)
+    # next = first of left turn, straight, right turn at the end vertex
+    nxt = np.full(E, -1, np.int64)
+    vkey = (ty * VW + tx) * 4
+    for turn in (1, 0, 3):                   # left, straight, right
+        cand = out[vkey + (ed + turn) % 4]
+        nxt = np.where(nxt < 0, cand, nxt)
+    assert (nxt >= 0).all()
+    # walk each cycle once, emitting corners (dir changes)
+    visited = np.zeros(E, bool)
+    rings = []
+    for e0 in range(E):
+        if visited[e0]:
+            continue
+        xs, ys = [], []
+        e = e0
+        while not visited[e]:
+            visited[e] = True
+            ne = nxt[e]
+            if ed[ne] != ed[e]:              # corner: emit the shared vertex
+                xs.append(ex[ne])
+                ys.append(ey[ne])
+            e = ne
+        rings.append((np.array(xs, np.int64) - 1,   # un-pad
+                      np.array(ys, np.int64) - 1))
+    return rings
+
+
+def merge_overlapping_polygons(ids: np.ndarray, px: np.ndarray,
+                               py: np.ndarray, ring_offsets: np.ndarray,
+                               poly_of_ring: np.ndarray,
+                               min_dist: float = 0.0,
+                               min_area: float = 0.0,
+                               min_hole_area: float | None = None,
+                               grid_max: int = 512) -> dict:
+    """Cluster polygons that overlap within ``min_dist`` and merge each
+    cluster via the grid boolean (see module section comment).
+
+    Inputs use the engine's flattened layout: ``px, py`` vertex streams
+    (tile px), ``ring_offsets`` (n_rings+1), ``poly_of_ring`` (polygon
+    ordinal per ring, rings of one polygon consecutive), ``ids`` one
+    feature id per polygon.  Clusters whose union area < ``min_area``
+    are dropped; holes smaller than ``min_hole_area`` are filled
+    (``FeatureMerge.java:291-340`` drop semantics).
+
+    Returns per-RING output arrays: ``cluster`` (output cluster ordinal
+    per ring), ``is_hole``, ``offsets`` + flattened ``xs``/``ys`` (px
+    coords), plus per-cluster ``merged_id``, ``n_features``,
+    ``union_area``.
+    """
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    n_poly = len(ids)
+    empty = {"cluster": np.empty(0, np.int64), "is_hole": np.empty(0, bool),
+             "offsets": np.zeros(1, np.int64), "xs": np.empty(0),
+             "ys": np.empty(0), "merged_id": np.empty(0, np.int64),
+             "n_features": np.empty(0, np.int64), "union_area": np.empty(0)}
+    if n_poly == 0:
+        return empty
+    # per-polygon bbox over its rings
+    rb_x0 = np.minimum.reduceat(px, ring_offsets[:-1])
+    rb_x1 = np.maximum.reduceat(px, ring_offsets[:-1])
+    rb_y0 = np.minimum.reduceat(py, ring_offsets[:-1])
+    rb_y1 = np.maximum.reduceat(py, ring_offsets[:-1])
+    pb_x0 = np.full(n_poly, np.inf)
+    pb_x1 = np.full(n_poly, -np.inf)
+    pb_y0 = np.full(n_poly, np.inf)
+    pb_y1 = np.full(n_poly, -np.inf)
+    np.minimum.at(pb_x0, poly_of_ring, rb_x0)
+    np.maximum.at(pb_x1, poly_of_ring, rb_x1)
+    np.minimum.at(pb_y0, poly_of_ring, rb_y0)
+    np.maximum.at(pb_y1, poly_of_ring, rb_y1)
+
+    # candidate pairs by expanded bbox sweep → union-find clusters
+    half = min_dist / 2.0
+    order = np.argsort(pb_x0 - half, kind="stable")
+    sx0 = (pb_x0 - half)[order]
+    sx1 = (pb_x1 + half)[order]
+    sy0 = (pb_y0 - half)[order]
+    sy1 = (pb_y1 + half)[order]
+    hi = np.searchsorted(sx0, sx1, side="right")
+    lo = np.arange(n_poly) + 1
+    from ..tilemath.clip import _expand_ranges
+    pi, pj = _expand_ranges(lo, hi - 1)
+    ym = (sy0[pi] <= sy1[pj]) & (sy1[pi] >= sy0[pj])
+    pi, pj = pi[ym], pj[ym]
+    uf = _UnionFind(n_poly)
+    for a, b in zip(order[pi], order[pj]):
+        uf.union(int(a), int(b))
+    roots = np.array([uf.find(int(i)) for i in range(n_poly)])
+    _, comp = np.unique(roots, return_inverse=True)
+    n_comp = int(comp.max()) + 1
+
+    out_rings_x, out_rings_y, out_cluster, out_hole = [], [], [], []
+    merged_id, n_features, union_area = [], [], []
+    out_c = 0
+    for ci in range(n_comp):
+        polys = np.flatnonzero(comp == ci)
+        rsel = np.flatnonzero(np.isin(poly_of_ring, polys))
+        k_px = half
+        gx0 = float(np.floor(pb_x0[polys].min() - k_px)) - 1.0
+        gy0 = float(np.floor(pb_y0[polys].min() - k_px)) - 1.0
+        gx1 = float(np.ceil(pb_x1[polys].max() + k_px)) + 1.0
+        gy1 = float(np.ceil(pb_y1[polys].max() + k_px)) + 1.0
+        res = max(1.0, max(gx1 - gx0, gy1 - gy0) / grid_max)
+        W = int(np.ceil((gx1 - gx0) / res))
+        H = int(np.ceil((gy1 - gy0) / res))
+        # local flattened rings of this cluster
+        counts = ring_offsets[rsel + 1] - ring_offsets[rsel]
+        loff = np.zeros(len(rsel) + 1, np.int64)
+        np.cumsum(counts, out=loff[1:])
+        vidx = np.concatenate(
+            [np.arange(ring_offsets[r], ring_offsets[r + 1]) for r in rsel]) \
+            if len(rsel) else np.empty(0, np.int64)
+        lx = (px[vidx] - gx0) / res
+        ly = (py[vidx] - gy0) / res
+        lpoly = np.unique(poly_of_ring[rsel], return_inverse=True)[1]
+        grid = _fill_polys_grid(lx, ly, loff, lpoly, W, H)
+        k = int(round(half / res))
+        if k > 0:
+            grid = _morph_square(grid, k, dilate=True)
+            grid = _morph_square(grid, k, dilate=False)
+        rings = _trace_grid_rings(grid)
+        if not rings:
+            continue
+        areas = np.array([0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+                          for x, y in rings]) * res * res
+        outer = areas > 0
+        # per-OUTER min_area drop + small-hole fill; a hole survives
+        # only with its containing outer (FeatureMerge.java:291-340)
+        min_h = min_area if min_hole_area is None else min_hole_area
+        keep = np.where(outer, areas >= min_area, np.abs(areas) >= min_h)
+        if (~outer & keep).any() and (outer & ~keep).any():
+            kept_out = [i for i in range(len(rings))
+                        if outer[i] and keep[i]]
+            for hi_ in np.flatnonzero(~outer & keep):
+                hx, hy = rings[hi_][0][0], rings[hi_][1][0]
+                inside = False
+                for oi in kept_out:
+                    ox, oy = rings[oi]
+                    c1_ = (oy > hy) != (np.roll(oy, -1) > hy)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xi = ox + (hy - oy) * (np.roll(ox, -1) - ox) \
+                            / (np.roll(oy, -1) - oy)
+                    if bool(np.count_nonzero(c1_ & (hx < xi)) & 1):
+                        inside = True
+                        break
+                if not inside:
+                    keep[hi_] = False
+        if not (outer & keep).any():
+            continue
+        ua = float(areas[outer & keep].sum() + areas[~outer & keep].sum())
+        for ri, (x, y) in enumerate(rings):
+            if not keep[ri]:
+                continue
+            out_rings_x.append(x * res + gx0)
+            out_rings_y.append(y * res + gy0)
+            out_cluster.append(out_c)
+            out_hole.append(not outer[ri])
+        merged_id.append((int(ids[polys].min()) // 10) * 10)
+        n_features.append(len(polys))
+        union_area.append(ua)
+        out_c += 1
+    if not out_rings_x:
+        return empty
+    counts = np.array([len(x) for x in out_rings_x], np.int64)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return {"cluster": np.array(out_cluster, np.int64),
+            "is_hole": np.array(out_hole, bool),
+            "offsets": offsets,
+            "xs": np.concatenate(out_rings_x),
+            "ys": np.concatenate(out_rings_y),
+            "merged_id": np.array(merged_id, np.int64),
+            "n_features": np.array(n_features, np.int64),
+            "union_area": np.array(union_area)}
