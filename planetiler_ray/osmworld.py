@@ -119,6 +119,18 @@ def nested3_corners_e7(r: int) -> list[tuple[int, int]]:
             + _square(cx, cy, INNER_HALF))
 
 
+SUPER_DX = 600000                            # family-4 child-square offset
+
+
+def superrel_corners_e7(r: int) -> list[tuple[int, int]]:
+    """8 corners: two disjoint squares (half-side SQ_HALF) at
+    cx ± SUPER_DX — each owned by a CHILD relation of the family-4
+    super-relation (relation-in-relation closure)."""
+    cx, cy = rel_center_e7(r)
+    return (_square(cx - SUPER_DX, cy, SQ_HALF)
+            + _square(cx + SUPER_DX, cy, SQ_HALF))
+
+
 # ---------------------------------------------------------------------------
 # minimal protobuf/PBF encode (fixture-only)
 # ---------------------------------------------------------------------------
@@ -308,6 +320,23 @@ def build_osm_world(path: str, n_docs: int,
             [1, 1, 1, 1],
             [ridx["outer"], ridx["outer"], ridx["inner"], ridx["outer"]],
             keyidx=[ridx["type"]], validx=[ridx["multipolygon"]])
+        # family 4: super-relation (type=multipolygon) whose members are
+        # TWO untyped child relations, each owning one closed square way
+        # — exercises the relation-in-relation closure
+        base = 4 * REL_NODE_BASE + 100 * r
+        add_nodes(base, superrel_corners_e7(r))
+        wb = 4 * REL_WAY_BASE + 10 * r
+        wgroup += _way(wb + 0, [base + 0, base + 1, base + 2, base + 3,
+                                base + 0])
+        wgroup += _way(wb + 1, [base + 4, base + 5, base + 6, base + 7,
+                                base + 4])
+        child = 5 * REL_WAY_BASE * 10 + 2 * r
+        rgroup += _relation(child, [wb + 0], [1], [ridx["outer"]])
+        rgroup += _relation(child + 1, [wb + 1], [1], [ridx["outer"]])
+        rgroup += _relation(
+            4 * REL_WAY_BASE * 10 + r, [child, child + 1], [2, 2],
+            [ridx["outer"], ridx["outer"]],
+            keyidx=[ridx["type"]], validx=[ridx["multipolygon"]])
     frames.append(_frame("OSMData", _block(
         rstrings, [_dense_nodes(nd_ids, nd_lat, nd_lon, [0] * len(nd_ids)),
                    wgroup, rgroup])))
@@ -325,8 +354,8 @@ def build_osm_world(path: str, n_docs: int,
 def osm_world_pbf(n_docs: int) -> str:
     """Cached deterministic OSM PBF for a given documents row count."""
     os.makedirs(CACHE_DIR, exist_ok=True)
-    # v3: three relation families (cache name versions the world layout)
-    path = os.path.join(CACHE_DIR, f"osmworld_v3_{n_docs}.pbf")
+    # v4: four relation families (cache name versions the world layout)
+    path = os.path.join(CACHE_DIR, f"osmworld_v4_{n_docs}.pbf")
     if not os.path.exists(path):
         build_osm_world(path, n_docs)
     return path

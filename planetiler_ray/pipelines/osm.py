@@ -375,7 +375,8 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
     rel_id → per-relation stitching (relations are small: per-relation
     Python is bounded by member count, not dataset size).
     """
-    from ..tilemath.validity import snap_fix_rings
+    from ..tilemath.validity import (repair_rings, ring_signed_area,
+                                     snap_fix_rings)
 
     def is_mp(batch: pa.Table) -> pa.Table:
         # vectorized over the flattened tag stream (the tags_to_columns
@@ -388,8 +389,82 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
                      value_set=pa.array(["multipolygon", "boundary"]))
         return batch.filter(pc.fill_null(m, False))
 
-    members = relation_way_members(relations.map_batches(
-        is_mp, batch_format="pyarrow"))
+    mp_rels = relations.map_batches(is_mp, batch_format="pyarrow")
+    members = relation_way_members(mp_rels)
+
+    # super-relation closure (``OsmReader.java:563-607``): relations can
+    # member OTHER relations; their way members belong to the root.
+    # The relation-membership graph is tiny (edges only exist for
+    # super-relations), so it is collected driver-side, closed with a
+    # bounded BFS, and the descendant→roots map applied as one
+    # vectorized re-labeling pass over the exploded members.
+    def rel_edges(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        mids = batch["mem_ids"]
+        flat = pc.list_flatten(mids).to_numpy()
+        parent = pc.list_parent_indices(mids).to_numpy()
+        types = pc.list_flatten(batch["mem_types"]).to_numpy()
+        is_rel = types == 2
+        return pa.table({
+            "parent": pa.array(batch["rel_id"].to_numpy()[parent][is_rel]),
+            "child": pa.array(flat[is_rel])})
+
+    edges = relations.map_batches(rel_edges, batch_format="pyarrow") \
+        .take_all()
+    if edges:
+        children: dict[int, list[int]] = {}
+        for e in edges:
+            children.setdefault(int(e["parent"]), []).append(int(e["child"]))
+        root_ids = {r["rel_id"] for r in
+                    mp_rels.select_columns(["rel_id"]).take_all()}
+        desc_roots: dict[int, list[int]] = {}
+        for root in root_ids & children.keys():
+            seen = {root}
+            frontier = list(children[root])
+            depth = 0
+            while frontier and depth < 8:        # bounded walk
+                nxt_f = []
+                for c in frontier:
+                    if c in seen:
+                        continue
+                    seen.add(c)
+                    desc_roots.setdefault(c, []).append(root)
+                    nxt_f.extend(children.get(c, ()))
+                frontier = nxt_f
+                depth += 1
+        if desc_roots:
+            d_sorted = np.array(sorted(desc_roots), np.int64)
+            r_counts = np.array([len(desc_roots[d]) for d in d_sorted],
+                                np.int64)
+            r_off = np.concatenate([[0], np.cumsum(r_counts)])
+            r_flat = np.array([rt for d in d_sorted
+                               for rt in desc_roots[d]], np.int64)
+
+            def relabel(batch: pa.Table) -> pa.Table:
+                """way members of descendant relations → one row per
+                (member, root) with rel_id replaced by the root."""
+                if batch.num_rows == 0:
+                    return batch
+                rid = batch["rel_id"].to_numpy()
+                pos = np.searchsorted(d_sorted, rid)
+                posc = np.minimum(pos, len(d_sorted) - 1)
+                hit = d_sorted[posc] == rid
+                sel = np.flatnonzero(hit)
+                if not len(sel):
+                    return batch.slice(0, 0)
+                reps = r_counts[posc[sel]]
+                rows = np.repeat(sel, reps)
+                roots = np.concatenate(
+                    [r_flat[r_off[p]:r_off[p] + c]
+                     for p, c in zip(posc[sel], reps)])
+                out = batch.take(pa.array(rows, pa.int64()))
+                return out.set_column(
+                    out.schema.get_field_index("rel_id"), "rel_id",
+                    pa.array(roots))
+
+            members = members.union(
+                relation_way_members(relations).map_batches(
+                    relabel, batch_format="pyarrow"))
 
     # join members ↔ way geometries by way_id (exchange)
     def mem_side(batch: pa.Table) -> pa.Table:
@@ -484,20 +559,35 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
                 np.cumsum([len(rg) for rg in rings], out=roff[1:])
                 fixed = snap_fix_rings(flat_x, flat_y, roff,
                                        is_hole=np.zeros(len(rings), bool),
-                                       scale=1e7)
+                                       scale=1e7, drop_zero_area=False)
                 offs = fixed["offsets"]
                 fx, fy = fixed["xs"], fixed["ys"]
                 if len(offs) <= 1:
                     continue
+                # escalation rung: the 1e-7 snap can introduce crossings
+                # (bowties) — split them into simple lobes before
+                # nesting (buffer(0) analog; validity.repair_rings)
+                fx, fy, offs, _src = repair_rings(fx, fy, offs,
+                                                  stats=stats)
+                areas = ring_signed_area(fx, fy, offs)
+                live = areas != 0.0
+                if not live.all():
+                    counts_r = np.diff(offs)
+                    vkeep = np.repeat(live, counts_r)
+                    fx, fy = fx[vkeep], fy[vkeep]
+                    offs = np.concatenate(
+                        [[0], np.cumsum(counts_r[live])])
+                    areas = areas[live]
+                if len(offs) <= 1:
+                    continue
                 # hole ⇔ odd nesting depth under real containment
                 # (area-sorted shells, point-in-ring parent test)
-                emit, holes = _nest_rings(fx, fy, offs,
-                                          fixed["signed_area"])
+                emit, holes = _nest_rings(fx, fy, offs, areas)
                 for out_i, i in enumerate(emit):
                     hole = bool(holes[i])
                     seg_x = fx[offs[i]:offs[i + 1]]
                     seg_y = fy[offs[i]:offs[i + 1]]
-                    if hole != (fixed["signed_area"][i] < 0):
+                    if hole != (areas[i] < 0):
                         seg_x, seg_y = seg_x[::-1], seg_y[::-1]
                     out["rel_id"].append(r)
                     out["ring_idx"].append(out_i)

@@ -908,7 +908,9 @@ g AS (SELECT r,
         {gy('cy - 60000')}  AS yhb, {gy('cy + 60000')}  AS yht,
         {gy('cy - 30000')}  AS ybb, {gy('cy + 30000')}  AS ybt,
         {gy('cy - 120000')} AS ymb, {gy('cy + 120000')} AS ymt,
-        {gy('cy - 40000')}  AS yib, {gy('cy + 40000')}  AS yit
+        {gy('cy - 40000')}  AS yib, {gy('cy + 40000')}  AS yit,
+        {gx('cx - 800000')} AS xal, {gx('cx - 400000')} AS xar,
+        {gx('cx + 400000')} AS xbl2, {gx('cx + 800000')} AS xbr2
       FROM r)
 SELECT 10000000 + r AS rel_id,
        CAST(2 AS BIGINT) AS n_rings, CAST(1 AS BIGINT) AS n_holes,
@@ -931,6 +933,12 @@ SELECT 30000000 + r,
        2 * ((xr - xl) * (yb - yt) - (xmr - xml) * (ymb - ymt)
             + (xir - xil) * (yib - yit)),
        xl / 1e7, xr / 1e7, yt / 1e7, yb / 1e7
+FROM g
+UNION ALL
+SELECT 40000000 + r,
+       CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(8 AS BIGINT),
+       2 * (xar - xal) * (yb - yt) + 2 * (xbr2 - xbl2) * (yb - yt),
+       xal / 1e7, xbr2 / 1e7, yt / 1e7, yb / 1e7
 FROM g
 """
 

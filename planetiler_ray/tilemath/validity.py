@@ -60,7 +60,8 @@ def ring_signed_area(px: np.ndarray, py: np.ndarray,
 def snap_fix_rings(px: np.ndarray, py: np.ndarray,
                    ring_offsets: np.ndarray,
                    is_hole: np.ndarray | None = None,
-                   scale: float = 16.0) -> dict:
+                   scale: float = 16.0,
+                   drop_zero_area: bool = True) -> dict:
     """Run the snap+fix ladder over a flattened batch of rings.
 
     ``scale`` is vertices-per-unit grid density (the reference uses
@@ -117,9 +118,13 @@ def snap_fix_rings(px: np.ndarray, py: np.ndarray,
     new_off = np.zeros(n_rings + 1, np.int64)
     np.cumsum(new_counts, out=new_off[1:])
 
-    # 3. drop degenerate rings
+    # 3. drop degenerate rings.  ``drop_zero_area=False`` keeps
+    # zero-net-area rings for a later self-intersection repair rung —
+    # a symmetric bowtie's lobes cancel to exactly 0 here
     area = ring_signed_area(sx, sy, new_off)
-    ring_keep = (new_counts >= 3) & (area != 0.0)
+    ring_keep = new_counts >= 3
+    if drop_zero_area:
+        ring_keep &= area != 0.0
 
     # compact surviving rings
     out_counts = new_counts[ring_keep]
@@ -181,3 +186,136 @@ def rings_self_intersect(px: np.ndarray, py: np.ndarray,
         hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
         out[r] = bool(hit.any())
     return out
+
+
+def _segment_intersections(px: np.ndarray, py: np.ndarray):
+    """Proper crossings between non-adjacent segments of one closed ring
+    (vertices open, closing edge implied).  Vectorized over the segment
+    pairs; returns (i, j, t_i, t_j, ix, iy) per crossing."""
+    k = len(px)
+    x0, y0 = px, py
+    x1 = np.roll(px, -1)
+    y1 = np.roll(py, -1)
+    i, j = np.triu_indices(k, k=2)
+    wrap = (i == 0) & (j == k - 1)
+    i, j = i[~wrap], j[~wrap]
+    d = lambda ax, ay, bx, by, cx, cy: \
+        (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    d1 = d(x0[i], y0[i], x1[i], y1[i], x0[j], y0[j])
+    d2 = d(x0[i], y0[i], x1[i], y1[i], x1[j], y1[j])
+    d3 = d(x0[j], y0[j], x1[j], y1[j], x0[i], y0[i])
+    d4 = d(x0[j], y0[j], x1[j], y1[j], x1[i], y1[i])
+    hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+    i, j = i[hit], j[hit]
+    if not len(i):
+        return i, j, i.astype(float), i.astype(float), i.astype(float), \
+            i.astype(float)
+    # parametric intersection (denominators nonzero for proper crossings)
+    dxi, dyi = x1[i] - x0[i], y1[i] - y0[i]
+    dxj, dyj = x1[j] - x0[j], y1[j] - y0[j]
+    den = dxi * dyj - dyi * dxj
+    ti = ((x0[j] - x0[i]) * dyj - (y0[j] - y0[i]) * dxj) / den
+    tj = ((x0[j] - x0[i]) * dyi - (y0[j] - y0[i]) * dxi) / den
+    return i, j, ti, tj, x0[i] + ti * dxi, y0[i] + ti * dyi
+
+
+def split_self_intersecting_ring(px: np.ndarray,
+                                 py: np.ndarray) -> list[tuple[np.ndarray,
+                                                               np.ndarray]]:
+    """Split one self-intersecting ring into simple sub-rings — the
+    ``buffer(0)`` rung of the reference's repair ladder
+    (``GeoUtils.snapAndFixPolygon``, ``geo/GeoUtils.java:315-399``) for
+    the crossings grid-snapping introduces: a quantization bowtie
+    becomes its two lobes, each a simple ring (orientation NOT
+    normalized here — callers re-orient).
+
+    Method: insert every proper segment-crossing point into both edges
+    (ordered by the parametric t), then walk the expanded vertex cycle
+    popping a sub-ring whenever a crossing point is revisited (the
+    standard rewind split).  Degenerate pops (< 3 distinct vertices)
+    are dropped.
+    """
+    i, j, ti, tj, ix, iy = _segment_intersections(px, py)
+    if not len(i):
+        return [(px, py)]
+    k = len(px)
+    per_seg: list[list[tuple[float, float, float, int]]] = \
+        [[] for _ in range(k)]
+    for n, (a, b) in enumerate(zip(i, j)):
+        per_seg[a].append((ti[n], ix[n], iy[n], n))
+        per_seg[b].append((tj[n], ix[n], iy[n], n))
+    verts: list[tuple[float, float, int]] = []   # (x, y, crossing id | -1)
+    for s in range(k):
+        verts.append((px[s], py[s], -1))
+        for t, x, y, n in sorted(per_seg[s]):
+            verts.append((x, y, n))
+    rings = []
+    path: list[tuple[float, float, int]] = []
+    open_pos: dict[int, int] = {}
+    for v in verts:
+        if v[2] >= 0 and v[2] in open_pos:
+            start = open_pos.pop(v[2])
+            sub = path[start:]
+            # crossing ids opened inside the popped loop are gone
+            for cid, p in list(open_pos.items()):
+                if p > start:
+                    del open_pos[cid]
+            del path[start:]
+            if len({(sx, sy) for sx, sy, _ in sub}) >= 3:
+                rings.append((np.array([p[0] for p in sub]),
+                              np.array([p[1] for p in sub])))
+            path.append(v)
+            open_pos[v[2]] = len(path) - 1
+        else:
+            if v[2] >= 0:
+                open_pos[v[2]] = len(path)
+            path.append(v)
+    if len({(sx, sy) for sx, sy, _ in path}) >= 3:
+        rings.append((np.array([p[0] for p in path]),
+                      np.array([p[1] for p in path])))
+    return rings
+
+
+def repair_rings(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
+                 max_check_verts: int = 4096,
+                 stats=None) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                      np.ndarray]:
+    """Detect + split self-intersecting rings in a flattened ring batch
+    (the escalation rung after ``snap_fix_rings``).  Rings larger than
+    ``max_check_verts`` skip the O(k²) crossing test (counted against
+    ``data_errors.ring_repair_skipped`` when ``stats`` is given).
+
+    Returns ``(xs, ys, offsets, src_ring)`` where ``src_ring`` maps each
+    output ring to its input ring index (splits share the source).
+    """
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    n = len(ring_offsets) - 1
+    out_x, out_y, src = [], [], []
+    for r in range(n):
+        a, b = ring_offsets[r], ring_offsets[r + 1]
+        rx, ry = px[a:b], py[a:b]
+        if b - a > max_check_verts:
+            if stats is not None:
+                stats.data_error("ring_repair_skipped")
+            out_x.append(rx)
+            out_y.append(ry)
+            src.append(r)
+            continue
+        if b - a < 4 or not rings_self_intersect(
+                rx, ry, np.array([0, b - a]))[0]:
+            out_x.append(rx)
+            out_y.append(ry)
+            src.append(r)
+            continue
+        if stats is not None:
+            stats.data_error("self_intersecting_ring_repaired")
+        for sx, sy in split_self_intersecting_ring(rx, ry):
+            out_x.append(sx)
+            out_y.append(sy)
+            src.append(r)
+    counts = np.array([len(x) for x in out_x], np.int64)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return (np.concatenate(out_x) if out_x else np.empty(0),
+            np.concatenate(out_y) if out_y else np.empty(0),
+            offsets, np.array(src, np.int64))

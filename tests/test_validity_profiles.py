@@ -158,3 +158,69 @@ def test_layered_profile_finish():
     p = LayeredProfile().on_finish(lambda: hits.append(1))
     p.finish()
     assert hits == [1]
+
+
+def test_split_self_intersecting_ring_bowtie():
+    """Quantization bowtie → two simple lobes; area is conserved
+    (|A1| + |A2| == shoelace parts of the figure-eight)."""
+    import numpy as np
+    from planetiler_ray.tilemath.validity import (repair_rings,
+                                                  rings_self_intersect,
+                                                  split_self_intersecting_ring)
+
+    x = np.array([0.0, 2.0, 2.0, 0.0])
+    y = np.array([0.0, 2.0, 0.0, 2.0])
+    assert rings_self_intersect(x, y, np.array([0, 4]))[0]
+    lobes = split_self_intersecting_ring(x, y)
+    assert len(lobes) == 2
+    for lx, ly in lobes:
+        assert not rings_self_intersect(lx, ly,
+                                        np.array([0, len(lx)]))[0]
+    areas = sorted(abs(0.5 * np.sum(lx * np.roll(ly, -1)
+                                    - np.roll(lx, -1) * ly))
+                   for lx, ly in lobes)
+    assert np.allclose(areas, [1.0, 1.0])
+    # batch wrapper keeps simple rings untouched, maps sources
+    xs, ys, offs, src = repair_rings(
+        np.concatenate([x, [10, 11, 11, 10]]),
+        np.concatenate([y, [10, 10, 11, 11]]),
+        np.array([0, 4, 8]))
+    assert src.tolist() == [0, 0, 1]
+    assert len(offs) - 1 == 3
+
+
+def test_snap_induced_bowtie_repaired(ray_session, tmp_path):
+    """A multipolygon way ring that self-crosses after the 1e-7 snap is
+    split into simple lobes by the stitch escalation (both lobes kept,
+    shell orientation, no crossing in output)."""
+    import numpy as np
+    import tests._osmpbf_writer as W
+    from planetiler_ray.pipelines.osm import assemble_multipolygons, way_geometries
+    from planetiler_ray.sources.osmpbf import (read_osm_nodes,
+                                               read_osm_relations,
+                                               read_osm_ways)
+    from planetiler_ray.tilemath.validity import rings_self_intersect
+
+    # explicit bowtie ring (crosses regardless of snap): X over ~0.1°
+    lon = [10.0, 10.1, 10.1, 10.0]
+    lat = [10.0, 10.1, 10.0, 10.1]
+    strings = ["", "type", "multipolygon", "outer"]
+    s = {k: i for i, k in enumerate(strings)}
+    nodes = W.dense_nodes([1, 2, 3, 4], lon, lat, [0, 0, 0, 0])
+    w = W.way(100, [1, 2, 3, 4, 1])
+    r = W.relation(500, [100], [1], [s["outer"]],
+                   keyidx=[s["type"]], validx=[s["multipolygon"]])
+    p = tmp_path / "bow.pbf"
+    W.write_pbf(str(p), [W.primitive_block(strings, [nodes, w, r])])
+    geoms = way_geometries(read_osm_nodes(str(p)), read_osm_ways(str(p)),
+                           num_partitions=2)
+    rings = assemble_multipolygons(read_osm_relations(str(p)), geoms,
+                                   num_partitions=2).take_all()
+    assert len(rings) == 2                     # bowtie → two lobes
+    for rr in rings:
+        assert not rr["is_hole"]
+        rx, ry = np.asarray(rr["xs"]), np.asarray(rr["ys"])
+        assert not rings_self_intersect(rx, ry,
+                                        np.array([0, len(rx)]))[0]
+        area = 0.5 * np.sum(rx * np.roll(ry, -1) - np.roll(rx, -1) * ry)
+        assert area > 0                        # shells CCW
