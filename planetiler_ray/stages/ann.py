@@ -181,8 +181,12 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
                              cosine_threshold: float = 0.9,
                              num_planes: int = 8,
                              emb_col: str = "embedding",
-                             id_col: str = "vec_id") -> "ray.data.Dataset":
-    """Cosine near-dup pairs: hyperplane buckets → exact verify in-bucket."""
+                             id_col: str = "vec_id",
+                             max_pairs_per_bucket: int = 2_000_000
+                             ) -> "ray.data.Dataset":
+    """Cosine near-dup pairs: hyperplane buckets → exact verify in-bucket
+    (distinct-row collapse + tiled matmul + per-bucket pair cap — see
+    ``verify``)."""
     planes = make_planes(dim, num_planes)
     p_ref = ray.put(planes)
 
@@ -194,22 +198,81 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
         return pa.table({id_col: batch[id_col], "bucket": key, "nemb": emb,
                          "dim": np.full(batch.num_rows, m.shape[1], np.int32)})
 
+    from .dedup import bounded_triu_pairs
+
     def verify(grp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64)})
         if len(grp) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
+            return empty
         ids = grp[id_col].to_numpy()
         d = int(grp["dim"].iloc[0])
         m = np.stack(grp["nemb"].to_numpy()).reshape(len(ids), d)
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= cosine_threshold
+        # degenerate-bucket safety: collapse byte-identical rows (an
+        # all-identical corpus is one distinct vector), run the matmul
+        # over DISTINCT rows in bounded 2048² tiles, cap the id-pair
+        # expansion (bounded-output contract like minhash_lsh_pairs)
+        mv = np.ascontiguousarray(m).view(
+            np.dtype((np.void, m.dtype.itemsize * d))).reshape(-1)
+        uniq, inv = np.unique(mv, return_inverse=True)
+        vorder = np.argsort(inv, kind="stable")
+        vstarts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(inv[vorder]) != 0) + 1])
+        vcounts = np.diff(np.concatenate([vstarts, [len(ids)]]))
+        um = m[vorder[vstarts]]
+        D = len(um)
+        out_a, out_b = [], []
+        budget = max_pairs_per_bucket
+
+        def emit(va: int, vb: int):
+            nonlocal budget
+            if budget <= 0:
+                return
+            ga = ids[vorder[vstarts[va]:vstarts[va] + vcounts[va]]]
+            if va == vb:
+                ia0, ib0 = bounded_triu_pairs(len(ga), budget)
+                a, b = ga[ia0], ga[ib0]
+            else:
+                gb = ids[vorder[vstarts[vb]:vstarts[vb] + vcounts[vb]]]
+                need = min(budget, len(ga) * len(gb))
+                k = np.arange(need)
+                a0 = ga[k // len(gb)]
+                b0 = gb[k % len(gb)]
+                a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+            out_a.append(a)
+            out_b.append(b)
+            budget -= len(a)
+
+        # identical rows: cosine exactly 1 ≥ threshold
+        for v in np.flatnonzero(vcounts > 1):
+            emit(int(v), int(v))
+            if budget <= 0:
+                break
+        T = 2048
+        for s0 in range(0, D, T):
+            if budget <= 0:
+                break
+            for s1 in range(s0, D, T):
+                if budget <= 0:
+                    break
+                sims = um[s0:s0 + T] @ um[s1:s1 + T].T
+                ra, rb = np.nonzero(sims >= cosine_threshold)
+                if s0 == s1:
+                    k2 = ra < rb
+                    ra, rb = ra[k2], rb[k2]
+                for va, vb in zip(ra, rb):
+                    emit(int(s0 + va), int(s1 + vb))
+                    if budget <= 0:
+                        break
+        if not out_a:
+            return empty
         # ids only: the cosine value itself is float-op-order sensitive
         # (engine matmul vs oracle list_cosine_similarity); membership at
         # the threshold is the checked contract
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     return ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(verify, batch_format="pandas")

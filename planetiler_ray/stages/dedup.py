@@ -55,6 +55,31 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
         .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
 
 
+def bounded_triu_pairs(n: int, budget: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``budget`` (i, j) index pairs, ``i < j``, of the strict
+    upper triangle of an ``n``×``n`` grid in row-major order — WITHOUT
+    materializing the full ``n*(n-1)/2`` set.
+
+    Deterministic (row-major) so a capped output is reproducible; used
+    by the degenerate-bucket caps in :func:`hamming_near_dup_pairs` and
+    :func:`stages.ann.embedding_near_dup_pairs`.  O(n + budget) time and
+    memory.
+    """
+    total = n * (n - 1) // 2
+    need = min(int(budget), total)
+    if need <= 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    # pairs in row i (0-based): n-1-i of them; cum[i] = pairs through row i
+    row_len = np.arange(n - 1, 0, -1, dtype=np.int64)
+    cum = np.cumsum(row_len)
+    k = np.arange(need, dtype=np.int64)
+    i = np.searchsorted(cum, k, side="right")
+    prev = cum[i] - row_len[i]
+    j = i + 1 + (k - prev)
+    return i, j
+
+
 def shingle_hash_stream(batch: pa.Table, text_col: str = "text",
                         id_col: str = "doc_id", shingle: int = 3
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -368,11 +393,22 @@ def _minhash_verify_distributed(sigs, cand, id_col: str, num_perm: int,
 
 def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
                            id_col: str, max_hamming: int = 8,
-                           bands: int = 4) -> "ray.data.Dataset":
+                           bands: int = 4,
+                           max_pairs_per_bucket: int = 2_000_000
+                           ) -> "ray.data.Dataset":
     """Near-dup pairs of 64-bit fingerprints (SimHash / pHash) via banded
     Hamming LSH: split the 64 bits into ``bands`` 16-bit keys — any pair
     within Hamming distance ``bands-1`` shares ≥1 exact band (pigeonhole);
-    verify exact Hamming within buckets."""
+    verify exact Hamming within buckets.
+
+    Degenerate-bucket safety (a constant-prefix corpus lands everything
+    in one bucket): verification first collapses to DISTINCT fingerprint
+    values — the all-pairs test runs over D distinct values in bounded
+    2048² tiles, never over raw rows — and id-pair expansion is capped
+    at ``max_pairs_per_bucket`` per bucket (deterministic by sorted
+    order; the same bounded-output contract as ``minhash_lsh_pairs``'s
+    driver cap).  An all-identical corpus therefore completes in
+    O(rows + cap) instead of O(rows²)."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         h = batch[hash_col].to_numpy().view(np.uint64)
@@ -392,22 +428,82 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
                          hash_col: np.concatenate(out_h)})
 
     def verify(grp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
         if len(grp) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return empty
         ids = grp[id_col].to_numpy()
         h = grp[hash_col].to_numpy().view(np.uint64)
-        order = np.argsort(ids)
+        order = np.lexsort((ids, h))
         ids, h = ids[order], h[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = h[ia] ^ h[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-            if not x.any():
+        # collapse to distinct values: runs of equal h are consecutive
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(h) != 0) + 1])
+        counts = np.diff(np.concatenate([starts, [len(h)]]))
+        uh = h[starts]
+        D = len(uh)
+        out_a, out_b, out_d = [], [], []
+        budget = max_pairs_per_bucket
+
+        def emit(va: int, vb: int, dist: int):
+            """expand value-pair → id pairs, generating only up to the
+            remaining budget (never the full cross product)."""
+            nonlocal budget
+            if budget <= 0:
+                return
+            if va == vb:
+                g = ids[starts[va]:starts[va] + counts[va]]
+                ia, ib = bounded_triu_pairs(len(g), budget)
+                a, b = g[ia], g[ib]
+            else:
+                ga = ids[starts[va]:starts[va] + counts[va]]
+                gb = ids[starts[vb]:starts[vb] + counts[vb]]
+                need = min(budget, len(ga) * len(gb))
+                k = np.arange(need)
+                a0 = ga[k // len(gb)]
+                b0 = gb[k % len(gb)]
+                a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(np.full(len(a), dist, np.int64))
+            budget -= len(a)
+
+        # within-value pairs: hamming 0
+        for v in np.flatnonzero(counts > 1):
+            emit(int(v), int(v), 0)
+            if budget <= 0:
                 break
-        m = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "hamming": ham[m]})
+        # cross-value pairs: blocked all-pairs over DISTINCT values
+        T = 2048
+        for s0 in range(0, D, T):
+            if budget <= 0:
+                break
+            for s1 in range(s0, D, T):
+                if budget <= 0:
+                    break
+                ha = uh[s0:s0 + T]
+                hb = uh[s1:s1 + T]
+                x = ha[:, None] ^ hb[None, :]
+                ham = np.zeros(x.shape, np.int64)
+                for _ in range(64):
+                    ham += (x & np.uint64(1)).astype(np.int64)
+                    x = x >> np.uint64(1)
+                    if not x.any():
+                        break
+                ra, rb = np.nonzero(ham <= max_hamming)
+                if s0 == s1:
+                    keep = ra < rb
+                    ra, rb = ra[keep], rb[keep]
+                for va, vb in zip(ra, rb):
+                    emit(int(s0 + va), int(s1 + vb),
+                         int(ham[va, vb]))
+                    if budget <= 0:
+                        break
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
 
     pairs = ds.map_batches(to_bands, batch_format="pyarrow") \
         .groupby(["band", "band_key"]).map_groups(verify, batch_format="pandas")
@@ -423,20 +519,30 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     document's minimum shingle hash (1-perm MinHash blocking)."""
 
     def prep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        words_all = batch[text_col].to_pandas().astype(str).str.lower().str.findall(WORD_RE)
-        blocks, shingle_sets = [], []
-        for words in words_all:
-            if len(words) < n:
-                sh = {"$".join(words)} if len(words) else {""}
-            else:
-                sh = {"$".join(words[j:j + n]) for j in range(len(words) - n + 1)}
-            h = mix64(fnv1a_64_strings(np.array(sorted(sh))))
-            blocks.append(np.int64(h.min().astype(np.int64)))
-            shingle_sets.append(h.view(np.int64))
-        return pa.table({id_col: ids, "block": np.array(blocks, np.int64),
-                         "shingles": pa.array([s.tolist() for s in shingle_sets],
-                                              pa.list_(pa.int64()))})
+        # shared rolling-hash shingle stream (no per-doc Python sets);
+        # distinct shingles per doc via one lexsort, block = unsigned
+        # min (first distinct hash in sorted order)
+        ids, sh_hash, seg = shingle_hash_stream(batch, text_col, id_col,
+                                                shingle=n)
+        n_docs = len(ids)
+        seg_full = np.concatenate([seg, [len(sh_hash)]])
+        doc_of = np.repeat(np.arange(n_docs), np.diff(seg_full))
+        order = np.lexsort((sh_hash, doc_of))
+        dd, hh = doc_of[order], sh_hash[order]
+        keep = np.concatenate([[True],
+                               (np.diff(dd) != 0) | (hh[1:] != hh[:-1])]) \
+            if len(dd) else np.zeros(0, bool)
+        dd, hh = dd[keep], hh[keep]
+        counts = np.bincount(dd, minlength=n_docs)
+        starts = np.zeros(n_docs, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        return pa.table({
+            id_col: ids,
+            "block": pa.array(hh[starts].view(np.int64)),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(np.concatenate([[0], np.cumsum(counts)])
+                         .astype(np.int32)),
+                pa.array(hh.view(np.int64)))})
 
     def verify(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) < 2:

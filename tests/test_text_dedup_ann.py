@@ -263,3 +263,37 @@ class TestIvfPartitioned:
         for qi in qids:
             top1 = near[near["query_id"] == qi].sort_values("rnk").iloc[0]
             assert top1["neighbor_id"] == qi
+
+
+def test_degenerate_identical_buckets_bounded(ray_session):
+    """An all-identical-fingerprint / all-identical-embedding corpus
+    collapses to one distinct value per bucket: verification completes
+    in bounded time and output is capped per bucket."""
+    import time
+
+    import pyarrow as pa
+    import ray.data
+    from planetiler_ray.stages.ann import embedding_near_dup_pairs
+    from planetiler_ray.stages.dedup import hamming_near_dup_pairs
+
+    n = 20000
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "phash": pa.array(np.full(n, 0x1234_5678_9ABC_DEF0,
+                                  np.uint64).view(np.int64))}))
+    t0 = time.monotonic()
+    pairs = hamming_near_dup_pairs(ds, "phash", "doc_id",
+                                   max_pairs_per_bucket=5000).count()
+    dt = time.monotonic() - t0
+    assert pairs == 5000                      # capped, not n*(n-1)/2
+    assert dt < 60
+    emb = np.tile(np.arange(8, dtype=np.float64), (n, 1))
+    off = pa.array(np.arange(n + 1, dtype=np.int32) * 8)
+    ds2 = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(
+            off, pa.array(emb.reshape(-1)))}))
+    t0 = time.monotonic()
+    p2 = embedding_near_dup_pairs(ds2, 8, max_pairs_per_bucket=5000).count()
+    assert p2 == 5000
+    assert time.monotonic() - t0 < 60
