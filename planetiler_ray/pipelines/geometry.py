@@ -461,6 +461,23 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
     })
 
 
+def geometry_fragments(geoms: "ray.data.Dataset", min_zoom: int = 0,
+                       max_zoom: int = 14,
+                       buffer_px: float = DEFAULT_BUFFER_PX,
+                       min_pixel_size: float = 1.0,
+                       attr_cols: tuple[str, ...] = ()
+                       ) -> "ray.data.Dataset":
+    """The pre-reduce fan-out fragment stream (tile_id, z, layer, kind,
+    geom_id, vertices [, attrs…]) — the input both of the tile reduce
+    (:func:`build_geometry_tiles`) and of the layer-stats sidecar
+    (``sinks.vector_layer_stats``, the ``util/LayerAttrStats.java``
+    contract)."""
+    fan = partial(_fanout, min_zoom=min_zoom, max_zoom=max_zoom,
+                  buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
+                  attr_cols=attr_cols)
+    return geoms.map_batches(fan, batch_format="pyarrow")
+
+
 def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                          max_zoom: int = 14,
                          buffer_px: float = DEFAULT_BUFFER_PX,
@@ -489,12 +506,12 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
     ``num_partitions`` explicit exchange partitions and encodes many
     tiles per reduce task — per-tile ``map_groups`` ("groupby") spends
     a task per tile, which anti-scales at planet tile counts."""
-    fan = partial(_fanout, min_zoom=min_zoom, max_zoom=max_zoom,
-                  buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
-                  attr_cols=attr_cols)
     enc = partial(_encode_tiles, attr_cols=attr_cols, line_merge=line_merge,
                   poly_merge=poly_merge, layer_names=layer_names)
-    frags = geoms.map_batches(fan, batch_format="pyarrow")
+    frags = geometry_fragments(geoms, min_zoom=min_zoom, max_zoom=max_zoom,
+                               buffer_px=buffer_px,
+                               min_pixel_size=min_pixel_size,
+                               attr_cols=attr_cols)
     if shuffle == "groupby":
         return frags.groupby("tile_id").map_groups(enc,
                                                    batch_format="pyarrow")

@@ -155,6 +155,88 @@ def layer_stats(frags: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["z", "layer"]).aggregate(Count(alias_name="n_features"))
 
 
+def vector_layer_stats(frags: "ray.data.Dataset",
+                       attr_cols: tuple[str, ...] = (),
+                       layer_names: dict | None = None) -> list[dict]:
+    """TileJSON ``vector_layers`` from the fan-out fragment stream.
+
+    Per MVT layer: zoom range plus ``fields`` (attr name → "String" /
+    "Number" / "Boolean") — the ``util/LayerAttrStats.java`` contract
+    (a field seen with conflicting types degrades to "String"; fields
+    only count where the value is present/non-empty).  Partial per-batch
+    aggregation: only the tiny (layer, field) summary reaches the
+    driver, so this second pass streams at any scale.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"layer": [], "field": [], "minz": [], "maxz": [],
+               "tmin": [], "tmax": []}
+        if batch.num_rows:
+            z = batch["z"].to_numpy()
+            lay = batch["layer"].to_numpy()
+            codes = np.unique(lay)
+
+            def add(code, field, zs, tc):
+                out["layer"].append(int(code))
+                out["field"].append(field)
+                out["minz"].append(int(zs.min()))
+                out["maxz"].append(int(zs.max()))
+                out["tmin"].append(int(tc.min()) if len(tc) else 0)
+                out["tmax"].append(int(tc.max()) if len(tc) else 0)
+
+            none = np.zeros(0, np.int64)
+            for code in codes:                       # layers are few
+                add(code, "", z[lay == code], none)
+            for a in attr_cols:
+                s = batch[a].to_pandas().astype("string")
+                present = (s.notna() & (s != "")).to_numpy()
+                if not present.any():
+                    continue
+                num = pd.to_numeric(s, errors="coerce").notna().to_numpy()
+                boo = s.str.lower().isin(["true", "false"]) \
+                    .fillna(False).to_numpy()
+                tcode = np.where(boo, 1, np.where(num, 2, 3))
+                for code in codes:
+                    m = (lay == code) & present
+                    if m.any():
+                        add(code, a, z[m], tcode[m])
+        return pa.table({"layer": pa.array(out["layer"], pa.int32()),
+                         "field": pa.array(out["field"], pa.string()),
+                         "minz": pa.array(out["minz"], pa.int32()),
+                         "maxz": pa.array(out["maxz"], pa.int32()),
+                         "tmin": pa.array(out["tmin"], pa.int32()),
+                         "tmax": pa.array(out["tmax"], pa.int32())})
+
+    agg = frags.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["layer", "field"]) \
+        .aggregate(Min("minz", alias_name="minz"),
+                   Max("maxz", alias_name="maxz"),
+                   Min("tmin", alias_name="tmin"),
+                   Max("tmax", alias_name="tmax")).to_pandas()
+    if layer_names is None:
+        from .pipelines.geometry import LAYER_NAMES as layer_names
+    tnames = {1: "Boolean", 2: "Number", 3: "String"}
+    layers = []
+    for code, grp in agg.groupby("layer"):
+        base = grp[grp["field"] == ""]
+        fields = {}
+        for _, r in grp[grp["field"] != ""].iterrows():
+            fields[r["field"]] = ("String" if r["tmin"] != r["tmax"]
+                                  else tnames[int(r["tmin"])])
+        layers.append({
+            "id": layer_names.get(int(code), str(int(code))),
+            "minzoom": int(base["minz"].iloc[0]) if len(base)
+            else int(grp["minz"].min()),
+            "maxzoom": int(base["maxz"].iloc[0]) if len(base)
+            else int(grp["maxz"].max()),
+            "fields": dict(sorted(fields.items())),
+        })
+    layers.sort(key=lambda d: d["id"])
+    return layers
+
+
 def write_json(tiles: "ray.data.Dataset", out_dir: str) -> None:
     """NDJSON stream of ``{x, y, z, encoded}`` rows
     (``stream/WriteableJsonStreamArchive.java`` analog)."""

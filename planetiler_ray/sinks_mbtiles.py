@@ -27,8 +27,14 @@ from .sinks import _encode_batch
 
 def write_mbtiles(tiles: "ray.data.Dataset", path: str,
                   metadata: dict | None = None, compact: bool = True,
-                  batch_size: int = 2048) -> dict:
-    """Write the tile Dataset to an MBTiles file; returns summary stats."""
+                  batch_size: int = 2048,
+                  vector_layers: list[dict] | None = None) -> dict:
+    """Write the tile Dataset to an MBTiles file; returns summary stats.
+
+    ``vector_layers`` (from :func:`sinks.vector_layer_stats`) lands in
+    the MBTiles-1.3 ``json`` metadata row as
+    ``{"vector_layers": [...]}`` — the TileJSON layer/zoom/field-type
+    discovery block clients read (``mbtiles/MbtilesMetadata.java``)."""
     if os.path.exists(path):
         os.remove(path)
     con = sqlite3.connect(path)
@@ -52,6 +58,8 @@ def write_mbtiles(tiles: "ray.data.Dataset", path: str,
 
     meta = {"name": "planetiler_ray", "format": "pbf", "type": "overlay",
             "version": "1", **(metadata or {})}
+    if vector_layers is not None:
+        meta["json"] = json.dumps({"vector_layers": vector_layers})
     cur.executemany("INSERT INTO metadata VALUES (?, ?)",
                     [(k, str(v)) for k, v in meta.items()])
 

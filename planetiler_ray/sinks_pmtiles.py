@@ -117,7 +117,8 @@ def tile_extent_bounds(ext: dict) -> tuple[float, float, float, float]:
 
 def write_pmtiles(tiles: "ray.data.Dataset", path: str,
                   metadata: dict | None = None,
-                  min_zoom: int = 0, max_zoom: int = 14) -> dict:
+                  min_zoom: int = 0, max_zoom: int = 14,
+                  vector_layers: list[dict] | None = None) -> dict:
     """Write a PMTiles v3 archive from a tile Dataset.
 
     Requires columns hilbert_id, content_hash, z and tile payload
@@ -188,6 +189,10 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
         leaves_bytes = b"".join(leaves)
 
     meta = {"name": "planetiler_ray", "format": "pbf", **(metadata or {})}
+    if vector_layers is not None:
+        # TileJSON discovery block in the PMTiles JSON metadata
+        # (``pmtiles/WriteablePmtiles.java`` writes the same key)
+        meta["vector_layers"] = vector_layers
     meta_bytes = gzip.compress(json.dumps(meta).encode(), 6)
 
     root_off = HEADER_LEN

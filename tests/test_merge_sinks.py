@@ -4,6 +4,7 @@ import gzip
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from planetiler_ray.stages.merge import (
@@ -211,3 +212,65 @@ def test_write_proto_stream_roundtrip(ray_session, tmp_path):
     got = set((t["z"], t["x"], t["y"]) for t in back)
     assert want == got
     assert all(len(t["bytes"]) > 0 for t in back)
+
+
+def test_vector_layers_metadata_roundtrip(ray_session, tmp_path):
+    """vector_layer_stats → TileJSON vector_layers wired into MBTiles
+    (``json`` metadata row) and PMTiles (metadata blob), read back by a
+    client: layer ids, zoom ranges and field types survive."""
+    import json
+    import sqlite3
+
+    import ray.data as rd
+    from planetiler_ray.pipelines.geometry import (build_geometry_tiles,
+                                                   geometry_fragments)
+    from planetiler_ray.sinks import vector_layer_stats
+    from planetiler_ray.sinks_mbtiles import write_mbtiles
+    from planetiler_ray.sinks_pmtiles import read_pmtiles_metadata, write_pmtiles
+    from planetiler_ray.tilemath.tilecoord import (hilbert_encode_tile,
+                                                   tms_decode)
+
+    geoms = rd.from_arrow(pa.table({
+        "geom_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["point", "line", "point"]),
+        "xs": pa.array([[0.3], [0.4, 0.6], [0.7]], pa.list_(pa.float64())),
+        "ys": pa.array([[0.3], [0.4, 0.6], [0.7]], pa.list_(pa.float64())),
+        # name: string; pop: number; bridge: bool — one per type bucket;
+        # the line has no name (null → field absent for that feature)
+        "name": pa.array(["alpha", None, "gamma"]),
+        "pop": pa.array(["12", "3400", "7"]),
+        "bridge": pa.array(["true", "false", "true"]),
+    }))
+    kw = dict(min_zoom=0, max_zoom=3, attr_cols=("name", "pop", "bridge"))
+    vl = vector_layer_stats(geometry_fragments(geoms, **kw),
+                            attr_cols=("name", "pop", "bridge"))
+    by_id = {d["id"]: d for d in vl}
+    assert set(by_id) == {"points", "lines"}
+    assert by_id["points"]["minzoom"] == 0 and by_id["points"]["maxzoom"] == 3
+    assert by_id["points"]["fields"] == {"name": "String", "pop": "Number",
+                                         "bridge": "Boolean"}
+    assert "name" not in by_id["lines"]["fields"]       # null-only → absent
+
+    tiles = build_geometry_tiles(geoms, **kw, num_partitions=2)
+
+    def ids(batch):
+        x, y, z = tms_decode(batch["tile_id"].to_numpy())
+        hil = np.empty(len(z), np.int64)
+        for zv in np.unique(z):
+            m = z == zv
+            hil[m] = hilbert_encode_tile(x[m], y[m], int(zv))
+        return batch.append_column("hilbert_id", pa.array(hil))
+
+    tiles = tiles.map_batches(ids, batch_format="pyarrow").materialize()
+
+    mb = str(tmp_path / "vl.mbtiles")
+    write_mbtiles(tiles, mb, vector_layers=vl)
+    con = sqlite3.connect(mb)
+    row = con.execute(
+        "SELECT value FROM metadata WHERE name='json'").fetchone()
+    con.close()
+    assert json.loads(row[0])["vector_layers"] == vl
+
+    pm = str(tmp_path / "vl.pmtiles")
+    write_pmtiles(tiles, pm, max_zoom=3, vector_layers=vl)
+    assert read_pmtiles_metadata(pm)["vector_layers"] == vl
