@@ -819,9 +819,11 @@ FROM o GROUP BY user_id
 
 
 from .queries_data import DATA_ORACLE_SQL, DATA_QUERIES  # noqa: E402
+from .queries_geom import GEOM_ORACLE_SQL, GEOM_QUERIES  # noqa: E402
 
 QUERIES = {
     **DATA_QUERIES,
+    **GEOM_QUERIES,
     "tile_assign_z14": q_tile_assign_z14,
     "tile_pyramid_counts": q_tile_pyramid_counts,
     "tile_extents_filter": q_tile_extents_filter,
@@ -847,6 +849,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     **DATA_ORACLE_SQL,
+    **GEOM_ORACLE_SQL,
     "tile_assign_z14": SQL_TILE_ASSIGN_Z14,
     "tile_pyramid_counts": SQL_TILE_PYRAMID_COUNTS,
     "tile_extents_filter": SQL_TILE_EXTENTS_FILTER,

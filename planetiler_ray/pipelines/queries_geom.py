@@ -1,0 +1,435 @@
+"""Driver-oracle queries for the per-record geometry/packing operator
+families that were previously pytest-only:
+
+- ``sortkey_pack``   — 64-bit feature sort-key bit packing + decode
+  (``tilemath.sortkey``; reference ``collection/FeatureGroup.java:170-196``)
+- ``zoomfn_values``  — zoom-varying values + min/max-zoom gates
+  (``functions.zoomfn``; reference ``util/ZoomFunction.java:13-60``)
+- ``geom_derivations`` — lineMidpoint / pointAlongLine / partialLine over
+  per-user trajectories (``tilemath.geomfn``; reference
+  ``geo/WithGeometry.java:122-304``, ``geo/LineSplitter.java``)
+- ``geo_measures``   — haversine length, JPL spherical ring area,
+  min-zoom-for-size, flat node-location encoding (``tilemath.measure``;
+  reference ``geo/GeoUtils.java:202-226,606-717``)
+- ``line_merge_chains`` — LoopLineMerger degree-2 chain merge over
+  exploded trajectory segments (``stages.merge``; reference
+  ``util/LoopLineMerger.java``)
+
+Placement follows the module convention of :mod:`.queries`: coordinates
+derive from ``event_id`` with pure arithmetic so the SQL oracle can
+reproduce them bit-for-bit; transcendental-function outputs (mercator,
+haversine) are only ever compared after coarse rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import round_half_away
+
+U_MULT = 2654435761
+V_MULT = 2246822519
+TWO32 = 4294967296.0
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    from ._util import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# sortkey_pack — FeatureGroup 64-bit key layout, exact integer oracle
+# ---------------------------------------------------------------------------
+
+def q_sortkey_pack(sf_dir: str):
+    """Pack (tile, layer, sortKey, hasGroup) into the FeatureGroup int64
+    key and decode it back — both directions oracle-checked with exact
+    integer arithmetic (no float risk)."""
+    from ..tilemath.sortkey import SORT_KEY_MIN, decode_key, encode_key
+
+    def pack(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        tile = (eid * U_MULT) % (1 << 33)
+        layer = eid % 251
+        sort_key = (eid * V_MULT) % (1 << 22) + SORT_KEY_MIN
+        has_group = eid % 2
+        key = encode_key(tile, layer, sort_key, has_group)
+        d_tile, d_layer, d_sk, d_hg = decode_key(key)
+        return pa.table({
+            "event_id": eid, "key": key,
+            "d_tile": d_tile, "d_layer": d_layer,
+            "d_sort_key": d_sk, "d_has_group": d_hg.astype(np.int64),
+        })
+
+    return _read(sf_dir, "events", ["event_id"]) \
+        .map_batches(pack, batch_format="pyarrow")
+
+
+SQL_SORTKEY_PACK = """
+WITH b AS (
+    SELECT event_id,
+           (event_id * 2654435761) % 8589934592 AS tile,
+           event_id % 251 AS layer,
+           (event_id * 2246822519) % 4194304 - 2097152 AS sort_key,
+           event_id % 2 AS has_group
+    FROM events),
+k AS (
+    SELECT *,
+           tile::HUGEINT * 2147483648 + layer * 8388608
+             + (sort_key + 2097152) * 2 + has_group AS raw
+    FROM b)
+SELECT event_id,
+       CAST(CASE WHEN raw >= 9223372036854775808 THEN raw - 18446744073709551616
+                 ELSE raw END AS BIGINT) AS key,
+       tile AS d_tile, layer AS d_layer,
+       sort_key AS d_sort_key, has_group AS d_has_group
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# zoomfn_values — ZoomFunction step lookup + zoom gates
+# ---------------------------------------------------------------------------
+
+def q_zoomfn_values(sf_dir: str):
+    """Per-zoom ZoomFunction value (floorEntry semantics: thresholds
+    (4→10, 8→5, 12→2), fallback 0) and the zoomRange(5,10) gate count,
+    aggregated over a derived per-event zoom column."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.zoomfn import ZoomFunction, zoom_range
+
+    zf = ZoomFunction([(4, 10.0), (8, 5.0), (12, 2.0)], fallback=0.0)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        z = eid % 16
+        return pa.table({
+            "z": z,
+            "zf_value": zf.at(z),
+            "in_range": zoom_range(z, 5, 10).astype(np.int64),
+        })
+
+    out = _read(sf_dir, "events", ["event_id"]) \
+        .map_batches(attach, batch_format="pyarrow") \
+        .groupby("z").aggregate(Max("zf_value", alias_name="zf_value"),
+                                Count(alias_name="n_events"),
+                                Sum("in_range", alias_name="n_in_range")) \
+        .to_pandas()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["n_in_range"] = out["n_in_range"].astype(np.int64)
+    return out.sort_values("z").reset_index(drop=True)
+
+
+SQL_ZOOMFN_VALUES = """
+SELECT event_id % 16 AS z,
+       CAST(CASE WHEN event_id % 16 >= 12 THEN 2
+                 WHEN event_id % 16 >= 8 THEN 5
+                 WHEN event_id % 16 >= 4 THEN 10
+                 ELSE 0 END AS DOUBLE) AS zf_value,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_id % 16 BETWEEN 5 AND 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_range
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# geom_derivations — lineMidpoint / pointAlongLine / partialLine
+# ---------------------------------------------------------------------------
+
+def q_geom_derivations(sf_dir: str):
+    """Per-user trajectory: midpoint, quarter-point and partialLine
+    vertex count — the WithGeometry derived-point family, one polyline
+    per user (ordered by ts, event_id; arithmetic placement)."""
+    from ..tilemath.geomfn import line_midpoint, partial_line, point_along_line
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        u = (eid * U_MULT) % (1 << 32)
+        v = (eid * V_MULT) % (1 << 32)
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"], "event_id": eid,
+            "wx": u.astype(np.float64) / TWO32,
+            "wy": 0.05 + 0.9 * (v.astype(np.float64) / TWO32),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        coords = np.column_stack([g["wx"].to_numpy(), g["wy"].to_numpy()])
+        mid = line_midpoint(coords)
+        q1 = point_along_line(coords, 0.25)
+        if len(coords) >= 2:
+            part = partial_line(coords, 0.25, 0.75)
+            d = np.diff(part, axis=0)
+            partial_len = float(np.hypot(d[:, 0], d[:, 1]).sum())
+        else:
+            partial_len = 0.0
+        r6 = lambda x: round_half_away(x, 6)[()]
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "mid_x": [r6(mid[0])], "mid_y": [r6(mid[1])],
+            "q1_x": [r6(q1[0])], "q1_y": [r6(q1[1])],
+            # length of partialLine(0.25, 0.75) — exactly half the total
+            # length, a CONTINUOUS check of the vertex selection +
+            # interpolation (a discrete vertex count would flip when a
+            # vertex sits ulp-close to a quarter-length boundary)
+            "partial_len": [round_half_away(partial_len, 4)[()]],
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# Edge selection replicates numpy searchsorted(cl, target, 'right')-1 with
+# the last-edge cap: the unique edge with cum_start <= target < cum_end,
+# else the final edge when target == total.  Interpolation uses the same
+# cumsum-difference segment length as geomfn._cumlen-based code.
+SQL_GEOM_DERIVATIONS = """
+WITH w AS (
+    SELECT user_id, event_id, ts,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS wy
+    FROM events),
+o AS (SELECT user_id, wx, wy,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM w),
+e AS (SELECT a.user_id, a.rn AS i, a.wx AS x0, a.wy AS y0,
+             b.wx AS x1, b.wy AS y1,
+             sqrt(power(b.wx - a.wx, 2) + power(b.wy - a.wy, 2)) AS step
+      FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1),
+c AS (SELECT *,
+             sum(step) OVER (PARTITION BY user_id ORDER BY i) AS cum_end,
+             coalesce(sum(step) OVER (PARTITION BY user_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start,
+             count(*) OVER (PARTITION BY user_id) AS n_edges
+      FROM e),
+tot AS (SELECT user_id, max(cum_end) AS total FROM c GROUP BY user_id),
+t AS (SELECT user_id, 'mid' AS which, 0.5 * total AS target FROM tot
+      UNION ALL SELECT user_id, 'q1', 0.25 * total FROM tot),
+pick AS (
+    SELECT t.user_id, t.which,
+           c.x0 + CASE WHEN c.cum_end - c.cum_start = 0 THEN 0.0
+                       ELSE (t.target - c.cum_start) / (c.cum_end - c.cum_start)
+                  END * (c.x1 - c.x0) AS px,
+           c.y0 + CASE WHEN c.cum_end - c.cum_start = 0 THEN 0.0
+                       ELSE (t.target - c.cum_start) / (c.cum_end - c.cum_start)
+                  END * (c.y1 - c.y0) AS py
+    FROM t JOIN c ON c.user_id = t.user_id
+    WHERE c.cum_start <= t.target
+      AND (t.target < c.cum_end OR c.i = c.n_edges)),
+single AS (SELECT user_id, wx, wy FROM o WHERE n = 1)
+SELECT u.user_id,
+       round(coalesce(m.px, s.wx), 6) AS mid_x,
+       round(coalesce(m.py, s.wy), 6) AS mid_y,
+       round(coalesce(q.px, s.wx), 6) AS q1_x,
+       round(coalesce(q.py, s.wy), 6) AS q1_y,
+       round(coalesce(0.5 * tt.total, 0), 4) AS partial_len
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT * FROM pick WHERE which = 'mid') m USING (user_id)
+LEFT JOIN (SELECT * FROM pick WHERE which = 'q1') q USING (user_id)
+LEFT JOIN tot tt USING (user_id)
+LEFT JOIN single s USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_measures — haversine / spherical area / min-zoom / flat location
+# ---------------------------------------------------------------------------
+
+def q_geo_measures(sf_dir: str):
+    """Per-user geodesic measures over the lat/lon trajectory:
+    haversine length (km), spherical bbox-ring area (km², JPL
+    algorithm), min-zoom-for-pixel-size of the bbox, and the packed
+    node-location encoding of the first point."""
+    from ..tilemath.measure import (encode_flat_location, line_length_meters,
+                                    min_zoom_for_pixel_size, ring_area_meters)
+    from ..tilemath.projection import get_world_x, get_world_y
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        u = (eid * U_MULT) % (1 << 32)
+        v = (eid * V_MULT) % (1 << 32)
+        wx = u.astype(np.float64) / TWO32
+        wy = 0.05 + 0.9 * (v.astype(np.float64) / TWO32)
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"], "event_id": eid,
+            "lon": wx * 340 - 170,
+            "lat": 72 - wy * 144,
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        lons = g["lon"].to_numpy()
+        lats = g["lat"].to_numpy()
+        x0, x1 = lons.min(), lons.max()
+        y0, y1 = lats.min(), lats.max()
+        ring_lons = np.array([x0, x1, x1, x0, x0])
+        ring_lats = np.array([y0, y0, y1, y1, y0])
+        wx = get_world_x(np.array([x0, x1]))
+        wy = get_world_y(np.array([y0, y1]))
+        size = max(wx[1] - wx[0], abs(wy[0] - wy[1]))
+        r = lambda x, d: round_half_away(x, d)[()]
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "len_km": [r(line_length_meters(lons, lats) / 1000.0, 6)],
+            "bbox_km2": [r(ring_area_meters(ring_lons, ring_lats) / 1e6, 3)],
+            "min_zoom": [int(min_zoom_for_pixel_size(size)[()])],
+            "loc0": [int(encode_flat_location(lons[:1], lats[:1])[0])],
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# Spherical bbox-ring area: the JPL edge sum over the closed 5-point box
+# ring collapses to 2*(x1-x0)*(sin(y0)-sin(y1)) (radians) — verified
+# against tilemath.measure.ring_area_meters in tests/test_queries_geom.py.
+SQL_GEO_MEASURES = """
+WITH w AS (
+    SELECT user_id, event_id, ts,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296) / 4294967296.0) AS wy
+    FROM events),
+p AS (SELECT user_id, event_id, ts,
+             wx * 340 - 170 AS lon, 72 - wy * 144 AS lat
+      FROM w),
+o AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM p),
+seg AS (SELECT a.user_id,
+               6371008.8 * 2 * asin(sqrt(
+                   power(sin((b.lat - a.lat) * pi() / 180 / 2), 2)
+                   + power(sin((b.lon - a.lon) * pi() / 180 / 2), 2)
+                     * cos(a.lat * pi() / 180) * cos(b.lat * pi() / 180))) AS d
+        FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1),
+len AS (SELECT user_id, sum(d) AS m FROM seg GROUP BY user_id),
+bb AS (SELECT user_id, min(lon) AS x0, max(lon) AS x1,
+              min(lat) AS y0, max(lat) AS y1,
+              min(rn) AS rn0
+       FROM o GROUP BY user_id),
+first_pt AS (SELECT user_id, lon, lat FROM o WHERE rn = 1),
+mz AS (SELECT user_id,
+              greatest((x1 + 180) / 360 - (x0 + 180) / 360,
+                       abs((0.5 - 0.25 * ln((1 + sin(y0 * pi() / 180))
+                                          / (1 - sin(y0 * pi() / 180))) / pi())
+                         - (0.5 - 0.25 * ln((1 + sin(y1 * pi() / 180))
+                                          / (1 - sin(y1 * pi() / 180))) / pi()))) AS sz,
+              abs(2 * (x1 - x0) * pi() / 180
+                    * (sin(y0 * pi() / 180) - sin(y1 * pi() / 180)))
+                * 6371008.8 * 6371008.8 / 2 AS area_m2
+       FROM bb)
+SELECT f.user_id,
+       round(coalesce(l.m, 0) / 1000.0, 6) AS len_km,
+       round(mz.area_m2 / 1000000.0, 3) AS bbox_km2,
+       CAST(CASE WHEN mz.sz = 0 THEN 15
+                 ELSE least(15, greatest(0, ceil(log2(1.0 / (mz.sz * 256)))))
+            END AS BIGINT) AS min_zoom,
+       CAST(trunc(((f.lon + 180) / 360 + 1) * 1073741824) AS BIGINT) * 4294967296
+         + CAST(trunc((0.5 - 0.25 * ln((1 + sin(f.lat * pi() / 180))
+                                     / (1 - sin(f.lat * pi() / 180))) / pi() + 1)
+                      * 1073741824) AS BIGINT) AS loc0
+FROM first_pt f
+JOIN mz USING (user_id)
+LEFT JOIN len l USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# line_merge_chains — LoopLineMerger over exploded trajectory segments
+# ---------------------------------------------------------------------------
+
+def q_line_merge_chains(sf_dir: str):
+    """Explode each user's trajectory into individual 2-point segments
+    (scrambled order), run the LoopLineMerger degree-2 chain merge, and
+    report per-user merged-line stats.  A path graph must merge back to
+    exactly ONE polyline with every vertex — oracle = per-user counts
+    and the window-summed length over the pre-quantized grid."""
+    from ..stages.merge import merge_lines
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        u = (eid * U_MULT) % (1 << 32)
+        v = (eid * V_MULT) % (1 << 32)
+        # pre-quantize to the 1/16-px grid with floor(x*16+0.5)/16 —
+        # deterministic half-up in BOTH numpy and SQL (np.round would
+        # be half-to-even; DuckDB round half-away)
+        px = np.floor(u.astype(np.float64) / TWO32 * 4096 * 16 + 0.5) / 16
+        py = np.floor((0.05 + 0.9 * (v.astype(np.float64) / TWO32))
+                      * 4096 * 16 + 0.5) / 16
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"], "event_id": eid,
+            "px": px, "py": py,
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        coords = np.column_stack([g["px"].to_numpy(), g["py"].to_numpy()])
+        if len(coords) < 2:
+            return pd.DataFrame({
+                "user_id": [g["user_id"].iloc[0]], "n_lines": [0],
+                "n_points": [len(coords)], "length_px": [0.0]})
+        segs = [coords[i:i + 2] for i in range(len(coords) - 1)]
+        # scramble: merge must not depend on input order
+        order = np.argsort((g["event_id"].to_numpy()[:-1] * U_MULT)
+                           % (1 << 32), kind="stable")
+        merged = merge_lines([segs[i] for i in order], precision=0.0)
+        n_points = sum(len(m) for m in merged)
+        length = sum(float(np.hypot(*np.diff(m, axis=0).T).sum())
+                     for m in merged)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_lines": [len(merged)],
+            "n_points": [n_points],
+            "length_px": [round_half_away(length, 6)[()]],
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_LINE_MERGE_CHAINS = """
+WITH w AS (
+    SELECT user_id, event_id, ts,
+           floor(((event_id * 2654435761) % 4294967296) / 4294967296.0
+                 * 4096 * 16 + 0.5) / 16 AS px,
+           floor((0.05 + 0.9 * (((event_id * 2246822519) % 4294967296)
+                                / 4294967296.0)) * 4096 * 16 + 0.5) / 16 AS py
+    FROM events),
+o AS (SELECT user_id, px, py,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM w),
+seg AS (SELECT a.user_id,
+               sqrt(power(b.px - a.px, 2) + power(b.py - a.py, 2)) AS d
+        FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1)
+SELECT o.user_id,
+       CAST(CASE WHEN max(o.n) < 2 THEN 0 ELSE 1 END AS BIGINT) AS n_lines,
+       CAST(max(o.n) AS BIGINT) AS n_points,
+       round(coalesce((SELECT sum(d) FROM seg s WHERE s.user_id = o.user_id), 0),
+             6) AS length_px
+FROM o GROUP BY o.user_id
+"""
+
+
+GEOM_QUERIES = {
+    "sortkey_pack": q_sortkey_pack,
+    "zoomfn_values": q_zoomfn_values,
+    "geom_derivations": q_geom_derivations,
+    "geo_measures": q_geo_measures,
+    "line_merge_chains": q_line_merge_chains,
+}
+
+GEOM_ORACLE_SQL = {
+    "sortkey_pack": SQL_SORTKEY_PACK,
+    "zoomfn_values": SQL_ZOOMFN_VALUES,
+    "geom_derivations": SQL_GEOM_DERIVATIONS,
+    "geo_measures": SQL_GEO_MEASURES,
+    "line_merge_chains": SQL_LINE_MERGE_CHAINS,
+}
