@@ -121,6 +121,24 @@ def q_minhash_lsh_pairs(sf_dir: str):
                              jaccard_threshold=0.3)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs (1-perm MinHash
+    blocking); jaccard rounded to 6 dp for the oracle compare."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=0.5)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        j = round_half_away(t["jaccard"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "id_a": t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "id_b": t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "jaccard": j})
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_simhash_docs(sf_dir: str):
     """Per-doc 64-bit SimHash fingerprints."""
     from ..stages.text import simhash64
@@ -355,6 +373,7 @@ DATA_QUERIES = {
     "phash_near_dup": q_phash_near_dup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
@@ -369,13 +388,15 @@ DATA_QUERIES = {
 
 from .sqlgen import (sql_doc_fingerprints, sql_embedding_near_dup,  # noqa: E402
                      sql_lang_id, sql_minhash_lsh_pairs,
-                     sql_minhash_signatures, sql_simhash_docs)
+                     sql_minhash_signatures, sql_ngram_jaccard_pairs,
+                     sql_simhash_docs)
 
 DATA_ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
     "minhash_signatures": sql_minhash_signatures(),
     "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+    "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
     "simhash_docs": sql_simhash_docs(),
     "doc_fingerprints": sql_doc_fingerprints(),
     "lang_id": sql_lang_id(),

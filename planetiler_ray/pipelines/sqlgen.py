@@ -743,6 +743,30 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+def sql_ngram_jaccard_pairs(threshold: float = 0.5) -> str:
+    """Oracle for ``ngram_jaccard_pairs``: exact word-3-gram Jaccard
+    with the op's 1-perm MinHash blocking (block = unsigned-min distinct
+    shingle hash per doc; pairs only within a block) — the same
+    semantics as ``stages.dedup.ngram_jaccard_pairs``."""
+    return f"""
+WITH {word_hash_ctes().lstrip()},
+{shingle_hash_ctes().lstrip()},
+d AS (SELECT DISTINCT doc_id, sh FROM sh),
+blk AS (SELECT doc_id, min(sh) AS block, count(*) AS c FROM d GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.c AS ca, b.c AS cb
+          FROM blk a JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id),
+ix AS (SELECT p.id_a, p.id_b, count(*) AS i
+       FROM pairs p
+       JOIN d da ON da.doc_id = p.id_a
+       JOIN d db ON db.doc_id = p.id_b AND db.sh = da.sh
+       GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       round(CAST(ix.i AS DOUBLE) / (p.ca + p.cb - ix.i), 6) AS jaccard
+FROM pairs p JOIN ix USING (id_a, id_b)
+WHERE CAST(ix.i AS DOUBLE) / (p.ca + p.cb - ix.i) >= {threshold!r}
+"""
+
+
 def sql_doc_fingerprints(window: int = 16) -> str:
     """Oracle for ``doc_fingerprints``: min-sampled Rabin-Karp rolling
     hash over the (ASCII) text bytes, FNV-prime base, mix64-finalized."""
