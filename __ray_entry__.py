@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["poly_tiles_z5"] = poly_tile_summary
     from planetiler_ray.pipelines.tiles import poly_merge_tile_summary
     out["poly_merge_tiles"] = poly_merge_tile_summary
+    from planetiler_ray.pipelines.archive_rt import archive_roundtrip_summary
+    out["archive_roundtrip"] = archive_roundtrip_summary
     out.update(QUERIES_OSM)
     return out
 
@@ -108,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
     out["poly_tiles_z5"] = sql_poly_tile_summary()
     from planetiler_ray.pipelines.sqlgen import sql_poly_merge_tiles
     out["poly_merge_tiles"] = sql_poly_merge_tiles()
+    from planetiler_ray.pipelines.sqlgen import sql_archive_roundtrip
+    out["archive_roundtrip"] = sql_archive_roundtrip()
     out["osm_way_stats"] = sql_osm_way_stats()
     out["osm_multipolygon_stats"] = sql_osm_multipolygon_stats()
     out["osm_line_tiles"] = sql_osm_line_tiles()

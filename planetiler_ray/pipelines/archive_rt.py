@@ -1,0 +1,175 @@
+"""Archive round-trip driver query: sink → reader → independent decode.
+
+Builds the attrs-bearing single-zoom MVT tile set (the same fragment
+stream the oracle-green ``mvt_tiles_z6`` summarises), writes it through
+BOTH single-file archive sinks — MBTiles (sqlite, compact/deduplicated
+schema: ``mbtiles/Mbtiles.java:74,356``) and PMTiles v3 (Hilbert
+clustered, RLE dedup: ``pmtiles/WriteablePmtiles.java:132``) — then
+reads every tile back out of each archive and re-derives the per-(tile,
+layer) stats with the independent sequential protobuf decoder.
+
+The tile identity comes from the ARCHIVE's own key (MBTiles
+``zoom_level/tile_column/tile_row`` with the TMS y-flip, PMTiles Hilbert
+tile id), never from the in-memory tile rows, so the query certifies the
+whole write→read chain: encoder → gzip → archive layout (dedup, leaf
+directories, run-length) → random-access read → gunzip → decode.
+
+The DuckDB oracle is the placement arithmetic of ``sql_mvt_tile_summary``
+cross-joined with the two archive names: every byte-level stage in
+between must be lossless for the hashes to line up.
+
+Scale notes: both sinks are the reference's single-writer archive design
+(``archive/TileArchiveWriter.java:138-173``) — bounded outputs by
+construction; the read-back fans the enumerated keys out through
+``map_batches`` so the decode work is distributed (one sqlite/file
+handle per batch, not per tile).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.exchange import exchange_reduce
+from ..stages.georef import georef_batch
+from ..stages.render import RenderConfig, render_fanout
+from ..stages.reduce import reduce_partition
+from ..tilemath.hashing import fnv1a_64_strings
+from ..tilemath.mvt_pb import decode_feature_attrs, decode_tile
+from ..tilemath.tilecoord import hilbert_decode_tile, tms_encode
+
+_NAMES = {0: "chips", 1: "labels"}
+
+
+def _decode_stats(archive: str, tile_ids: np.ndarray,
+                  raws: list[bytes]) -> pa.Table:
+    """Per-(tile, layer) stats from decoded MVT bytes — the same shape
+    ``sql_mvt_tile_summary`` predicts, plus the archive tag."""
+    out_tid, out_layer, out_nf, out_gs, out_cx, out_np = [], [], [], [], [], []
+    for tid, raw in zip(tile_ids, raws):
+        layers = decode_tile(raw)
+        for name, lay in layers.items():
+            feats = lay["features"]
+            caps, n_png, gsum = [], 0, 0
+            for f in feats:
+                gsum += sum(f["geometry"])
+                attrs = decode_feature_attrs(lay, f)
+                caps.append(str(attrs.get("caption", "")))
+                if attrs.get("fmt") == "png":
+                    n_png += 1
+            cx = np.uint64(0)
+            if caps:
+                cx = np.bitwise_xor.reduce(
+                    fnv1a_64_strings(np.asarray(caps, dtype="U")))
+            out_tid.append(int(tid))
+            out_layer.append(name)
+            out_nf.append(len(feats))
+            out_gs.append(gsum)
+            out_cx.append(int(np.uint64(cx).view(np.int64) if hasattr(cx, "view")
+                              else np.int64(cx)))
+            out_np.append(n_png)
+    return pa.table({
+        "archive": pa.array([archive] * len(out_tid), pa.string()),
+        "tile_id": pa.array(out_tid, pa.int64()),
+        "layer": pa.array(out_layer, pa.string()),
+        "n_features": pa.array(out_nf, pa.int64()),
+        "geom_sum": pa.array(out_gs, pa.int64()),
+        "caption_fnv_xor": pa.array(out_cx, pa.int64()),
+        "n_png": pa.array(out_np, pa.int64()),
+    })
+
+
+def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
+                              num_partitions: int = 16):
+    """Driver query ``archive_roundtrip``: see module docstring."""
+    from ..sinks_mbtiles import write_mbtiles
+    from ..sinks_pmtiles import iter_pmtiles_entries, write_pmtiles
+    from .tiles import sample_partition_bounds
+    from ..sources.images import images_from_documents, sample_image_ids
+
+    images = images_from_documents(sf_dir)
+    ids = sample_image_ids(sf_dir)
+    cfg = RenderConfig(min_zoom=zoom, max_zoom=zoom)
+    bounds = sample_partition_bounds(ids, cfg, num_partitions)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        geo = georef_batch(batch)
+        return render_fanout(geo, cfg, bounds, extra_cols=("caption", "fmt"))
+
+    frags = images.map_batches(fanout, batch_format="pyarrow", batch_size=8192)
+
+    def reduce_fn(group: pa.Table) -> pa.Table:
+        return reduce_partition(group, with_feature_ids=False,
+                                mvt_attrs=("caption", "fmt"),
+                                layer_names=_NAMES)
+
+    # bounded single-zoom tile set; both sinks consume it driver-side
+    # (single-writer archives), so materialize once instead of
+    # re-running the pipeline per sink
+    tiles = exchange_reduce(frags, num_partitions, reduce_fn).materialize()
+
+    base = "/tmp/planetiler_ray_roundtrip"
+    os.makedirs(base, exist_ok=True)
+    tag = hashlib.sha1(f"{sf_dir}|{zoom}".encode()).hexdigest()[:12]
+    mb_path = os.path.join(base, f"{tag}.mbtiles")
+    pm_path = os.path.join(base, f"{tag}.pmtiles")
+    write_mbtiles(tiles, mb_path, compact=True)
+    write_pmtiles(tiles, pm_path, min_zoom=zoom, max_zoom=zoom)
+
+    # enumerate each archive's own keyspace (never the in-memory tiles)
+    con = sqlite3.connect(mb_path)
+    mb_keys = con.execute(
+        "SELECT zoom_level, tile_column, tile_row FROM tiles").fetchall()
+    con.close()
+    pm_entries = iter_pmtiles_entries(pm_path)
+
+    rows = [{"archive": "mbtiles", "k0": int(z), "k1": int(xc), "k2": int(yr)}
+            for z, xc, yr in mb_keys]
+    rows += [{"archive": "pmtiles", "k0": int(h), "k1": int(off),
+              "k2": int(ln)} for h, off, ln in pm_entries]
+    keys = ray.data.from_items(rows)
+
+    def readback(batch: pa.Table) -> pa.Table:
+        arch = batch["archive"].to_numpy(zero_copy_only=False)
+        k0 = batch["k0"].to_numpy()
+        k1 = batch["k1"].to_numpy()
+        k2 = batch["k2"].to_numpy()
+        parts = []
+        mb = arch == "mbtiles"
+        if mb.any():
+            z, xc, yr = k0[mb], k1[mb], k2[mb]
+            y = (1 << z.astype(np.int64)) - 1 - yr      # undo the TMS y-flip
+            tids = tms_encode(xc, y, z)
+            con = sqlite3.connect(mb_path)
+            raws = []
+            for zz, xx, rr in zip(z, xc, yr):
+                blob = con.execute(
+                    "SELECT tile_data FROM tiles WHERE zoom_level=? AND "
+                    "tile_column=? AND tile_row=?",
+                    (int(zz), int(xx), int(rr))).fetchone()[0]
+                raws.append(gzip.decompress(blob))
+            con.close()
+            parts.append(_decode_stats("mbtiles", tids, raws))
+        pm = ~mb
+        if pm.any():
+            hx, hy, hz = hilbert_decode_tile(k0[pm])
+            tids = tms_encode(hx, hy, hz)
+            raws = []
+            with open(pm_path, "rb") as f:
+                from ..sinks_pmtiles import read_pmtiles_header
+                data_off = read_pmtiles_header(pm_path)["data_off"]
+                for off, ln in zip(k1[pm], k2[pm]):
+                    f.seek(data_off + int(off))
+                    raws.append(gzip.decompress(f.read(int(ln))))
+            parts.append(_decode_stats("pmtiles", tids, raws))
+        return pa.concat_tables(parts) if parts else _decode_stats(
+            "mbtiles", np.array([], np.int64), [])
+
+    return keys.map_batches(readback, batch_format="pyarrow", batch_size=512)

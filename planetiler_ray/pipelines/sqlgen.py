@@ -607,6 +607,21 @@ GROUP BY 1, 2
 """
 
 
+def sql_archive_roundtrip(zoom: int = 6) -> str:
+    """Oracle for ``archive_roundtrip``: the ``sql_mvt_tile_summary``
+    placement arithmetic replicated once per archive format.  The
+    engine side re-derives every stat by DECODING tiles read back out
+    of the MBTiles and PMTiles archives, so the whole
+    encode→gzip→archive-layout→read→decode chain must be lossless for
+    the hashes to line up."""
+    inner = sql_mvt_tile_summary(zoom).strip().rstrip(";")
+    return f"""
+SELECT a.archive, s.*
+FROM ({inner}) s
+CROSS JOIN (SELECT 'mbtiles' AS archive UNION ALL SELECT 'pmtiles') a
+"""
+
+
 # ---------------------------------------------------------------------------
 # minhash permutation parameters (shared with stages.dedup)
 # ---------------------------------------------------------------------------

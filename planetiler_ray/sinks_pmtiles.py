@@ -288,6 +288,32 @@ def read_pmtiles_tile(path: str, hilbert_id: int) -> bytes | None:
         return lookup(root)
 
 
+def iter_pmtiles_entries(path: str) -> list[tuple[int, int, int]]:
+    """Enumerate every addressed tile in the archive as
+    ``(hilbert_id, data_offset, length)`` — the full-scan analog of
+    ``pmtiles/ReadablePmtiles.java getAllTileCoords``.  Run-length
+    entries expand to one row per addressed id (all sharing the same
+    data offset/length, the de-duplicated blob)."""
+    hdr = read_pmtiles_header(path)
+    dirs: list[list[tuple[int, int, int, int]]] = []
+    with open(path, "rb") as f:
+        f.seek(hdr["root_off"])
+        root = _deserialize_directory(gzip.decompress(f.read(hdr["root_len"])))
+        for tid, off, ln, run in root:
+            if run == 0:              # leaf-directory pointer
+                f.seek(hdr["leaf_off"] + off)
+                dirs.append(_deserialize_directory(
+                    gzip.decompress(f.read(ln))))
+            else:
+                dirs.append([(tid, off, ln, run)])
+    out: list[tuple[int, int, int]] = []
+    for d in dirs:
+        for tid, off, ln, run in d:
+            for k in range(max(run, 1)):
+                out.append((tid + k, off, ln))
+    return out
+
+
 def read_pmtiles_metadata(path: str) -> dict:
     hdr = read_pmtiles_header(path)
     with open(path, "rb") as f:

@@ -99,6 +99,38 @@ class TestPmtiles:
         assert P.read_pmtiles_tile(path, 11) == b"same"
         assert P.read_pmtiles_tile(path, 20) == b"other"
         assert P.read_pmtiles_tile(path, 13) is None
+        # enumerator expands the run back to one row per addressed tile
+        ents = P.iter_pmtiles_entries(path)
+        assert [e[0] for e in ents] == [10, 11, 12, 20]
+        assert ents[0][1:] == ents[1][1:] == ents[2][1:]  # shared blob
+        with open(path, "rb") as f:
+            hdr = P.read_pmtiles_header(path)
+            f.seek(hdr["data_off"] + ents[3][1])
+            assert gzip.decompress(f.read(ents[3][2])) == b"other"
+
+    def test_iter_entries_with_leaves(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+        from planetiler_ray import sinks_pmtiles as P
+        n = 9000
+        tbl = pa.table({
+            "tile_id": pa.array(np.arange(n), pa.int64()),
+            "hilbert_id": pa.array(np.arange(n) * 3, pa.int64()),
+            "z": pa.array(np.full(n, 7), pa.int8()),
+            "content_hash": pa.array(np.arange(n), pa.int64()),
+            "mvt_bytes": pa.array([b"x%d" % i for i in range(n)],
+                                  pa.large_binary()),
+        })
+        path = str(tmp_path / "leafs.pmtiles")
+        P.write_pmtiles(rd.from_arrow(tbl), path)
+        assert P.read_pmtiles_header(path)["leaf_len"] > 0
+        ents = P.iter_pmtiles_entries(path)
+        assert [e[0] for e in ents] == (np.arange(n) * 3).tolist()
+        hdr = P.read_pmtiles_header(path)
+        with open(path, "rb") as f:
+            for hid, off, ln in [ents[0], ents[4567], ents[-1]]:
+                f.seek(hdr["data_off"] + off)
+                assert gzip.decompress(f.read(ln)) == b"x%d" % (hid // 3)
 
 
 class TestShardedArchive:
