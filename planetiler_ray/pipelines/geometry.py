@@ -196,8 +196,22 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
     each (tile, identical-attrs) group, join touching line fragments
     with the LoopLineMerger re-expression (loops/stubs/simplify per
     ``opts``), re-emitting merged fragments with id ``(min_id//10)*10``.
-    Non-line rows pass through untouched."""
-    from ..stages.merge import LineMerger
+    Non-line rows pass through untouched.
+
+    ``opts['extra_precision']`` (bool, default False) enables the
+    reference's scaled-line pathway (``FeatureRenderer.java:260-269``):
+    each tile's lines are noded/merged on the ``16·2^scale`` sub-grid
+    (``scale = min(17, max(opts['max_zoom'], 14) - z)``) so base-grid
+    rounding cannot create artificial endpoint intersections, then the
+    merged output is unscaled back to the 1/16-px grid with the
+    ``VectorTile.unscale`` walk (round half-up, collapse duplicate
+    vertices, drop degenerates)."""
+    from ..stages.merge import (LineMerger, line_extra_precision_scale,
+                                unscale_lines)
+
+    opts = dict(opts)
+    extra_precision = bool(opts.pop("extra_precision", False))
+    ep_max_zoom = int(opts.pop("max_zoom", 14))
 
     kind = grp["kind"].to_numpy()
     is_line = kind == KIND_LINE
@@ -224,11 +238,18 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
         rows[a] = []
     for g in np.unique(ginv):
         sel = np.flatnonzero(ginv == g)
-        m = LineMerger(**opts)
+        if extra_precision:
+            s = line_extra_precision_scale(int(z_arr[sel[0]]), ep_max_zoom)
+            m = LineMerger(**{**opts, "precision": 16.0 * (1 << s)})
+        else:
+            s = None
+            m = LineMerger(**opts)
         m.add_lines([np.column_stack([vx[voff[i]:voff[i + 1]],
                                       vy[voff[i]:voff[i + 1]]])
                      for i in sel])
         merged = m.merged()
+        if s is not None:
+            merged = unscale_lines(merged, s)
         mid = (int(gid[sel].min()) // 10) * 10
         for c in merged:
             rows["tile_id"].append(tid[sel[0]])

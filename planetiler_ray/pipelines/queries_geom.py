@@ -418,12 +418,128 @@ FROM o GROUP BY o.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# line_merge_scaled — extra-precision line merge + VectorTile.unscale
+# ---------------------------------------------------------------------------
+
+def q_line_merge_scaled(sf_dir: str):
+    """The reference's scaled-line pathway end-to-end
+    (``FeatureRenderer.java:260-269`` + ``VectorTile.java:113-200``):
+    trajectory vertices live on a FINE ``16·2^8`` sub-grid (z6 with
+    maxzoom 14 → scale 8) as ``lattice-point + jitter`` where the
+    jitter is representable only at the fine grid; segments are
+    scrambled, merged at full fine precision (no artificial rounding
+    collisions), then unscaled — every vertex rounds half-up to the
+    base 1/16-px grid, consecutive vertices collapsing onto the same
+    lattice point dedup, and degenerate lines drop.  Per-user stats
+    over the unscaled output; oracle replays the walk with window
+    functions."""
+    from ..stages.merge import (line_extra_precision_scale, merge_lines,
+                                unscale_lines)
+
+    S = line_extra_precision_scale(6)          # = 8
+    fine = 16.0 * (1 << S)                     # 4096 sub-steps per px
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        u = (eid * U_MULT) % (1 << 32)
+        v = (eid * V_MULT) % (1 << 32)
+        # lattice point (0..39); the fine-grid jitter is added per-user
+        # from the vertex rank so fine coords are INJECTIVE within a
+        # user (no accidental revisit nodes in the merge graph)
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"], "event_id": eid,
+            "kx": ((u >> 8) % 40).astype(np.float64),
+            "ky": ((v >> 8) % 40).astype(np.float64),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        # jitter in [-1/32, 1/32) px on the fine grid, injective in the
+        # rank for < 65536 vertices: every jittered variant rounds back
+        # to its lattice point, so the unscale walk collapses
+        # consecutive same-lattice vertices
+        rn = np.arange(1, len(g) + 1, dtype=np.int64)
+        px = g["kx"].to_numpy() + ((rn % 256) - 128) / fine
+        py = g["ky"].to_numpy() + (((rn >> 8) % 256) - 128) / fine
+        coords = np.column_stack([px, py])
+        uid = g["user_id"].iloc[0]
+        if len(coords) < 2:
+            return pd.DataFrame({"user_id": [uid], "n_lines": [0],
+                                 "n_points": [0], "length_px": [0.0]})
+        segs = [coords[i:i + 2] for i in range(len(coords) - 1)]
+        order = np.argsort((g["event_id"].to_numpy()[:-1] * U_MULT)
+                           % (1 << 32), kind="stable")
+        merged = merge_lines([segs[i] for i in order], precision=0.0)
+        out = unscale_lines(merged, S)
+        n_points = sum(len(m) for m in out)
+        length = sum(float(np.hypot(*np.diff(m, axis=0).T).sum())
+                     for m in out)
+        return pd.DataFrame({
+            "user_id": [uid],
+            "n_lines": [len(out)],
+            "n_points": [n_points],
+            "length_px": [round_half_away(length, 6)[()]],
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_LINE_MERGE_SCALED = """
+WITH w AS (
+    SELECT user_id, event_id, ts,
+           (event_id * 2654435761) % 4294967296 AS u,
+           (event_id * 2246822519) % 4294967296 AS v
+    FROM events),
+r0 AS (SELECT user_id, event_id, ts,
+              CAST((u // 256) % 40 AS DOUBLE) AS kx,
+              CAST((v // 256) % 40 AS DOUBLE) AS ky,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS rn
+       FROM w),
+-- rank-injective fine-grid jitter: fine coords are unique within a
+-- user, so the merge graph is a clean path with no revisit nodes
+p AS (SELECT user_id, rn,
+             kx + ((rn % 256) - 128) / 4096.0 AS px,
+             ky + (((rn // 256) % 256) - 128) / 4096.0 AS py
+      FROM r0),
+f AS (SELECT user_id, rn, px, py,
+             floor(px * 16 + 0.5) / 16 AS rx,
+             floor(py * 16 + 0.5) / 16 AS ry
+      FROM p),
+-- unscale walk: consecutive vertices rounding to the same base-grid
+-- point collapse (VectorTile.java:174-178)
+g AS (SELECT *, lag(rx) OVER uw2 AS prx, lag(ry) OVER uw2 AS pry
+      FROM f WINDOW uw2 AS (PARTITION BY user_id ORDER BY rn)),
+h AS (SELECT user_id, rn, rx, ry FROM g
+      WHERE prx IS NULL OR rx != prx OR ry != pry),
+hh AS (SELECT *, lag(rx) OVER uw3 AS lrx, lag(ry) OVER uw3 AS lry
+       FROM h WINDOW uw3 AS (PARTITION BY user_id ORDER BY rn)),
+st AS (SELECT user_id, count(*) AS cnt,
+              coalesce(sum(sqrt(power(rx - lrx, 2) + power(ry - lry, 2))), 0)
+                AS len
+       FROM hh GROUP BY user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN coalesce(st.cnt, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_lines,
+       CAST(CASE WHEN coalesce(st.cnt, 0) >= 2 THEN st.cnt ELSE 0 END AS BIGINT)
+         AS n_points,
+       round(CASE WHEN coalesce(st.cnt, 0) >= 2 THEN st.len ELSE 0 END, 6)
+         AS length_px
+FROM u LEFT JOIN st USING (user_id)
+"""
+
+
 GEOM_QUERIES = {
     "sortkey_pack": q_sortkey_pack,
     "zoomfn_values": q_zoomfn_values,
     "geom_derivations": q_geom_derivations,
     "geo_measures": q_geo_measures,
     "line_merge_chains": q_line_merge_chains,
+    "line_merge_scaled": q_line_merge_scaled,
 }
 
 GEOM_ORACLE_SQL = {
@@ -432,4 +548,5 @@ GEOM_ORACLE_SQL = {
     "geom_derivations": SQL_GEOM_DERIVATIONS,
     "geo_measures": SQL_GEO_MEASURES,
     "line_merge_chains": SQL_LINE_MERGE_CHAINS,
+    "line_merge_scaled": SQL_LINE_MERGE_SCALED,
 }

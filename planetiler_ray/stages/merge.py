@@ -463,6 +463,36 @@ class LineMerger:
         return [e["coords"] for e in self.edges.values() if not e["removed"]]
 
 
+def line_extra_precision_scale(zoom: int, max_zoom: int = 14) -> int:
+    """Extra line precision exponent — lines are stored/merged with
+    ``2^scale`` sub-grid precision so base-grid rounding cannot
+    introduce artificial endpoint intersections before the merge
+    (``render/FeatureRenderer.java:260-269``: ``max(maxzoom, 14) -
+    zoom``, capped at ``31 - 14`` to keep zigzag deltas in 32 bits)."""
+    return int(min(31 - 14, max(max_zoom, 14) - zoom))
+
+
+def unscale_lines(lines: list[np.ndarray], scale: int,
+                  base: float = 16.0) -> list[np.ndarray]:
+    """Scale merged lines back down to the base 1/16-px grid — the
+    ``VectorTile.unscale`` walk (``VectorTile.java:113-200``): each
+    vertex rounds half-up (Java ``Math.round`` = ``floor(x+0.5)``) to
+    the base grid, consecutive vertices that land on the same point
+    collapse, and lines left with fewer than 2 points drop entirely.
+    ``scale`` is informational (coords are px floats on the
+    ``base·2^scale`` grid); the rounding target is always ``base``."""
+    out = []
+    for c in lines:
+        q = np.floor(np.asarray(c, np.float64) * base + 0.5) / base
+        if len(q) >= 2:
+            same = (np.diff(q, axis=0) == 0).all(axis=1)
+            if same.any():
+                q = q[np.concatenate([[True], ~same])]
+        if len(q) >= 2:
+            out.append(q)
+    return out
+
+
 def merge_lines(lines: list[np.ndarray], min_length: float = 0.0,
                 tolerance: float = -1.0, loop_min_length: float = 0.0,
                 stub_min_length: float = 0.0,

@@ -153,6 +153,59 @@ class TestLineMerger:
         assert len(out) == 1
 
 
+class TestExtraPrecisionScaling:
+    """FeatureRenderer.java:260-269 + VectorTile.java:113-200 semantics."""
+
+    def test_scale_formula(self):
+        from planetiler_ray.stages.merge import line_extra_precision_scale
+        assert line_extra_precision_scale(14) == 0
+        assert line_extra_precision_scale(6) == 8
+        assert line_extra_precision_scale(0) == 14
+        assert line_extra_precision_scale(0, max_zoom=15) == 15
+        assert line_extra_precision_scale(0, max_zoom=20) == 17   # 31-14 cap
+        assert line_extra_precision_scale(10, max_zoom=10) == 4   # max(mz,14)
+
+    def test_unscale_rounds_half_up(self):
+        from planetiler_ray.stages.merge import unscale_lines
+        # 16x + 0.5 lands exactly on the half: Java Math.round goes UP;
+        # negative coords too (floor(x+0.5), not round-half-even)
+        c = np.array([[0.0, 0.0], [1.0 + 0.5 / 16, 0.0],
+                      [2.0, -(2.0 + 0.5 / 16)]])
+        out = unscale_lines([c], scale=4)
+        assert len(out) == 1
+        np.testing.assert_allclose(
+            out[0], [[0, 0], [1 + 1 / 16, 0], [2, -2]])
+
+    def test_unscale_collapses_and_drops(self):
+        from planetiler_ray.stages.merge import unscale_lines
+        fine = 1 / 256.0
+        # three fine-grid-distinct vertices all rounding to (1, 1)
+        # followed by a real move: collapse to 2 points
+        a = np.array([[1 - fine, 1.0], [1.0, 1 + fine], [1 + fine, 1.0],
+                      [2.0, 1.0]])
+        # a line whose every vertex collapses to one point: dropped
+        b = np.array([[3.0 - fine, 0.0], [3.0 + fine, 0.0]])
+        out = unscale_lines([a, b], scale=4)
+        assert len(out) == 1
+        np.testing.assert_allclose(out[0], [[1, 1], [2, 1]])
+
+    def test_fine_grid_prevents_artificial_join(self):
+        from planetiler_ray.stages.merge import unscale_lines
+        # two separate roads whose endpoints collide at 1/16 px but are
+        # distinct at the scaled grid: base-precision merge falsely
+        # joins them; the scaled pathway keeps them apart
+        a = L((0, 0), (1.01, 0))
+        b = L((1.02, 0), (2, 0))
+        assert len(merge_lines([a, b], precision=16.0)) == 1       # false join
+        s = 4
+        fine_merged = merge_lines([a, b], precision=16.0 * (1 << s))
+        assert len(fine_merged) == 2
+        out = unscale_lines(fine_merged, s)
+        assert len(out) == 2                                        # stay apart
+        # both endpoints round to the same base-grid point afterwards
+        assert tuple(out[0][-1]) == tuple(out[1][0])
+
+
 class TestSlicePolygons:
     """Batch Sutherland–Hodgman vs a naive per-ring reference."""
 
