@@ -332,7 +332,9 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
 
     f = float(1 << zoom)
     buf = DEFAULT_BUFFER_PX / 256.0
-    num_partitions = 64
+    num_partitions = 32
+    tile_partitions = 16        # ≤ 4^zoom+ tiles at z4 — keep task
+    #                             count proportional to the tile count
 
     def pts(batch: pa.Table) -> pa.Table:
         t = _event_world(batch)
@@ -349,7 +351,8 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
         ``slice_lines`` call over per-user segment offsets — the
         vectorized replacement for the round-2 per-user ``map_groups``
         (one pandas call per user anti-scales at planet user counts)."""
-        empty = pa.table({"tile_id": pa.array([], pa.int64()),
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "tile_id": pa.array([], pa.int64()),
                           "user_id": pa.array([], pa.int64()),
                           "part_seq": pa.array([], pa.int64()),
                           "vx": pa.array([], pa.list_(pa.float32())),
@@ -382,7 +385,15 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
         part_seq[po] = rel
         tid = tms_encode(r["x"], r["y"], np.full(n_parts, zoom, np.int64))
         off = pa.array(r["part_offsets"].astype(np.int32))
+        # fuse the NEXT exchange's tile-hash key into this reduce: the
+        # second exchange then consumes these task outputs directly,
+        # with no intervening Dataset execution competing with the
+        # still-running reduce tasks for CPUs (measured: the nested
+        # streaming-executor backoff dominated this query's wall)
+        nxt = (mix64(tid.astype(np.uint64))
+               % np.uint64(tile_partitions)).astype(np.int64)
         return pa.table({
+            "part": pa.array(nxt),
             "tile_id": pa.array(tid),
             "user_id": pa.array(line_uid),
             "part_seq": pa.array(part_seq),
@@ -393,22 +404,30 @@ def line_tile_summary(sf_dir: str, zoom: int = 4):
 
     parts = exchange_reduce(
         _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .map_batches(pts, batch_format="pyarrow"),
+        .map_batches(pts, batch_format="pyarrow", batch_size=65536),
         num_partitions, per_partition)
 
     # hash-exchange: many tiles per reduce task (per-tile map_groups
     # spends a task per tile — anti-scales at planet tile counts)
-    return tile_hash_exchange(parts, line_parts_per_tile, 64)
+    return tile_hash_exchange(parts, line_parts_per_tile, tile_partitions,
+                              pre_parted=True)
 
 
 def tile_hash_exchange(parts: "ray.data.Dataset", reduce_fn,
-                       num_partitions: int = 32) -> "ray.data.Dataset":
+                       num_partitions: int = 32,
+                       pre_parted: bool = False) -> "ray.data.Dataset":
     """Group rows by ``tile_id`` through the explicit exchange: tiles
     hash into ``num_partitions`` partitions and a whole partition
     reduces in one task — the scale-safe replacement for per-tile
     ``groupby().map_groups`` (one task per tile).  ``reduce_fn`` must
     handle multiple tiles per table (every per-tile reducer here
-    segments by tile internally)."""
+    segments by tile internally).
+
+    ``pre_parted``: the caller already emitted the
+    ``mix64(tile_id) % num_partitions`` key as ``part`` (e.g. fused
+    into the previous exchange's reduce task) — skip the mapping
+    Dataset entirely so back-to-back exchanges chain task-to-task
+    without a streaming-executor hop contending for CPUs."""
     from ..stages.exchange import exchange_reduce
     from ..tilemath.hashing import mix64
 
@@ -424,9 +443,9 @@ def tile_hash_exchange(parts: "ray.data.Dataset", reduce_fn,
             tbl = tbl.drop_columns(["part"])
         return reduce_fn(tbl)
 
-    return exchange_reduce(parts.map_batches(add_part,
-                                             batch_format="pyarrow"),
-                           num_partitions, red)
+    if not pre_parted:
+        parts = parts.map_batches(add_part, batch_format="pyarrow")
+    return exchange_reduce(parts, num_partitions, red)
 
 
 def line_parts_per_tile(grp: pa.Table) -> pa.Table:

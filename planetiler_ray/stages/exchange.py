@@ -161,6 +161,16 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
                     for i in range(0, len(refs), max_fanin)]
         return reduce_task.remote(p, *refs)
 
+    # NOTE on the materialize() below: the exchange output refs are the
+    # reduce tasks' results — already concrete object-store blocks, the
+    # reduce is inherently a barrier.  Returning the ref dataset LAZY
+    # makes every later consumption (another exchange, a count, a
+    # to_pandas) run a streaming executor over still-pending refs, and
+    # that executor's no-CPU backoff loop measured 6–12 s of pure wait
+    # on this Ray version (line_tile_summary: 12 s lazy vs 1.8 s
+    # materialized, idle host).  materialize() just waits for the tasks
+    # and wraps their metadata; blocks stay in (spillable) object store
+    # exactly as a shuffle output would.
     out_refs = []
     if n_blocks * num_partitions <= two_level_threshold or num_partitions < 4:
         # flat exchange: one split per block group, B×P refs is affordable
@@ -168,7 +178,7 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         for p in run:
             out_refs.append(tree_reduce(p, [pieces[b][p]
                                             for b in range(n_blocks)]))
-        return ray.data.from_arrow_refs(out_refs)
+        return ray.data.from_arrow_refs(out_refs).materialize()
 
     # two-level: coarse buckets of ~√P contiguous partitions
     bucket_size = max(1, math.ceil(math.sqrt(num_partitions)))
@@ -188,4 +198,4 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
             out_refs.append(tree_reduce(int(p), [sub[b][p - p_lo]
                                                  for b in range(n_blocks)]))
         del sub                  # bucket refs released before the next bucket
-    return ray.data.from_arrow_refs(out_refs)
+    return ray.data.from_arrow_refs(out_refs).materialize()
