@@ -533,6 +533,125 @@ FROM u LEFT JOIN st USING (user_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# geojson_roundtrip — NDJSON serialize → read_geojson → placement stats
+# ---------------------------------------------------------------------------
+
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSON/NDJSON reader round trip, oracle-checked
+    (``reader/geojson/GeoJsonReader.java`` semantics): events become
+    NDJSON Features (even ids → Point, odd ids → axis-aligned bbox
+    Polygon) written as sharded files from ``map_batches``, read back
+    through :func:`sources.geojson.read_geojson` (text → feature parse
+    → world-mercator georeference), then aggregated per caption.  The
+    oracle recomputes the x-side placement with the identical float op
+    sequence; JSON float serialization is shortest-round-trip so the
+    doubles survive the text hop bit-for-bit.  (The y side goes through
+    ``get_world_y``'s transcendentals — compared elsewhere
+    (``tile_assign_z14``) and left out of this query's aggregates.)"""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.geojson import read_geojson
+    from ..tilemath.projection import get_world_lon
+
+    out_dir = os.path.join("/tmp/planetiler_ray_geojson",
+                           hashlib.sha1(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        u = (eid * U_MULT) % (1 << 32)
+        wx = u.astype(np.float64) / TWO32
+        lon = get_world_lon(wx)
+        dx = ((eid % 13) + 1) / 1000.0
+        lat = 10.0 + (eid % 50) * 0.5
+        lines = []
+        for i in range(len(eid)):
+            e = int(eid[i])
+            props = {"id": f"evt{e}", "caption": f"cap{e % 7}"}
+            if e % 2 == 1:
+                x0, x1 = float(lon[i] - dx[i]), float(lon[i] + dx[i])
+                y0, y1 = float(lat[i] - dx[i]), float(lat[i] + dx[i])
+                geom = {"type": "Polygon",
+                        "coordinates": [[[x0, y0], [x1, y0], [x1, y1],
+                                         [x0, y1], [x0, y0]]]}
+            else:
+                geom = {"type": "Point",
+                        "coordinates": [float(lon[i]), float(lat[i])]}
+            lines.append(json.dumps({"type": "Feature", "geometry": geom,
+                                     "properties": props}))
+        path = os.path.join(out_dir, f"shard-{uuid.uuid4().hex}.ndjson")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+
+    n_written = _read(sf_dir, "events", ["event_id"]) \
+        .map_batches(write_shard, batch_format="pyarrow").to_pandas()["n"].sum()
+    assert n_written > 0
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        eid = np.array([int(s[3:]) for s in ids], np.int64)
+        cx = batch["cx"].to_numpy()
+        hw = batch["hw"].to_numpy()
+        return pa.table({
+            "caption": batch["caption"],
+            "is_poly": pa.array((eid % 2 == 1).astype(np.int64)),
+            "eid": pa.array(eid),
+            "cxg": pa.array(np.floor(cx * 1048576).astype(np.int64)),
+            "hwg": pa.array(np.floor(hw * 1048576).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    out = read_geojson(out_dir) \
+        .map_batches(stats, batch_format="pyarrow") \
+        .groupby("caption").aggregate(
+            Count(alias_name="n"),
+            Sum("is_poly", alias_name="n_poly"),
+            Sum("eid", alias_name="id_sum"),
+            Sum("cxg", alias_name="cx_grid_sum"),
+            Sum("hwg", alias_name="hw_grid_sum")).to_pandas()
+    for c in ("n", "n_poly", "id_sum", "cx_grid_sum", "hw_grid_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("caption").reset_index(drop=True)
+
+
+SQL_GEOJSON_ROUNDTRIP = """
+WITH w AS (
+    SELECT event_id,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx
+    FROM events),
+g AS (SELECT event_id,
+             wx * 360 - 180 AS lon,
+             ((event_id % 13) + 1) / 1000.0 AS dx,
+             event_id % 2 = 1 AS is_poly,
+             'cap' || CAST(event_id % 7 AS VARCHAR) AS caption
+      FROM w),
+-- the reader's placement arithmetic, op for op: point cx = (lon+180)/360;
+-- polygon cx/hw from the projected bbox corner mean/half-spread
+c AS (SELECT caption, event_id, is_poly,
+             CASE WHEN is_poly
+                  THEN (((lon - dx) + 180) / 360 + ((lon + dx) + 180) / 360) / 2
+                  ELSE (lon + 180) / 360 END AS cx,
+             CASE WHEN is_poly
+                  THEN (((lon + dx) + 180) / 360 - ((lon - dx) + 180) / 360) / 2
+                  ELSE 0.0 END AS hw
+      FROM g)
+SELECT caption,
+       count(*) AS n,
+       CAST(sum(CASE WHEN is_poly THEN 1 ELSE 0 END) AS BIGINT) AS n_poly,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(floor(cx * 1048576)) AS BIGINT) AS cx_grid_sum,
+       CAST(sum(floor(hw * 1048576)) AS BIGINT) AS hw_grid_sum
+FROM c GROUP BY caption
+"""
+
+
 GEOM_QUERIES = {
     "sortkey_pack": q_sortkey_pack,
     "zoomfn_values": q_zoomfn_values,
@@ -540,6 +659,7 @@ GEOM_QUERIES = {
     "geo_measures": q_geo_measures,
     "line_merge_chains": q_line_merge_chains,
     "line_merge_scaled": q_line_merge_scaled,
+    "geojson_roundtrip": q_geojson_roundtrip,
 }
 
 GEOM_ORACLE_SQL = {
@@ -549,4 +669,5 @@ GEOM_ORACLE_SQL = {
     "geo_measures": SQL_GEO_MEASURES,
     "line_merge_chains": SQL_LINE_MERGE_CHAINS,
     "line_merge_scaled": SQL_LINE_MERGE_SCALED,
+    "geojson_roundtrip": SQL_GEOJSON_ROUNDTRIP,
 }
