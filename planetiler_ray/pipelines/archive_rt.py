@@ -2,9 +2,10 @@
 
 Builds the attrs-bearing single-zoom MVT tile set (the same fragment
 stream the oracle-green ``mvt_tiles_z6`` summarises), writes it through
-BOTH single-file archive sinks — MBTiles (sqlite, compact/deduplicated
-schema: ``mbtiles/Mbtiles.java:74,356``) and PMTiles v3 (Hilbert
-clustered, RLE dedup: ``pmtiles/WriteablePmtiles.java:132``) — then
+THREE archive sinks — MBTiles (sqlite, compact/deduplicated schema:
+``mbtiles/Mbtiles.java:74,356``), PMTiles v3 (Hilbert clustered, RLE
+dedup: ``pmtiles/WriteablePmtiles.java:132``) and the ``{z}/{x}/{y}``
+gzipped-MVT file tree (``files/WriteableFilesArchive.java``) — then
 reads every tile back out of each archive and re-derives the per-(tile,
 layer) stats with the independent sequential protobuf decoder.
 
@@ -89,6 +90,7 @@ def _decode_stats(archive: str, tile_ids: np.ndarray,
 def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
                               num_partitions: int = 16):
     """Driver query ``archive_roundtrip``: see module docstring."""
+    from ..sinks import write_files
     from ..sinks_mbtiles import write_mbtiles
     from ..sinks_pmtiles import iter_pmtiles_entries, write_pmtiles
     from .tiles import sample_partition_bounds
@@ -120,8 +122,12 @@ def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
     tag = hashlib.sha1(f"{sf_dir}|{zoom}".encode()).hexdigest()[:12]
     mb_path = os.path.join(base, f"{tag}.mbtiles")
     pm_path = os.path.join(base, f"{tag}.pmtiles")
+    fl_dir = os.path.join(base, f"{tag}.files")
+    import shutil
+    shutil.rmtree(fl_dir, ignore_errors=True)
     write_mbtiles(tiles, mb_path, compact=True)
     write_pmtiles(tiles, pm_path, min_zoom=zoom, max_zoom=zoom)
+    write_files(tiles, fl_dir)
 
     # enumerate each archive's own keyspace (never the in-memory tiles)
     con = sqlite3.connect(mb_path)
@@ -129,11 +135,19 @@ def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
         "SELECT zoom_level, tile_column, tile_row FROM tiles").fetchall()
     con.close()
     pm_entries = iter_pmtiles_entries(pm_path)
+    fl_keys = []
+    for zdir in os.listdir(fl_dir):
+        for xdir in os.listdir(os.path.join(fl_dir, zdir)):
+            for yname in os.listdir(os.path.join(fl_dir, zdir, xdir)):
+                fl_keys.append((int(zdir), int(xdir),
+                                int(yname.split(".")[0])))
 
     rows = [{"archive": "mbtiles", "k0": int(z), "k1": int(xc), "k2": int(yr)}
             for z, xc, yr in mb_keys]
     rows += [{"archive": "pmtiles", "k0": int(h), "k1": int(off),
               "k2": int(ln)} for h, off, ln in pm_entries]
+    rows += [{"archive": "files", "k0": z, "k1": x, "k2": y}
+             for z, x, y in fl_keys]
     keys = ray.data.from_items(rows)
 
     def readback(batch: pa.Table) -> pa.Table:
@@ -157,7 +171,18 @@ def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
                 raws.append(gzip.decompress(blob))
             con.close()
             parts.append(_decode_stats("mbtiles", tids, raws))
-        pm = ~mb
+        fl = arch == "files"
+        if fl.any():
+            z, x, y = k0[fl], k1[fl], k2[fl]
+            tids = tms_encode(x, y, z)
+            raws = []
+            for zz, xx, yy in zip(z, x, y):
+                p = os.path.join(fl_dir, str(int(zz)), str(int(xx)),
+                                 f"{int(yy)}.mvt.gz")
+                with open(p, "rb") as f:
+                    raws.append(gzip.decompress(f.read()))
+            parts.append(_decode_stats("files", tids, raws))
+        pm = (~mb) & (~fl)
         if pm.any():
             hx, hy, hz = hilbert_decode_tile(k0[pm])
             tids = tms_encode(hx, hy, hz)

@@ -618,7 +618,8 @@ def sql_archive_roundtrip(zoom: int = 6) -> str:
     return f"""
 SELECT a.archive, s.*
 FROM ({inner}) s
-CROSS JOIN (SELECT 'mbtiles' AS archive UNION ALL SELECT 'pmtiles') a
+CROSS JOIN (SELECT 'mbtiles' AS archive UNION ALL SELECT 'pmtiles'
+            UNION ALL SELECT 'files') a
 """
 
 
