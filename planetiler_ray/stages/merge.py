@@ -112,23 +112,29 @@ def remove_points_outside_buffer(px: np.ndarray, py: np.ndarray,
     }
 
 
-class _UnionFind:
-    __slots__ = ("parent",)
-
-    def __init__(self, n: int):
-        self.parent = np.arange(n)
-
-    def find(self, i: int) -> int:
-        p = self.parent
-        while p[i] != i:
-            p[i] = p[p[i]]
-            i = p[i]
-        return i
-
-    def union(self, a: int, b: int):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
+def _connected_components(n: int, ei: np.ndarray, ej: np.ndarray) -> np.ndarray:
+    """Root label per node for ``n`` nodes and undirected edge list
+    ``(ei, ej)`` — vectorized pointer jumping (hook lower root onto
+    higher + path halving to fixpoint), O((E+N)·log N) numpy passes
+    with no per-edge Python loop.  Roots are component minima, so the
+    labeling is deterministic."""
+    parent = np.arange(n, dtype=np.int64)
+    if len(ei) == 0:
+        return parent
+    ei = np.asarray(ei, np.int64)
+    ej = np.asarray(ej, np.int64)
+    while True:
+        pi_, pj_ = parent[ei], parent[ej]
+        lo = np.minimum(pi_, pj_)
+        hi = np.maximum(pi_, pj_)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)
+        pp = parent[parent]
+        while not np.array_equal(pp, parent):
+            parent = pp
+            pp = parent[parent]
+        if np.array_equal(parent, before):
+            return parent
 
 
 def _union_area(x0, y0, x1, y1) -> float:
@@ -192,10 +198,7 @@ def merge_overlapping_boxes(ids: np.ndarray, x0: np.ndarray, y0: np.ndarray,
     ym = (sy0[pi] <= sy1[pj]) & (sy1[pi] >= sy0[pj])
     pi, pj = pi[ym], pj[ym]
 
-    uf = _UnionFind(n)
-    for a, b in zip(order[pi], order[pj]):   # loop over REAL pairs only
-        uf.union(int(a), int(b))
-    roots = np.array([uf.find(int(i)) for i in range(n)])
+    roots = _connected_components(n, order[pi], order[pj])
     _, comp = np.unique(roots, return_inverse=True)
 
     n_comp = int(comp.max()) + 1
@@ -596,12 +599,45 @@ def _morph_square(grid: np.ndarray, k: int, dilate: bool) -> np.ndarray:
     return win == full
 
 
+def _grid_region_labels(grid: np.ndarray) -> np.ndarray:
+    """4-connected component label per filled cell (−1 for empty),
+    fully vectorized: horizontal runs become nodes (one pad column so
+    runs never wrap rows), vertically adjacent filled cells connect
+    their runs, components resolved by pointer jumping.  Used to key
+    each traced hole ring to the shell ring of the SAME filled region
+    (exact — no floating-point point-in-polygon)."""
+    H, W = grid.shape
+    padded = np.zeros((H, W + 1), bool)
+    padded[:, :W] = grid
+    flat = padded.reshape(-1)
+    d = np.diff(flat.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if flat[0]:
+        starts = np.concatenate([[0], starts])
+    n_runs = len(starts)
+    if n_runs == 0:
+        return np.full((H, W), -1, np.int64)
+    from ..tilemath.clip import _expand_ranges
+    ri, pos = _expand_ranges(np.asarray(starts, np.int64),
+                             np.asarray(ends, np.int64) - 1)
+    run_of = np.full(H * (W + 1), -1, np.int64)
+    run_of[pos] = ri
+    vert = grid[:-1, :] & grid[1:, :]
+    r, c = np.nonzero(vert)
+    roots = _connected_components(
+        n_runs, run_of[r * (W + 1) + c], run_of[(r + 1) * (W + 1) + c])
+    labels = np.full(H * (W + 1), -1, np.int64)
+    labels[pos] = roots[ri]
+    return labels.reshape(H, W + 1)[:, :W]
+
+
 # directed-edge dirs: 0 = +x, 1 = +y, 2 = −x, 3 = −y
 _DIR_DX = np.array([1, 0, -1, 0])
 _DIR_DY = np.array([0, 1, 0, -1])
 
 
-def _trace_grid_rings(grid: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+def _trace_grid_rings(grid: np.ndarray, with_cells: bool = False):
     """Boundary rings of a binary cell grid as rectilinear polygons.
 
     Interior is kept on the LEFT of every directed boundary edge, so
@@ -612,7 +648,12 @@ def _trace_grid_rings(grid: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
     walk is output-proportional (one step per boundary edge, emitting
     only corner vertices).
 
-    Returns a list of (xs, ys) open rings in grid coordinates.
+    Returns a list of (xs, ys) open rings in grid coordinates; with
+    ``with_cells=True`` returns ``(rings, cells)`` where ``cells[i]``
+    is the (row, col) of one interior (filled) cell adjacent to ring
+    i's first edge — the exact hole→shell region key (two rings bound
+    the same 4-connected filled region iff their cells share a region
+    label, see ``_grid_region_labels``).
     """
     H, W = grid.shape
     g = np.zeros((H + 2, W + 2), bool)
@@ -639,7 +680,7 @@ def _trace_grid_rings(grid: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
     ed = np.concatenate(fd).astype(np.int64)
     E = len(ex)
     if E == 0:
-        return []
+        return ([], []) if with_cells else []
     tx = ex + _DIR_DX[ed]
     ty = ey + _DIR_DY[ed]
     # outgoing-edge lookup: one edge max per (vertex, dir)
@@ -653,9 +694,13 @@ def _trace_grid_rings(grid: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
         cand = out[vkey + (ed + turn) % 4]
         nxt = np.where(nxt < 0, cand, nxt)
     assert (nxt >= 0).all()
+    # interior (filled) cell left of each directed edge, padded coords:
+    # derived from the four extraction cases above
+    _IC_DR = np.array([0, 0, -1, -1])        # row offset by dir
+    _IC_DC = np.array([0, -1, -1, 0])        # col offset by dir
     # walk each cycle once, emitting corners (dir changes)
     visited = np.zeros(E, bool)
-    rings = []
+    rings, cells = [], []
     for e0 in range(E):
         if visited[e0]:
             continue
@@ -670,7 +715,10 @@ def _trace_grid_rings(grid: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
             e = ne
         rings.append((np.array(xs, np.int64) - 1,   # un-pad
                       np.array(ys, np.int64) - 1))
-    return rings
+        d0 = int(ed[e0])
+        cells.append((int(ey[e0]) + int(_IC_DR[d0]) - 1,
+                      int(ex[e0]) + int(_IC_DC[d0]) - 1))
+    return (rings, cells) if with_cells else rings
 
 
 def merge_overlapping_polygons(ids: np.ndarray, px: np.ndarray,
@@ -730,19 +778,29 @@ def merge_overlapping_polygons(ids: np.ndarray, px: np.ndarray,
     pi, pj = _expand_ranges(lo, hi - 1)
     ym = (sy0[pi] <= sy1[pj]) & (sy1[pi] >= sy0[pj])
     pi, pj = pi[ym], pj[ym]
-    uf = _UnionFind(n_poly)
-    for a, b in zip(order[pi], order[pj]):
-        uf.union(int(a), int(b))
-    roots = np.array([uf.find(int(i)) for i in range(n_poly)])
+    roots = _connected_components(n_poly, order[pi], order[pj])
     _, comp = np.unique(roots, return_inverse=True)
     n_comp = int(comp.max()) + 1
+
+    # group polygons AND rings by component via one sort each — the
+    # per-component flatnonzero/isin masks were O(n_comp · n) (quadratic
+    # for a 10⁴-polygon tile); this is O((P+R) log) total
+    porder = np.argsort(comp, kind="stable")
+    pstarts = np.flatnonzero(
+        np.concatenate([[True], np.diff(comp[porder]) != 0]))
+    pends = np.append(pstarts[1:], n_poly)
+    ring_comp = comp[poly_of_ring]
+    rorder = np.argsort(ring_comp, kind="stable")
+    rstarts = np.flatnonzero(
+        np.concatenate([[True], np.diff(ring_comp[rorder]) != 0]))
+    rends = np.append(rstarts[1:], len(poly_of_ring))
 
     out_rings_x, out_rings_y, out_cluster, out_hole = [], [], [], []
     merged_id, n_features, union_area = [], [], []
     out_c = 0
     for ci in range(n_comp):
-        polys = np.flatnonzero(comp == ci)
-        rsel = np.flatnonzero(np.isin(poly_of_ring, polys))
+        polys = porder[pstarts[ci]:pends[ci]]
+        rsel = rorder[rstarts[ci]:rends[ci]]
         k_px = half
         gx0 = float(np.floor(pb_x0[polys].min() - k_px)) - 1.0
         gy0 = float(np.floor(pb_y0[polys].min() - k_px)) - 1.0
@@ -766,7 +824,7 @@ def merge_overlapping_polygons(ids: np.ndarray, px: np.ndarray,
         if k > 0:
             grid = _morph_square(grid, k, dilate=True)
             grid = _morph_square(grid, k, dilate=False)
-        rings = _trace_grid_rings(grid)
+        rings, rcells = _trace_grid_rings(grid, with_cells=True)
         if not rings:
             continue
         areas = np.array([0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
@@ -776,29 +834,35 @@ def merge_overlapping_polygons(ids: np.ndarray, px: np.ndarray,
         # only with its containing outer (FeatureMerge.java:291-340)
         min_h = min_area if min_hole_area is None else min_hole_area
         keep = np.where(outer, areas >= min_area, np.abs(areas) >= min_h)
-        if (~outer & keep).any() and (outer & ~keep).any():
-            kept_out = [i for i in range(len(rings))
-                        if outer[i] and keep[i]]
+        # hole → owning shell: both rings bound the same 4-connected
+        # filled region, keyed exactly by the region label of each
+        # ring's interior cell (no point-in-polygon float test)
+        hole_owner = np.full(len(rings), -1, np.int64)
+        if (~outer & keep).any():
+            region = _grid_region_labels(grid)
+            ring_reg = np.array([region[r_, c_] for r_, c_ in rcells])
+            shell_of = {}                    # region label → kept shell ring
+            for oi in np.flatnonzero(outer & keep):
+                shell_of[int(ring_reg[oi])] = oi
             for hi_ in np.flatnonzero(~outer & keep):
-                hx, hy = rings[hi_][0][0], rings[hi_][1][0]
-                inside = False
-                for oi in kept_out:
-                    ox, oy = rings[oi]
-                    c1_ = (oy > hy) != (np.roll(oy, -1) > hy)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        xi = ox + (hy - oy) * (np.roll(ox, -1) - ox) \
-                            / (np.roll(oy, -1) - oy)
-                    if bool(np.count_nonzero(c1_ & (hx < xi)) & 1):
-                        inside = True
-                        break
-                if not inside:
-                    keep[hi_] = False
+                oi = shell_of.get(int(ring_reg[hi_]), -1)
+                if oi < 0:
+                    keep[hi_] = False        # shell dropped → hole dropped
+                else:
+                    hole_owner[hi_] = oi
         if not (outer & keep).any():
             continue
         ua = float(areas[outer & keep].sum() + areas[~outer & keep].sum())
-        for ri, (x, y) in enumerate(rings):
-            if not keep[ri]:
-                continue
+        # MVT 2.1 §4.3.4.4 emit order: each exterior ring immediately
+        # followed by ITS holes (discovery order corrupted multi-shell
+        # clusters in winding-based decoders — round-3 ADVICE)
+        emit = []
+        for oi in np.flatnonzero(outer & keep):
+            emit.append(int(oi))
+            emit.extend(int(h) for h in np.flatnonzero(~outer & keep)
+                        if hole_owner[h] == oi)
+        for ri in emit:
+            x, y = rings[ri]
             out_rings_x.append(x * res + gx0)
             out_rings_y.append(y * res + gy0)
             out_cluster.append(out_c)

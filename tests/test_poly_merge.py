@@ -125,3 +125,63 @@ def test_poly_merge_in_tile_pipeline(ray_session):
     assert lay["features"][0]["id"] == 10     # (min_id//10)*10
     lay2 = run(["x", "y"])
     assert len(lay2["features"]) == 2         # attrs differ: no merge
+
+
+def test_multi_shell_hole_emit_order():
+    """Lake-with-island cluster (2 exteriors + 1 hole): each exterior
+    ring must be immediately followed by ITS holes in the output
+    (MVT 2.1 §4.3.4.4) — discovery order used to emit
+    [shell, island, hole], attaching the hole to the island in
+    winding-based decoders (round-3 ADVICE)."""
+    # shell [0,20]^2 with hole [4,12]^2 (even-odd, same polygon);
+    # island [6,10]^2 inside the hole as a separate polygon
+    ox = np.array([0., 20, 20, 0,   4, 12, 12, 4,   6, 10, 10, 6])
+    oy = np.array([0., 0, 20, 20,   4, 4, 12, 12,   6, 6, 10, 10])
+    offs = np.array([0, 4, 8, 12])
+    po = np.array([0, 0, 1])
+    r = merge_overlapping_polygons(np.array([5, 7]), ox, oy, offs, po)
+    hole = r["is_hole"]
+    assert len(hole) == 3 and hole.sum() == 1
+    areas = []
+    for c in range(len(r["offsets"]) - 1):
+        x = r["xs"][r["offsets"][c]:r["offsets"][c + 1]]
+        y = r["ys"][r["offsets"][c]:r["offsets"][c + 1]]
+        areas.append(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    hi = int(np.flatnonzero(hole)[0])
+    assert hi > 0 and not hole[hi - 1]
+    # the exterior right before the hole must be the big shell (~400-64
+    # grid union), never the 16px island
+    assert areas[hi - 1] > 100, (areas, hole.tolist())
+    assert abs(abs(areas[hi]) - 64) <= 16          # hole ~ [4,12]^2
+    # island is the other exterior, emitted after the shell's holes
+    others = [a for i, a in enumerate(areas) if i not in (hi, hi - 1)]
+    assert len(others) == 1 and others[0] < 100
+
+
+def test_poly_merge_10k_single_tile_perf():
+    """10^4 polygons in one call stays fast: the clustering +
+    per-component grouping must be O(n log n) (vectorized union-find +
+    sort-based grouping), not quadratic.  Bound is generous for host
+    noise (~0.5 s typical on an idle box)."""
+    import time
+    n = 10_000
+    # chain: square i = [i, i+2]x[0, 2] overlaps square i+1 → ONE
+    # 10^4-polygon cluster (stresses union-find + ring grouping)
+    i = np.arange(n, dtype=float)
+    ox = np.stack([i, i + 2, i + 2, i], 1).ravel()
+    oy = np.tile([0., 0, 2, 2], n)
+    offs = np.arange(0, 4 * n + 1, 4)
+    po = np.arange(n)
+    t0 = time.perf_counter()
+    r = merge_overlapping_polygons(np.arange(n) * 3, ox, oy, offs, po,
+                                   grid_max=4096)
+    chain = time.perf_counter() - t0
+    assert len(r["union_area"]) == 1 and r["n_features"][0] == n
+    # disjoint: 10^4 separate clusters (stresses per-component loop)
+    ox2 = ox * 2.0    # square i = [2i, 2i+2] x [0,2]: gap-free? no: *2 → [2i, 2i+4]
+    ox2 = np.stack([3 * i, 3 * i + 2, 3 * i + 2, 3 * i], 1).ravel()
+    t0 = time.perf_counter()
+    r2 = merge_overlapping_polygons(np.arange(n) * 3, ox2, oy, offs, po)
+    disj = time.perf_counter() - t0
+    assert len(r2["union_area"]) == n
+    assert chain < 20.0 and disj < 20.0, (chain, disj)
