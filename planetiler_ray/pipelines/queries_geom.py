@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..tilemath.clip import DEFAULT_BUFFER_PX
 from ._util import round_half_away
 
 U_MULT = 2654435761
@@ -652,6 +653,108 @@ FROM c GROUP BY caption
 """
 
 
+# ---------------------------------------------------------------------------
+# ocean_fill_tiles — stripe clip with range-tracked interior fill
+# ---------------------------------------------------------------------------
+
+# world-spanning "ocean" rectangle with an island hole; tenth-fraction
+# constants keep every scaled coordinate ≥0.1 tile units from tile and
+# buffer boundaries at all zooms, so the closed-form oracle is exact
+OCEAN = dict(X0=0.1, X1=0.85, Y0=0.3, Y1=0.7,
+             H0=0.35, H1=0.55, G0=0.4, G1=0.6)
+OCEAN_MAX_Z = 12
+
+
+def q_ocean_fill_tiles(sf_dir: str):
+    """Planet-scale polygon → tiles via the stripe clip
+    (``tilemath.stripeclip``; reference ``render/TiledGeometry.java``
+    ``:406-699`` + ``CoveredTiles`` ``:748-806``): per zoom, the ocean
+    rectangle-with-hole is clipped into boundary-tile fragments plus
+    interior fill RUNS — work ∝ boundary crossings, never bbox area.
+    Output per zoom: distinct edge (detail) tiles and total filled
+    tiles (summed from runs).  The oracle classifies every candidate
+    tile with the same float arithmetic.  Candidate counts are logged
+    (∝ boundary — the scale property this query gates)."""
+    import sys
+
+    import ray.data
+
+    from ..tilemath.stripeclip import slice_polygons_striped
+
+    o = OCEAN
+
+    def slice_z(batch: pa.Table) -> pa.Table:
+        out = {"z": [], "edge_tiles": [], "fill_tiles": []}
+        for z in batch["z"].to_pylist():
+            s = float(1 << z)
+            px = np.array([o["X0"], o["X1"], o["X1"], o["X0"],
+                           o["H0"], o["H1"], o["H1"], o["H0"]]) * s
+            py = np.array([o["Y0"], o["Y0"], o["Y1"], o["Y1"],
+                           o["G0"], o["G0"], o["G1"], o["G1"]]) * s
+            r = slice_polygons_striped(
+                px, py, np.array([0, 4, 8]), z, DEFAULT_BUFFER_PX / 256.0,
+                poly_of_ring=np.array([0, 0]))
+            out["z"].append(z)
+            out["edge_tiles"].append(
+                len(set(zip(r["x"].tolist(), r["y"].tolist()))))
+            out["fill_tiles"].append(
+                int(np.sum(r["fill_y1"] - r["fill_y0"] + 1)))
+            sys.stderr.write(
+                f"ocean_fill_tiles z={z} candidates={r['n_candidates']} "
+                f"fill_runs={len(r['fill_x'])} (boundary-proportional)\n")
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return ray.data.from_items(
+        [{"z": z} for z in range(OCEAN_MAX_Z + 1)],
+        override_num_blocks=OCEAN_MAX_Z + 1) \
+        .map_batches(slice_z, batch_format="pyarrow")
+
+
+SQL_OCEAN_FILL_TILES = """
+WITH zs AS (SELECT unnest(generate_series(0, 12)) AS z),
+p AS (SELECT z, CAST(1 << z AS DOUBLE) AS s,
+             0.015625 AS b, 0.015625 + 0.1 / 4096 AS nb
+      FROM zs),
+q AS (SELECT z, s, b, nb,
+             0.1 * s AS x0, 0.85 * s AS x1,
+             0.3 * s AS ylo, 0.7 * s AS yhi,
+             0.35 * s AS h0, 0.55 * s AS h1,
+             0.4 * s AS g0, 0.6 * s AS g1
+      FROM p),
+cols AS (SELECT q.*,
+                unnest(generate_series(CAST(floor(x0 - nb) AS BIGINT),
+                                       CAST(floor(x1 + nb) AS BIGINT))) AS c
+         FROM q),
+cells AS (SELECT cols.*,
+                 unnest(generate_series(CAST(floor(ylo - nb) AS BIGINT),
+                                        CAST(floor(yhi + nb) AS BIGINT))) AS r
+          FROM cols),
+cls AS (
+  SELECT z,
+    (c BETWEEN floor(x0 - nb) AND floor(x0 + nb)
+     OR c BETWEEN floor(x1 - nb) AND floor(x1 + nb)
+     OR r BETWEEN floor(ylo - nb) AND floor(ylo + nb)
+     OR r BETWEEN floor(yhi - nb) AND floor(yhi + nb)) AS o_det,
+    (c BETWEEN floor(h0 - nb) AND floor(h1 + nb)
+     AND CASE WHEN c BETWEEN floor(h0 - nb) AND floor(h0 + nb)
+                OR c BETWEEN floor(h1 - nb) AND floor(h1 + nb)
+              THEN r BETWEEN floor(g0 - nb) AND floor(g1 + nb)
+              ELSE r BETWEEN floor(g0 - nb) AND floor(g0 + nb)
+                OR r BETWEEN floor(g1 - nb) AND floor(g1 + nb) END) AS h_det,
+    (x0 < c - b AND x1 > c + 1 + b
+     AND r BETWEEN floor(ylo + nb) + 1 AND floor(yhi - nb) - 1
+     AND NOT (h0 < c - b AND h1 > c + 1 + b
+              AND r BETWEEN floor(g0 + nb) + 1 AND floor(g1 - nb) - 1))
+      AS in_fill
+  FROM cells)
+SELECT z,
+       CAST(count(*) FILTER (o_det OR h_det) AS BIGINT) AS edge_tiles,
+       CAST(count(*) FILTER (in_fill AND NOT o_det AND NOT h_det) AS BIGINT)
+         AS fill_tiles
+FROM cls GROUP BY z ORDER BY z
+"""
+
+
 GEOM_QUERIES = {
     "sortkey_pack": q_sortkey_pack,
     "zoomfn_values": q_zoomfn_values,
@@ -660,6 +763,7 @@ GEOM_QUERIES = {
     "line_merge_chains": q_line_merge_chains,
     "line_merge_scaled": q_line_merge_scaled,
     "geojson_roundtrip": q_geojson_roundtrip,
+    "ocean_fill_tiles": q_ocean_fill_tiles,
 }
 
 GEOM_ORACLE_SQL = {
@@ -670,4 +774,5 @@ GEOM_ORACLE_SQL = {
     "line_merge_chains": SQL_LINE_MERGE_CHAINS,
     "line_merge_scaled": SQL_LINE_MERGE_SCALED,
     "geojson_roundtrip": SQL_GEOJSON_ROUNDTRIP,
+    "ocean_fill_tiles": SQL_OCEAN_FILL_TILES,
 }
