@@ -424,38 +424,140 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_revenue_orders(sf_dir: str):
-    """3-table join + groupby + top-k (TPC-H Q3 shape).
+    """3-table join + groupby + top-k (TPC-H Q3 shape), fully
+    partitioned: NO side is ever materialized on the driver.
 
-    customer('BUILDING') ⋈ orders ⋈ lineitem → revenue per order, top 10.
-    Broadcast the small side (filtered customer keys) into the lineitem
-    scan instead of shuffling — the guide's semi-join pattern.
-    """
+    Two chained hash exchanges (the ``pipelines/osm.py``
+    ``resolve_way_nodes`` pattern): (1) orders ⋈ customer('BUILDING')
+    hash-partitioned by custkey — the reduce emits surviving orders
+    already carrying the NEXT exchange's part (hash of o_orderkey), so
+    no extra re-key hop; (2) lineitem (partial revenue per order inside
+    ``map_batches``) ⋈ those orders by orderkey — revenue per order
+    completes within its partition, each partition returns only its
+    local top 10, and the driver merges P×10 rows.  Scales as two
+    point-to-point shuffles of key columns; the only driver-side data
+    is the final P×10 candidate set."""
+    from ..stages.exchange import exchange_reduce
+    from .osm import _part_of
+
+    P = 16
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    ckeys = set(cust.to_pandas().query("c_mktsegment == 'BUILDING'")["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                    "l_discount"])
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    okeys_df = orders.map_batches(
-        lambda t: t.filter(pc.is_in(t["o_custkey"],
-                                    value_set=pa.array(list(ckeys), pa.int64()))),
-        batch_format="pyarrow").to_pandas()
-    odate = dict(zip(okeys_df["o_orderkey"], okeys_df["o_orderdate"]))
-    okeys = pa.array(list(odate.keys()), pa.int64())
+    def cust_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        k = t["c_custkey"].to_numpy()
+        n = len(k)
+        return pa.table({
+            "part": pa.array(_part_of(k, P)),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "key": pa.array(k),
+            "o_orderkey": pa.array(np.full(n, -1, np.int64)),
+            "o_date_us": pa.array(np.full(n, -1, np.int64)),
+        })
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    def order_side(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy()
+        return pa.table({
+            "part": pa.array(_part_of(k, P)),
+            "side": pa.array(np.ones(len(k), np.int8)),
+            "key": pa.array(k),
+            "o_orderkey": t["o_orderkey"],
+            "o_date_us": t["o_orderdate"].cast(pa.int64()),
+        })
 
-    def rev(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["l_orderkey"], value_set=okeys))
-        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "revenue": r})
+    def semi_join(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int8()),
+                          "o_orderkey": pa.array([], pa.int64()),
+                          "o_date_us": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy()
+        ck = np.unique(t["key"].to_numpy()[side == 0])
+        ok_rows = side == 1
+        okeys = t["o_orderkey"].to_numpy()[ok_rows]
+        keep = np.isin(t["key"].to_numpy()[ok_rows], ck, assume_unique=False)
+        okeys = okeys[keep]
+        n = len(okeys)
+        # emit with the NEXT exchange's part already attached
+        return pa.table({
+            "part": pa.array(_part_of(okeys, P)),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "o_orderkey": pa.array(okeys),
+            "o_date_us": pa.array(
+                t["o_date_us"].to_numpy()[ok_rows][keep]),
+            "revenue": pa.array(np.full(n, np.nan)),
+        })
 
-    from ray.data.aggregate import Sum
-    agg = li.map_batches(rev, batch_format="pyarrow") \
-            .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")) \
-            .to_pandas()
-    agg["revenue"] = round_half_away(agg["revenue"], 2)
-    agg["o_orderdate"] = agg["o_orderkey"].map(odate)
-    agg = agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
-    return agg[["o_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+    building_orders = exchange_reduce(
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow")),
+        P, semi_join)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy()
+        r = (t["l_extendedprice"].to_numpy()
+             * (1.0 - t["l_discount"].to_numpy()))
+        # pre-shuffle partial aggregate per order within the batch
+        uk, inv = np.unique(k, return_inverse=True)
+        pr = np.zeros(len(uk))
+        np.add.at(pr, inv, r)
+        n = len(uk)
+        return pa.table({
+            "part": pa.array(_part_of(uk, P)),
+            "side": pa.array(np.ones(n, np.int8)),
+            "o_orderkey": pa.array(uk),
+            "o_date_us": pa.array(np.full(n, -1, np.int64)),
+            "revenue": pa.array(pr),
+        })
+
+    def topk_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64()),
+                          "o_date_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy()
+        ok = t["o_orderkey"].to_numpy()
+        b_keys = ok[side == 0]
+        b_date = t["o_date_us"].to_numpy()[side == 0]
+        bo = np.argsort(b_keys, kind="stable")
+        b_keys, b_date = b_keys[bo], b_date[bo]
+        lk = ok[side == 1]
+        lr = t["revenue"].to_numpy()[side == 1]
+        uk, inv = np.unique(lk, return_inverse=True)
+        rev = np.zeros(len(uk))
+        np.add.at(rev, inv, lr)
+        pos = np.searchsorted(b_keys, uk)
+        posc = np.minimum(pos, max(len(b_keys) - 1, 0))
+        hit = (pos < len(b_keys)) & (b_keys[posc] == uk) \
+            if len(b_keys) else np.zeros(len(uk), bool)
+        uk, rev, date = uk[hit], rev[hit], b_date[posc[hit]]
+        # rank on the ROUNDED revenue (the oracle's ORDER BY uses the
+        # rounded alias) so cross-partition tie-breaks stay exact
+        rev = round_half_away(rev, 2)
+        order = np.lexsort((uk, -rev))[:10]   # local top 10
+        return pa.table({"o_orderkey": pa.array(uk[order]),
+                         "revenue": pa.array(rev[order]),
+                         "o_date_us": pa.array(date[order])})
+
+    cand = exchange_reduce(
+        building_orders.union(
+            li.map_batches(li_side, batch_format="pyarrow")),
+        P, topk_partition).to_pandas()          # ≤ P×10 rows
+    cand["revenue"] = round_half_away(cand["revenue"], 2)
+    cand = cand.sort_values(["revenue", "o_orderkey"],
+                            ascending=[False, True]).head(10)
+    cand["o_orderdate"] = pa.array(
+        cand["o_date_us"].to_numpy(), pa.timestamp("us")).to_pandas() \
+        .reset_index(drop=True).values
+    return cand[["o_orderkey", "revenue",
+                 "o_orderdate"]].reset_index(drop=True)
 
 
 SQL_TOP_REVENUE_ORDERS = """
@@ -469,30 +571,122 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 
 
 def q_nation_revenue(sf_dir: str):
-    """5-table star join: revenue per nation (TPC-H Q5 shape, broadcast dims)."""
+    """5-table star join: revenue per nation (TPC-H Q5 shape), fully
+    partitioned — only ``nation`` (25 rows) is driver-resident.
+
+    Exchange 1: orders ⋈ customer hash-partitioned by custkey → each
+    surviving order carries its nation key and the NEXT exchange's part
+    (hash of o_orderkey).  Exchange 2: lineitem (batch-local partial
+    revenue per order) ⋈ that map by orderkey; each partition folds
+    straight to per-nation sums, so the driver merges only P×25 rows
+    before the broadcast ``nation`` name join."""
+    from ..stages.exchange import exchange_reduce
+    from .osm import _part_of
+
+    P = 16
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    o2n = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    # broadcast the small side as two sorted numpy arrays → O(log n)
-    # vectorized lookup per batch (np.searchsorted), no per-row Python
-    so = np.argsort(o2n["o_orderkey"].to_numpy())
-    bc_keys = o2n["o_orderkey"].to_numpy()[so]
-    bc_nat = o2n["c_nationkey"].to_numpy()[so].astype(np.int64)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                    "l_discount"])
 
-    def rev(t: pa.Table) -> pd.DataFrame:
-        ok = t["l_orderkey"].to_numpy()
-        pos = np.searchsorted(bc_keys, ok)
-        pos = np.clip(pos, 0, len(bc_keys) - 1)
-        nk = np.where(bc_keys[pos] == ok, bc_nat[pos], -1)
-        r = (t["l_extendedprice"].to_numpy() * (1 - t["l_discount"].to_numpy()))
-        df = pd.DataFrame({"n_nationkey": nk, "revenue": r})
-        return df.groupby("n_nationkey", as_index=False)["revenue"].sum()  # partial agg
+    def cust_side(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy()
+        return pa.table({
+            "part": pa.array(_part_of(k, P)),
+            "side": pa.array(np.zeros(len(k), np.int8)),
+            "key": pa.array(k),
+            "o_orderkey": pa.array(np.full(len(k), -1, np.int64)),
+            "n_nationkey": t["c_nationkey"].cast(pa.int64()),
+        })
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = li.map_batches(rev, batch_format="pyarrow") \
-            .groupby("n_nationkey").sum("revenue").to_pandas()
-    agg = agg.rename(columns={"sum(revenue)": "revenue"})
+    def order_side(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy()
+        return pa.table({
+            "part": pa.array(_part_of(k, P)),
+            "side": pa.array(np.ones(len(k), np.int8)),
+            "key": pa.array(k),
+            "o_orderkey": t["o_orderkey"],
+            "n_nationkey": pa.array(np.full(len(k), -1, np.int64)),
+        })
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        empty = pa.table({"part": pa.array([], pa.int64()),
+                          "side": pa.array([], pa.int8()),
+                          "o_orderkey": pa.array([], pa.int64()),
+                          "n_nationkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy()
+        ck = t["key"].to_numpy()[side == 0]
+        cn = t["n_nationkey"].to_numpy()[side == 0]
+        co = np.argsort(ck, kind="stable")
+        ck, cn = ck[co], cn[co]
+        ok_rows = side == 1
+        okey = t["key"].to_numpy()[ok_rows]
+        pos = np.searchsorted(ck, okey)
+        posc = np.minimum(pos, max(len(ck) - 1, 0))
+        hit = (pos < len(ck)) & (ck[posc] == okey) \
+            if len(ck) else np.zeros(len(okey), bool)
+        okeys = t["o_orderkey"].to_numpy()[ok_rows][hit]
+        n = len(okeys)
+        return pa.table({
+            "part": pa.array(_part_of(okeys, P)),   # fused next-hop key
+            "side": pa.array(np.zeros(n, np.int8)),
+            "o_orderkey": pa.array(okeys),
+            "n_nationkey": pa.array(cn[posc[hit]]),
+            "revenue": pa.array(np.full(n, np.nan)),
+        })
+
+    order_nation = exchange_reduce(
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(order_side, batch_format="pyarrow")),
+        P, attach_nation)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy()
+        r = (t["l_extendedprice"].to_numpy()
+             * (1.0 - t["l_discount"].to_numpy()))
+        uk, inv = np.unique(k, return_inverse=True)
+        pr = np.zeros(len(uk))
+        np.add.at(pr, inv, r)
+        n = len(uk)
+        return pa.table({
+            "part": pa.array(_part_of(uk, P)),
+            "side": pa.array(np.ones(n, np.int8)),
+            "o_orderkey": pa.array(uk),
+            "n_nationkey": pa.array(np.full(n, -1, np.int64)),
+            "revenue": pa.array(pr),
+        })
+
+    def nation_sums(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_nationkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        side = t["side"].to_numpy()
+        bk = t["o_orderkey"].to_numpy()[side == 0]
+        bn = t["n_nationkey"].to_numpy()[side == 0]
+        bo = np.argsort(bk, kind="stable")
+        bk, bn = bk[bo], bn[bo]
+        lk = t["o_orderkey"].to_numpy()[side == 1]
+        lr = t["revenue"].to_numpy()[side == 1]
+        pos = np.searchsorted(bk, lk)
+        posc = np.minimum(pos, max(len(bk) - 1, 0))
+        hit = (pos < len(bk)) & (bk[posc] == lk) \
+            if len(bk) else np.zeros(len(lk), bool)
+        nk = bn[posc[hit]]
+        un, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(un))
+        np.add.at(s, inv, lr[hit])
+        return pa.table({"n_nationkey": pa.array(un),
+                         "revenue": pa.array(s)})
+
+    agg = exchange_reduce(
+        order_nation.union(li.map_batches(li_side, batch_format="pyarrow")),
+        P, nation_sums).to_pandas()             # ≤ P×25 rows
+    agg = agg.groupby("n_nationkey", as_index=False)["revenue"].sum()
     agg = agg.merge(nation, on="n_nationkey")
     agg["revenue"] = round_half_away(agg["revenue"], 2)
     return agg[["n_name", "revenue"]]
