@@ -53,7 +53,8 @@ LAYER_NAMES = {0: "polygons", 1: "points", 2: "lines"}
 
 
 def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
-            min_pixel_size: float, attr_cols: tuple[str, ...]) -> pa.Table:
+            min_pixel_size: float, attr_cols: tuple[str, ...],
+            geometry_pipeline=None) -> pa.Table:
     kinds = batch["kind"].to_numpy(zero_copy_only=False)
     gids = batch["geom_id"].to_numpy()
     # optional per-row MVT layer (profile rules) overrides the
@@ -135,6 +136,17 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
             gxv, gyv = kx[g_v] * f, ky[g_v] * f
             g_offs = np.concatenate([[0], np.cumsum(g_counts)])
             src_rows = sel[gi]
+            if geometry_pipeline is not None and kind_name != "point":
+                # per-zoom user GeometryPipeline hook
+                # (geo/GeometryPipeline.java:14,
+                # FeatureCollector.java:801-825): replaces the default
+                # per-zoom geometry transform; must preserve geometry
+                # COUNT (vertex streams may change freely)
+                gxv, gyv, g_offs = geometry_pipeline(
+                    z, kind_name, gxv, gyv, g_offs)
+                g_offs = np.asarray(g_offs, np.int64)
+                assert len(g_offs) - 1 == len(src_rows), \
+                    "geometry_pipeline must preserve geometry count"
             if kind_name == "point":
                 r = slice_points(gxv, gyv, z, buffer)
                 tid = tms_encode(r["x"], r["y"], np.full(len(r["x"]), z,
@@ -486,7 +498,8 @@ def geometry_fragments(geoms: "ray.data.Dataset", min_zoom: int = 0,
                        max_zoom: int = 14,
                        buffer_px: float = DEFAULT_BUFFER_PX,
                        min_pixel_size: float = 1.0,
-                       attr_cols: tuple[str, ...] = ()
+                       attr_cols: tuple[str, ...] = (),
+                       geometry_pipeline=None
                        ) -> "ray.data.Dataset":
     """The pre-reduce fan-out fragment stream (tile_id, z, layer, kind,
     geom_id, vertices [, attrs…]) — the input both of the tile reduce
@@ -495,7 +508,7 @@ def geometry_fragments(geoms: "ray.data.Dataset", min_zoom: int = 0,
     contract)."""
     fan = partial(_fanout, min_zoom=min_zoom, max_zoom=max_zoom,
                   buffer=buffer_px / 256.0, min_pixel_size=min_pixel_size,
-                  attr_cols=attr_cols)
+                  attr_cols=attr_cols, geometry_pipeline=geometry_pipeline)
     return geoms.map_batches(fan, batch_format="pyarrow")
 
 
@@ -508,7 +521,8 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
                          poly_merge: dict | None = None,
                          layer_names: dict | None = None,
                          shuffle: str = "exchange",
-                         num_partitions: int = 64
+                         num_partitions: int = 64,
+                         geometry_pipeline=None
                          ) -> "ray.data.Dataset":
     """rows(geom_id, kind, xs, ys [, attrs…]) → MVT tile Dataset.
 
@@ -523,6 +537,12 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
     ``layer_names``: custom MVT layer names keyed by layer id; rows may
     carry a per-row ``layer_id`` column (profile rules) which overrides
     the kind-derived layer.
+    ``geometry_pipeline``: per-zoom user geometry hook
+    ``fn(z, kind, vx, vy, offsets) -> (vx, vy, offsets)`` applied to
+    the zoom-scaled vertex stream of every line/polygon batch before
+    tile slicing — the ``geo/GeometryPipeline.java`` /
+    ``FeatureCollector.setGeometryPipeline`` analog (e.g. the
+    ``tilemath.simplify`` midpoint/Chaikin smoothers).
     ``shuffle``: "exchange" (default) hash-partitions tiles into
     ``num_partitions`` explicit exchange partitions and encodes many
     tiles per reduce task — per-tile ``map_groups`` ("groupby") spends
@@ -532,7 +552,8 @@ def build_geometry_tiles(geoms: "ray.data.Dataset", min_zoom: int = 0,
     frags = geometry_fragments(geoms, min_zoom=min_zoom, max_zoom=max_zoom,
                                buffer_px=buffer_px,
                                min_pixel_size=min_pixel_size,
-                               attr_cols=attr_cols)
+                               attr_cols=attr_cols,
+                               geometry_pipeline=geometry_pipeline)
     if shuffle == "groupby":
         return frags.groupby("tile_id").map_groups(enc,
                                                    batch_format="pyarrow")

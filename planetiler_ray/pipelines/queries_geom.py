@@ -654,6 +654,117 @@ FROM c GROUP BY caption
 
 
 # ---------------------------------------------------------------------------
+# line_smooth — midpoint + Chaikin smoothers over per-user trajectories
+# ---------------------------------------------------------------------------
+
+def q_line_smooth(sf_dir: str):
+    """Midpoint and dual-midpoint (Chaikin) smoothing over per-user
+    trajectories (``geo/MidpointSmoother.java``,
+    ``geo/DualMidpointSmoother.java:120-221``; the per-zoom
+    GeometryPipeline hook's kernels): one iteration of each, reporting
+    vertex count and polyline length per user.  Placement is the
+    arithmetic (ts, event_id) trajectory of ``geom_derivations`` so
+    the oracle interpolates the same doubles op-for-op."""
+    from ..tilemath.simplify import dual_midpoint_smooth, midpoint_smooth
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        u = (eid * U_MULT) % (1 << 32)
+        v = (eid * V_MULT) % (1 << 32)
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"], "event_id": eid,
+            "wx": u.astype(np.float64) / TWO32,
+            "wy": 0.05 + 0.9 * (v.astype(np.float64) / TWO32),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vx = g["wx"].to_numpy()
+        vy = g["wy"].to_numpy()
+        offs = np.array([0, len(vx)], np.int64)
+        cx, cy, co = dual_midpoint_smooth(vx, vy, offs, closed=False,
+                                          a=0.25, b=0.75, iters=1)
+        mx, my, mo = midpoint_smooth(vx, vy, offs, closed=False,
+                                     ratio=0.5, iters=1)
+        length = lambda x, y: float(np.hypot(np.diff(x), np.diff(y)).sum())
+        r6 = lambda x: round_half_away(x, 6)[()]
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "chaikin_n": [np.int64(co[-1])],
+            "chaikin_len": [r6(length(cx, cy))],
+            "mid_n": [np.int64(mo[-1])],
+            "mid_len": [r6(length(mx, my))],
+        })
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(pts, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_LINE_SMOOTH = """
+WITH pts AS (
+    SELECT user_id, ts, event_id,
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
+           0.05 + 0.9 * (((event_id * 2246822519) % 4294967296)
+                         / 4294967296.0) AS wy,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events),
+nbr AS (
+    SELECT *,
+           lag(wx) OVER w AS px, lag(wy) OVER w AS py,
+           lead(wx) OVER w AS nx, lead(wy) OVER w AS ny
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY i)),
+-- one Chaikin iteration: endpoints + 2 points per interior vertex
+chk AS (
+    SELECT user_id, i AS ord, wx AS x, wy AS y FROM nbr
+    WHERE i = 0 OR n <= 2
+    UNION ALL
+    SELECT user_id, 2 * i, px + (wx - px) * 0.75, py + (wy - py) * 0.75
+    FROM nbr WHERE n > 2 AND i BETWEEN 1 AND n - 2
+    UNION ALL
+    SELECT user_id, 2 * i + 1, wx + (nx - wx) * 0.25, wy + (ny - wy) * 0.25
+    FROM nbr WHERE n > 2 AND i BETWEEN 1 AND n - 2
+    UNION ALL
+    SELECT user_id, 2 * n, wx, wy FROM nbr WHERE n > 2 AND i = n - 1),
+-- one midpoint iteration: endpoints + one point per edge
+mid AS (
+    SELECT user_id, i AS ord, wx AS x, wy AS y FROM nbr
+    WHERE i = 0 OR n <= 2
+    UNION ALL
+    SELECT user_id, i + 1, px + (wx - px) * 0.5, py + (wy - py) * 0.5
+    FROM nbr WHERE n > 2 AND i >= 1
+    UNION ALL
+    SELECT user_id, n + 1, wx, wy FROM nbr WHERE n > 2 AND i = n - 1),
+cseg AS (
+    SELECT user_id, x, y,
+           lag(x) OVER (PARTITION BY user_id ORDER BY ord) AS lx,
+           lag(y) OVER (PARTITION BY user_id ORDER BY ord) AS ly
+    FROM chk),
+clen AS (
+    SELECT user_id, count(*) AS chaikin_n,
+           coalesce(sum(sqrt((x - lx) * (x - lx) + (y - ly) * (y - ly))),
+                    0) AS raw_len
+    FROM cseg GROUP BY user_id),
+mseg AS (
+    SELECT user_id, x, y,
+           lag(x) OVER (PARTITION BY user_id ORDER BY ord) AS lx,
+           lag(y) OVER (PARTITION BY user_id ORDER BY ord) AS ly
+    FROM mid),
+mlen AS (
+    SELECT user_id, count(*) AS mid_n,
+           coalesce(sum(sqrt((x - lx) * (x - lx) + (y - ly) * (y - ly))),
+                    0) AS raw_len
+    FROM mseg GROUP BY user_id)
+SELECT c.user_id, c.chaikin_n,
+       round(c.raw_len, 6) AS chaikin_len,
+       m.mid_n, round(m.raw_len, 6) AS mid_len
+FROM clen c JOIN mlen m USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # ocean_fill_tiles — stripe clip with range-tracked interior fill
 # ---------------------------------------------------------------------------
 
@@ -764,6 +875,7 @@ GEOM_QUERIES = {
     "line_merge_scaled": q_line_merge_scaled,
     "geojson_roundtrip": q_geojson_roundtrip,
     "ocean_fill_tiles": q_ocean_fill_tiles,
+    "line_smooth": q_line_smooth,
 }
 
 GEOM_ORACLE_SQL = {
@@ -775,4 +887,5 @@ GEOM_ORACLE_SQL = {
     "line_merge_scaled": SQL_LINE_MERGE_SCALED,
     "geojson_roundtrip": SQL_GEOJSON_ROUNDTRIP,
     "ocean_fill_tiles": SQL_OCEAN_FILL_TILES,
+    "line_smooth": SQL_LINE_SMOOTH,
 }
