@@ -99,6 +99,16 @@ def run_bench() -> dict:
     ray.data.range(num_cpus * 1000, override_num_blocks=num_cpus) \
         .add_column("k", lambda b: b["id"] % 64, batch_format="pandas") \
         .groupby("k").count().count()
+    # warm the raw-task exchange path too (untimed): exports the cached
+    # split/combine/reduce remote functions to every worker once, so no
+    # timed query pays first-use function export or worker spawn
+    import pyarrow as _pa
+
+    from planetiler_ray.stages.exchange import exchange_reduce
+    warm = ray.data.range(num_cpus * 64, override_num_blocks=num_cpus) \
+        .map_batches(lambda b: _pa.table(
+            {"part": _pa.array(b["id"] % 8)}), batch_format="pyarrow")
+    exchange_reduce(warm, 8, lambda t: t.slice(0, 1)).count()
 
     n_images = sum(pq_.read_metadata(os.path.join(images_dir, f)).num_rows
                    for f in os.listdir(images_dir) if f.endswith(".parquet"))

@@ -123,11 +123,18 @@ def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
     mb_path = os.path.join(base, f"{tag}.mbtiles")
     pm_path = os.path.join(base, f"{tag}.pmtiles")
     fl_dir = os.path.join(base, f"{tag}.files")
+    cs_dir = os.path.join(base, f"{tag}.csv")
+    pr_dir = os.path.join(base, f"{tag}.proto")
     import shutil
     shutil.rmtree(fl_dir, ignore_errors=True)
+    shutil.rmtree(cs_dir, ignore_errors=True)
+    shutil.rmtree(pr_dir, ignore_errors=True)
     write_mbtiles(tiles, mb_path, compact=True)
     write_pmtiles(tiles, pm_path, min_zoom=zoom, max_zoom=zoom)
     write_files(tiles, fl_dir)
+    from ..sinks import write_csv, write_proto_stream
+    write_csv(tiles, cs_dir)
+    write_proto_stream(tiles, pr_dir)
 
     # enumerate each archive's own keyspace (never the in-memory tiles)
     con = sqlite3.connect(mb_path)
@@ -197,4 +204,46 @@ def archive_roundtrip_summary(sf_dir: str, zoom: int = 6,
         return pa.concat_tables(parts) if parts else _decode_stats(
             "mbtiles", np.array([], np.int64), [])
 
-    return keys.map_batches(readback, batch_format="pyarrow", batch_size=512)
+    rb = keys.map_batches(readback, batch_format="pyarrow", batch_size=512)
+
+    # stream archives round-trip through their own serialization: the
+    # CSV is re-read as CSV (base64 → gunzip), the proto stream is
+    # re-framed shard by shard (stream/WriteableCsvArchive.java,
+    # stream/WriteableProtoStreamArchive.java read contracts)
+    import base64
+
+    def csv_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _decode_stats("csv", np.array([], np.int64), [])
+        z = batch["z"].to_numpy()
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        tids = tms_encode(x, y, z)
+        raws = [gzip.decompress(base64.b64decode(s))
+                for s in batch["encoded"].to_pylist()]
+        return _decode_stats("csv", tids, raws)
+
+    csv_ds = ray.data.read_csv(cs_dir) \
+        .map_batches(csv_stats, batch_format="pyarrow")
+
+    shard_paths = [os.path.join(pr_dir, n) for n in sorted(os.listdir(pr_dir))
+                   if n.endswith(".bin")]
+
+    def proto_stats(batch: pa.Table) -> pa.Table:
+        from ..sinks import read_proto_file
+        zs, xs, ys, raws = [], [], [], []
+        for path in batch["path"].to_pylist():
+            for t in read_proto_file(path):
+                zs.append(t["z"])
+                xs.append(t["x"])
+                ys.append(t["y"])
+                raws.append(gzip.decompress(t["bytes"]))
+        tids = tms_encode(np.array(xs, np.int64), np.array(ys, np.int64),
+                          np.array(zs, np.int64))
+        return _decode_stats("proto", tids, raws)
+
+    proto_ds = ray.data.from_items(
+        [{"path": p} for p in shard_paths]) \
+        .map_batches(proto_stats, batch_format="pyarrow")
+
+    return rb.union(csv_ds, proto_ds)

@@ -341,8 +341,14 @@ def q_multimodal_decode(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"]) \
         .map_batches(synth, batch_format="pyarrow", batch_size=256) \
         .map_batches(DecodeImages, batch_format="pyarrow", batch_size=128,
-                     concurrency=(1, 4))  # autoscaling pool: never starves
+                     concurrency=(1, 4),  # autoscaling pool: never starves
                                           # upstream tasks on small sessions
+                     # fused upstream closures land in the object store
+                     # as actor ctor args; with restarts enabled Ray
+                     # warns the restart could fail if they are lost
+                     # (ray#53727).  The pool recreates workers itself,
+                     # so disable actor-level restarts.
+                     max_restarts=0)
     out = ds.groupby("fmt").aggregate(
         Count(alias_name="n"),
         Sum("ok", alias_name="n_ok"),

@@ -619,7 +619,8 @@ def sql_archive_roundtrip(zoom: int = 6) -> str:
 SELECT a.archive, s.*
 FROM ({inner}) s
 CROSS JOIN (SELECT 'mbtiles' AS archive UNION ALL SELECT 'pmtiles'
-            UNION ALL SELECT 'files') a
+            UNION ALL SELECT 'files' UNION ALL SELECT 'csv'
+            UNION ALL SELECT 'proto') a
 """
 
 

@@ -308,34 +308,42 @@ def read_proto_stream(out_dir: str) -> list[dict]:
     for name in sorted(os.listdir(out_dir)):
         if not name.endswith(".bin"):
             continue
-        data = open(os.path.join(out_dir, name), "rb").read()
-        pos = 0
+        tiles.extend(read_proto_file(os.path.join(out_dir, name)))
+    return tiles
 
-        def rv(p):
-            r, s = 0, 0
-            while True:
-                b = data[p]
-                p += 1
-                r |= (b & 0x7F) << s
-                if not b & 0x80:
-                    return r, p
-                s += 7
 
-        while pos < len(data):
-            ln, pos = rv(pos)
-            end = pos + ln
-            t = {}
-            while pos < end:
-                key, pos = rv(pos)
-                field = key >> 3
-                if key & 7 == 0:
-                    v, pos = rv(pos)
-                    t[{1: "z", 2: "x", 3: "y"}[field]] = v
-                else:
-                    bl, pos = rv(pos)
-                    t["bytes"] = data[pos:pos + bl]
-                    pos += bl
-            tiles.append(t)
+def read_proto_file(path: str) -> list[dict]:
+    """Decode ONE proto-stream shard (the per-file unit a distributed
+    reader parallelizes over)."""
+    tiles = []
+    data = open(path, "rb").read()
+    pos = 0
+
+    def rv(p):
+        r, s = 0, 0
+        while True:
+            b = data[p]
+            p += 1
+            r |= (b & 0x7F) << s
+            if not b & 0x80:
+                return r, p
+            s += 7
+
+    while pos < len(data):
+        ln, pos = rv(pos)
+        end = pos + ln
+        t = {}
+        while pos < end:
+            key, pos = rv(pos)
+            field = key >> 3
+            if key & 7 == 0:
+                v, pos = rv(pos)
+                t[{1: "z", 2: "x", 3: "y"}[field]] = v
+            else:
+                bl, pos = rv(pos)
+                t["bytes"] = data[pos:pos + bl]
+                pos += bl
+        tiles.append(t)
     return tiles
 
 

@@ -83,6 +83,41 @@ def _split_block(num_targets: int, key_offset: int, key_div: int,
     return out
 
 
+def _merge_tables(tables):
+    live = [t for t in tables if t.num_rows]
+    if live:
+        return pa.concat_tables(live)
+    # all empty: prefer a typed empty over a schema-less one
+    return next((t for t in tables if t.num_columns), tables[0])
+
+
+def _combine_task(*tables: pa.Table) -> pa.Table:
+    return _merge_tables(tables)
+
+
+def _reduce_task(reduce_fn, pass_part: bool, part_id: int,
+                 *tables: pa.Table) -> pa.Table:
+    merged = _merge_tables(tables)
+    return reduce_fn(merged, part_id) if pass_part else reduce_fn(merged)
+
+
+_REMOTE_CACHE: dict = {}
+
+
+def _remotes() -> dict:
+    """Remote handles created ONCE per session: a fresh ``ray.remote``
+    per ``exchange_reduce`` call would mint a new function id each
+    call and re-export it to every worker (measured ~0.1–1 s per
+    exchange on a 32-worker session).  ``reduce_fn`` travels as a
+    ``ray.put`` ref argument instead of a closure so one exported
+    function serves every exchange."""
+    if not _REMOTE_CACHE:
+        _REMOTE_CACHE["split"] = ray.remote(_split_block)
+        _REMOTE_CACHE["combine"] = ray.remote(_combine_task)
+        _REMOTE_CACHE["reduce"] = ray.remote(_reduce_task)
+    return _REMOTE_CACHE
+
+
 def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
                     reduce_fn: Callable[..., pa.Table],
                     parts_to_run: np.ndarray | None = None,
@@ -112,7 +147,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     # Tiny upstream blocks (e.g. out of a per-group stage) are grouped
     # into one split task each, so task and piece counts track data
     # volume, not upstream block count.
-    split = ray.remote(_split_block)
+    split = _remotes()["split"]
+    reduce_fn_ref = ray.put(reduce_fn)
 
     def launch_split(refs, n, offset=0, div=1):
         out = split.options(num_returns=n).remote(n, offset, div, *refs)
@@ -136,21 +172,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     if n_blocks == 0:
         return ray.data.from_items([])
 
-    def _merge(tables):
-        live = [t for t in tables if t.num_rows]
-        if live:
-            return pa.concat_tables(live)
-        # all empty: prefer a typed empty over a schema-less one
-        return next((t for t in tables if t.num_columns), tables[0])
-
-    @ray.remote
-    def combine(*tables: pa.Table) -> pa.Table:
-        return _merge(tables)
-
-    @ray.remote
-    def reduce_task(part_id: int, *tables: pa.Table) -> pa.Table:
-        merged = _merge(tables)
-        return reduce_fn(merged, part_id) if pass_part else reduce_fn(merged)
+    combine = _remotes()["combine"]
+    reduce_task = _remotes()["reduce"]
 
     run = sorted(range(num_partitions) if parts_to_run is None
                  else [int(p) for p in parts_to_run])
@@ -159,7 +182,7 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         while len(refs) > max_fanin:
             refs = [combine.remote(*refs[i:i + max_fanin])
                     for i in range(0, len(refs), max_fanin)]
-        return reduce_task.remote(p, *refs)
+        return reduce_task.remote(reduce_fn_ref, pass_part, p, *refs)
 
     # NOTE on the materialize() below: the exchange output refs are the
     # reduce tasks' results — already concrete object-store blocks, the
