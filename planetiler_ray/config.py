@@ -115,10 +115,58 @@ def osm_rules_from_yaml(path: str) -> list:
                     walk(v, acc)
             return acc
         fields = walk(lay.get("include_when", {}), set())
+        # attrs entries: plain tag keys, or {key: name, value: <expr>}
+        # computed attr-value expressions (the custommap
+        # ConfigExpressionParser forms — functions.valueexpr)
+        from .functions.valueexpr import compile_value_expression
+        plain, computed = [], {}
+        for a in lay.get("attrs", []):
+            if isinstance(a, dict):
+                computed[a["key"]] = compile_value_expression(
+                    a.get("value", a.get("expr")))
+                walk(a.get("value", a.get("expr")), fields)
+                for k in _tag_values_in(a.get("value", a.get("expr"))):
+                    fields.add(k)
+            else:
+                plain.append(a)
         rules.append(OsmLayerRule(
             lay["name"], lay.get("element", "line"), expr,
-            attrs=tuple(lay.get("attrs", [])),
-            tag_keys=tuple(sorted(fields)),
+            attrs=tuple(plain),
+            tag_keys=tuple(sorted(fields | set(plain))),
             min_zoom=int(lay.get("min_zoom", 0)),
-            max_zoom=int(lay.get("max_zoom", 15))))
+            max_zoom=int(lay.get("max_zoom", 15)),
+            computed_attrs=computed))
     return rules
+
+
+def _tag_values_in(node, acc=None) -> set:
+    """Tag keys referenced by a value expression: ``tag_value`` forms
+    and bare identifiers inside ``${…}`` scripts — these must be
+    promoted from the tag lists even when not kept as plain attrs."""
+    import ast as _ast
+    import re as _re
+    if acc is None:
+        acc = set()
+    if isinstance(node, dict):
+        if "tag_value" in node and isinstance(node["tag_value"], str):
+            acc.add(node["tag_value"])
+        for v in node.values():
+            _tag_values_in(v, acc)
+    elif isinstance(node, list):
+        for v in node:
+            _tag_values_in(v, acc)
+    elif isinstance(node, str):
+        m = _re.match(r"^\s*\$\{(.*)\}\s*$", node, _re.DOTALL)
+        if m:
+            src = _re.sub(r"&&", " and ", m.group(1))
+            src = _re.sub(r"\|\|", " or ", src)
+            try:
+                tree = _ast.parse(src.strip(), mode="eval")
+            except SyntaxError:
+                return acc
+            funcs = {"num", "str", "upper", "lower", "len", "abs",
+                     "round", "coalesce", "min2", "max2", "concat"}
+            for sub in _ast.walk(tree):
+                if isinstance(sub, _ast.Name) and sub.id not in funcs:
+                    acc.add(sub.id)
+    return acc

@@ -663,12 +663,16 @@ class OsmLayerRule:
 
     def __init__(self, name: str, element: str, match, *,
                  attrs: tuple[str, ...] = (), tag_keys: tuple[str, ...] = (),
-                 min_zoom: int = 0, max_zoom: int = 15):
+                 min_zoom: int = 0, max_zoom: int = 15,
+                 computed_attrs: dict | None = None):
         assert element in ("point", "line", "area", "relation")
         self.name = name
         self.element = element
         self.match = match
         self.attrs = tuple(attrs)
+        # name → value-expression fn (functions.valueexpr): the
+        # custommap attr-value expressions (ConfigExpressionParser)
+        self.computed_attrs = dict(computed_attrs or {})
         # keys the match expression needs beyond the attrs
         self.tag_keys = tuple(dict.fromkeys(tag_keys + attrs))
         # per-rule zoom window (every reference profile sets these;
@@ -687,7 +691,8 @@ def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
     attr columns).  Relation rules match against the RELATION's tags,
     broadcast driver-side (the reference holds relation info in RAM on
     every worker, "≤500MB", ``OsmReader.java:83-87`` — same budget)."""
-    all_attrs = tuple(dict.fromkeys(a for r in rules for a in r.attrs))
+    all_attrs = tuple(dict.fromkeys(
+        a for r in rules for a in (*r.attrs, *r.computed_attrs)))
     layer_ids = {name: i for i, name in enumerate(
         dict.fromkeys(r.name for r in rules))}
 
@@ -730,8 +735,13 @@ def osm_features(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
                         np.full(sub.num_rows, r.max_zoom, np.int8)),
                     "xs": xs, "ys": ys}
             for a in all_attrs:
-                cols[a] = (sub[a] if a in r.attrs
-                           else pa.array([None] * sub.num_rows, pa.string()))
+                if a in r.attrs:
+                    cols[a] = sub[a]
+                elif a in r.computed_attrs:
+                    cols[a] = pc.cast(r.computed_attrs[a](sub),
+                                      pa.string())
+                else:
+                    cols[a] = pa.array([None] * sub.num_rows, pa.string())
             parts.append(pa.table(cols))
         if not parts:
             return empty()
@@ -855,7 +865,8 @@ def build_osm_tiles(nodes: "ray.data.Dataset", ways: "ray.data.Dataset",
     ``Profile.processFeature`` semantics."""
     from .geometry import build_geometry_tiles
 
-    all_attrs = tuple(dict.fromkeys(a for r in rules for a in r.attrs))
+    all_attrs = tuple(dict.fromkeys(
+        a for r in rules for a in (*r.attrs, *r.computed_attrs)))
     names = {i: name for i, name in enumerate(
         dict.fromkeys(r.name for r in rules))}
     feats = osm_features(nodes, ways, rules, num_partitions,

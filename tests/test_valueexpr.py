@@ -1,0 +1,137 @@
+"""Custommap attr-value expressions (functions.valueexpr) — the
+``ConfigExpressionParser.java:69-157`` form dispatch (constants,
+tag_value, coalesce, type casts, match/overrides) and the ``${…}``
+arithmetic/string script subset compiled to Arrow compute — plus the
+end-to-end flow: a YAML layer with computed attrs through the OSM
+rule pipeline into encoded MVT attributes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from planetiler_ray.functions.valueexpr import (compile_value_expression,
+                                                is_script, unescape)
+
+
+def T(**cols):
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def test_forms():
+    t = T(name=["a", None, "ccc"], ref=["r1", "r2", None],
+          width=["2", "3.5", None])
+    const = compile_value_expression(5)
+    assert const(t).to_pylist() == [5, 5, 5]
+    tag = compile_value_expression({"tag_value": "name"})
+    assert tag(t).to_pylist() == ["a", None, "ccc"]
+    missing = compile_value_expression({"tag_value": "nope"})
+    assert missing(t).to_pylist() == [None] * 3
+    co = compile_value_expression({"coalesce": [{"tag_value": "name"},
+                                                {"tag_value": "ref"},
+                                                "x"]})
+    assert co(t).to_pylist() == ["a", "r2", "ccc"]
+    cast = compile_value_expression({"type": "double",
+                                     "value": {"tag_value": "width"}})
+    assert cast(t).to_pylist() == [2.0, 3.5, None]
+    casti = compile_value_expression({"type": "integer",
+                                      "value": {"tag_value": "width"}})
+    assert casti(t).to_pylist() == [2, 3, None]
+    castb = compile_value_expression({"type": "boolean",
+                                      "value": {"tag_value": "name"}})
+    assert castb(t).to_pylist() == [False, False, False]
+    assert compile_value_expression({"type": "boolean", "value": "yes"}) \
+        (t).to_pylist() == [True] * 3
+
+
+def test_match_form():
+    t = T(highway=["motorway", "path", "residential"],
+          surface=[None, "dirt", None])
+    expr = compile_value_expression({"match": [
+        {"if": {"field": "highway", "match": ["motorway"]}, "value": "M"},
+        {"if": {"field": "surface", "present": True}, "value":
+            {"tag_value": "surface"}},
+        {"else": "other"},
+    ]})
+    assert expr(t).to_pylist() == ["M", "dirt", "other"]
+    ov = compile_value_expression({
+        "default_value": "d",
+        "overrides": [{"if": {"field": "highway", "match": ["path"]},
+                       "value": "P"}]})
+    assert ov(t).to_pylist() == ["d", "P", "d"]
+
+
+def test_scripts():
+    t = T(width=["2", "4", "6"], name=["ab", "c", None],
+          lanes=["1", None, "3"])
+    assert is_script("${ 1 + 2 }") and not is_script("plain")
+    assert unescape("\\${ x }") == "${ x }"
+    s = compile_value_expression("${ num(width) * 2 + 1 }")
+    assert s(t).to_pylist() == [5.0, 9.0, 13.0]
+    s2 = compile_value_expression("${ name + '-' + width }")
+    assert s2(t).to_pylist() == ["ab-2", "c-4", None]
+    s3 = compile_value_expression("${ num(width) >= 4 && num(width) < 6 }")
+    assert s3(t).to_pylist() == [False, True, False]
+    s4 = compile_value_expression("${ coalesce(lanes, width) }")
+    assert s4(t).to_pylist() == ["1", "4", "3"]
+    s5 = compile_value_expression("${ upper(name) }")
+    assert s5(t).to_pylist() == ["AB", "C", None]
+    s6 = compile_value_expression("${ min2(num(width), 4) }")
+    assert s6(t).to_pylist() == [2.0, 4.0, 4.0]
+    s7 = compile_value_expression("${ num(width) % 4 }")
+    assert s7(t).to_pylist() == [2.0, 0.0, 2.0]
+    with pytest.raises(ValueError):
+        compile_value_expression("${ __import__('os') }")
+    with pytest.raises(ValueError):
+        compile_value_expression("${ [1,2] }")
+
+
+def test_computed_attrs_through_osm_rules(ray_session, tmp_path):
+    """YAML layer with computed attrs flows into the encoded MVT —
+    the osm_line_tiles-style path."""
+    import gzip
+    import ray.data
+    from planetiler_ray.config import osm_rules_from_yaml
+    from planetiler_ray.pipelines.osm import build_osm_tiles
+    from planetiler_ray.tilemath.mvt_pb import decode_tile
+
+    yml = tmp_path / "profile.yaml"
+    yml.write_text("""
+layers:
+  - name: roads
+    element: line
+    include_when: {field: highway, present: true}
+    attrs:
+      - highway
+      - key: tag
+        value: {coalesce: [{tag_value: ref}, {tag_value: highway}]}
+      - key: score
+        value: "${ num(lanes) * 10 }"
+""")
+    rules = osm_rules_from_yaml(str(yml))
+    assert rules[0].attrs == ("highway",)
+    assert set(rules[0].computed_attrs) == {"tag", "score"}
+    assert {"highway", "ref", "lanes"} <= set(rules[0].tag_keys)
+
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": pa.array([1, 2], pa.int64()),
+        "lon": pa.array([10.0, 25.0]),
+        "lat": pa.array([20.0, 35.0]),
+        "tag_keys": pa.array([[], []], pa.list_(pa.string())),
+        "tag_vals": pa.array([[], []], pa.list_(pa.string())),
+    }))
+    ways = ray.data.from_arrow(pa.table({
+        "way_id": pa.array([7], pa.int64()),
+        "refs": pa.array([[1, 2]], pa.list_(pa.int64())),
+        "tag_keys": pa.array([["highway", "lanes"]], pa.list_(pa.string())),
+        "tag_vals": pa.array([["primary", "2"]], pa.list_(pa.string())),
+    }))
+    tiles = build_osm_tiles(nodes, ways, rules, min_zoom=3, max_zoom=3,
+                            num_partitions=2).take_all()
+    assert tiles
+    lay = decode_tile(tiles[0]["mvt_bytes"])["roads"]
+    f = lay["features"][0]
+    attrs = {lay["keys"][f["tags"][i]]: lay["values"][f["tags"][i + 1]]
+             for i in range(0, len(f["tags"]), 2)}
+    assert attrs["highway"] == "primary"
+    assert attrs["tag"] == "primary"          # coalesce fell through
+    assert attrs["score"] == "20"             # num(lanes)*10, Arrow float->string
