@@ -157,15 +157,21 @@ def layer_stats(frags: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def vector_layer_stats(frags: "ray.data.Dataset",
                        attr_cols: tuple[str, ...] = (),
-                       layer_names: dict | None = None) -> list[dict]:
+                       layer_names: dict | None = None,
+                       infer_types: bool = False) -> list[dict]:
     """TileJSON ``vector_layers`` from the fan-out fragment stream.
 
-    Per MVT layer: zoom range plus ``fields`` (attr name → "String" /
-    "Number" / "Boolean") — the ``util/LayerAttrStats.java`` contract
-    (a field seen with conflicting types degrades to "String"; fields
-    only count where the value is present/non-empty).  Partial per-batch
-    aggregation: only the tiny (layer, field) summary reaches the
-    driver, so this second pass streams at any scale.
+    Per MVT layer: zoom range plus ``fields`` (attr name → type) — the
+    ``util/LayerAttrStats.java`` contract: the reported type is the
+    ENCODED value type, and this engine's MVT encoder writes every
+    attr as a string value, so fields report "String" by default.
+    ``infer_types=True`` instead infers "Number"/"Boolean" from value
+    CONTENT (a styling hint for consumers; a field with conflicting
+    content degrades to "String") — opt-in because it can claim types
+    the wire encoding does not carry.  Fields only count where the
+    value is present/non-empty.  Partial per-batch aggregation: only
+    the tiny (layer, field) summary reaches the driver, so this second
+    pass streams at any scale.
     """
     import pandas as pd
     from ray.data.aggregate import Max, Min
@@ -194,10 +200,15 @@ def vector_layer_stats(frags: "ray.data.Dataset",
                 present = (s.notna() & (s != "")).to_numpy()
                 if not present.any():
                     continue
-                num = pd.to_numeric(s, errors="coerce").notna().to_numpy()
-                boo = s.str.lower().isin(["true", "false"]) \
-                    .fillna(False).to_numpy()
-                tcode = np.where(boo, 1, np.where(num, 2, 3))
+                if infer_types:
+                    num = pd.to_numeric(s, errors="coerce").notna() \
+                        .to_numpy()
+                    boo = s.str.lower().isin(["true", "false"]) \
+                        .fillna(False).to_numpy()
+                    tcode = np.where(boo, 1, np.where(num, 2, 3))
+                else:
+                    # honest default: the encoder writes strings
+                    tcode = np.full(len(s), 3)
                 for code in codes:
                     m = (lay == code) & present
                     if m.any():

@@ -12,12 +12,16 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
+
+_LOG = logging.getLogger(__name__)
 
 _LSH_SEED = 7
 
@@ -266,6 +270,13 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
                     emit(int(s0 + va), int(s1 + vb))
                     if budget <= 0:
                         break
+        if budget <= 0:
+            # no silent caps: dense bucket beyond the pair budget → the
+            # truncation is observable, not silent
+            _LOG.warning(
+                "embedding_near_dup_pairs: bucket with %d rows exhausted "
+                "max_pairs_per_bucket=%d; pair output truncated",
+                len(ids), max_pairs_per_bucket)
         if not out_a:
             return empty
         # ids only: the cosine value itself is float-op-order sensitive

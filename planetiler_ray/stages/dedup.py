@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -27,6 +29,8 @@ import ray.data
 
 from ..tilemath.hashing import fnv1a_64_strings, mix64
 from .text import WORD_RE
+
+_LOG = logging.getLogger(__name__)
 
 def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic mix64-derived permutation parameters.
@@ -499,6 +503,13 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
                          int(ham[va, vb]))
                     if budget <= 0:
                         break
+        if budget <= 0:
+            # no silent caps: a legitimately dense bucket beyond the
+            # per-bucket pair budget yields truncated output — say so
+            _LOG.warning(
+                "hamming_near_dup_pairs: bucket with %d rows exhausted "
+                "max_pairs_per_bucket=%d; pair output truncated",
+                len(grp), max_pairs_per_bucket)
         if not out_a:
             return empty
         return pd.DataFrame({"id_a": np.concatenate(out_a),

@@ -123,7 +123,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
                     parts_to_run: np.ndarray | None = None,
                     pass_part: bool = False,
                     max_fanin: int = 64,
-                    two_level_threshold: int = 65536) -> "ray.data.Dataset":
+                    two_level_threshold: int = 65536,
+                    materialize: bool = True) -> "ray.data.Dataset":
     """Exchange fan-out blocks by precomputed ``part`` and reduce each.
 
     ``parts_to_run``: optional subset of partition ids (resume support —
@@ -139,6 +140,11 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     ``two_level_threshold``: when blocks × partitions exceeds this, use
     the coarse-bucket two-level split (see module docstring) so the
     driver never materializes the full B×P ref matrix.
+    ``materialize``: wait for the reduce tasks and return a concrete
+    Dataset (default — see the NOTE below for why); pass False to get
+    the lazy ref Dataset instead when composing exchanges under memory
+    pressure (escape hatch: the lazy consumption path pays a measured
+    6–12 s streaming-executor backoff on this Ray version).
     Returns a Dataset of the concatenated reduce outputs.
     """
     # stream blocks out of the fan-out as they complete and launch their
@@ -201,7 +207,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         for p in run:
             out_refs.append(tree_reduce(p, [pieces[b][p]
                                             for b in range(n_blocks)]))
-        return ray.data.from_arrow_refs(out_refs).materialize()
+        ds = ray.data.from_arrow_refs(out_refs)
+        return ds.materialize() if materialize else ds
 
     # two-level: coarse buckets of ~√P contiguous partitions
     bucket_size = max(1, math.ceil(math.sqrt(num_partitions)))
@@ -221,4 +228,5 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
             out_refs.append(tree_reduce(int(p), [sub[b][p - p_lo]
                                                  for b in range(n_blocks)]))
         del sub                  # bucket refs released before the next bucket
-    return ray.data.from_arrow_refs(out_refs).materialize()
+    ds = ray.data.from_arrow_refs(out_refs)
+    return ds.materialize() if materialize else ds

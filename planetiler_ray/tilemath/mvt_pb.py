@@ -287,21 +287,27 @@ def _encode_tile_chunk(tile_ids: np.ndarray, layer: np.ndarray,
     # --- attr values: per-(tile,layer) DEDUPLICATED value table ---------
     # (the spec's SHOULD-dedupe; indices are within-layer ranks of the
     # sorted unique strings — all derived with one lexsort, no loops).
-    # Null / empty attr values are ABSENT: no tag pair is emitted for
-    # them and they never enter the value table — the reference omits
-    # unset attrs per feature (``VectorTile.java`` tag emission).
+    # Only genuinely NULL attr values are ABSENT (no tag pair emitted);
+    # a legitimate empty string is a valid value and gets encoded —
+    # the reference omits only unset attrs (``VectorTile.java`` tag
+    # emission), it never drops empty strings.
     if K:
+        import pandas as pd
         enc_cols = []
+        null_cols = []
         for nm in key_names:
             a = np.asarray(attrs[nm])
             if a.dtype == object:
-                import pandas as pd
-                a = np.where(pd.isnull(a), "", a)
+                null = np.asarray(pd.isnull(a))
+                a = np.where(null, "", a)
+            else:
+                null = np.zeros(len(a), bool)
+            null_cols.append(null)
             enc_cols.append(np.char.encode(a.astype("U"), "utf-8"))
         flat_strs = np.stack(enc_cols, axis=1).reshape(-1)     # feature-major
-        slot_len = np.char.str_len(flat_strs).astype(np.int64)
+        flat_null = np.stack(null_cols, axis=1).reshape(-1)
         val_lay = np.repeat(lay_idx, K)
-        act_idx = np.flatnonzero(slot_len > 0)     # present (feature, key) slots
+        act_idx = np.flatnonzero(~flat_null)       # present (feature, key) slots
         a_lay = val_lay[act_idx]
         a_strs = flat_strs[act_idx]
         vorder = np.lexsort((a_strs, a_lay))
@@ -330,7 +336,7 @@ def _encode_tile_chunk(tile_ids: np.ndarray, layer: np.ndarray,
         u_strs = a_strs[u_first]
     else:
         flat_strs = np.empty(0, "S1")
-        slot_len = np.empty(0, np.int64)
+        flat_null = np.empty(0, bool)
         u_strs = np.empty(0, "S1")
         val_idx_within = np.empty(0, np.int64)
         u_lay = np.empty(0, np.int64)
@@ -353,7 +359,7 @@ def _encode_tile_chunk(tile_ids: np.ndarray, layer: np.ndarray,
     # reserved slot whose piece length is ZEROED below — the framing
     # arithmetic stays fixed-stride while the wire bytes are variable.
     if K:
-        pres = slot_len.reshape(n, K)[gfirst] > 0          # (n_feat, K)
+        pres = ~flat_null.reshape(n, K)[gfirst]            # (n_feat, K)
         tag_ints = np.empty((n_feat, 2 * K), dtype=np.uint64)
         for k in range(K):
             tag_ints[:, 2 * k] = k

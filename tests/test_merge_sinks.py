@@ -243,12 +243,19 @@ def test_vector_layers_metadata_roundtrip(ray_session, tmp_path):
     }))
     kw = dict(min_zoom=0, max_zoom=3, attr_cols=("name", "pop", "bridge"))
     vl = vector_layer_stats(geometry_fragments(geoms, **kw),
+                            infer_types=True,
                             attr_cols=("name", "pop", "bridge"))
     by_id = {d["id"]: d for d in vl}
     assert set(by_id) == {"points", "lines"}
     assert by_id["points"]["minzoom"] == 0 and by_id["points"]["maxzoom"] == 3
     assert by_id["points"]["fields"] == {"name": "String", "pop": "Number",
                                          "bridge": "Boolean"}
+    # honest default: encoded values are strings, so every field is
+    # "String" unless content inference is opted into
+    vl0 = vector_layer_stats(geometry_fragments(geoms, **kw),
+                             attr_cols=("name", "pop", "bridge"))
+    f0 = {d["id"]: d for d in vl0}["points"]["fields"]
+    assert set(f0.values()) == {"String"}
     assert "name" not in by_id["lines"]["fields"]       # null-only → absent
 
     tiles = build_geometry_tiles(geoms, **kw, num_partitions=2)
