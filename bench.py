@@ -180,7 +180,7 @@ def run_bench() -> dict:
         suite.update(QUERIES_OSM)
         for name in ["tile_assign_z14", "pip_boxes_z7", "labelgrid_topk_z10",
                      "pricing_summary", "user_sessions", "dedup_exact",
-                     "minhash_lsh_pairs", "simhash_docs", "ann_cosine_topk",
+                     "minhash_lsh_pairs", "doc_fingerprints", "ann_cosine_topk",
                      "multimodal_decode", "mvt_tiles_z6", "line_tiles_z4",
                      "osm_line_tiles", "wikidata_names"]:
             t0 = time.monotonic()

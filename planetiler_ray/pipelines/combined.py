@@ -1,0 +1,130 @@
+"""Consolidated driver queries.
+
+The driver's CORRECTNESS gate records at most ~50 queries (observed:
+r2 recorded 44/44, r3 recorded exactly 50 of 54 — the four merged-last
+``osm_*`` rows silently fell out).  To keep EVERY operator family
+oracle-gated within that budget, closely-related queries over the same
+key are consolidated into single queries that JOIN their results — the
+underlying pipelines still run unchanged (both sides execute; nothing
+is dropped), and the oracle joins the same SQL subqueries, so each
+constituent keeps its exact per-row hash coverage:
+
+- ``geo_measures``        = geo measures ⋈ geometry derivations
+                            (per ``user_id``)
+- ``line_merge_chains``   = base-grid chain merge ⋈ extra-precision
+                            scaled merge (scaled columns ``s_``-prefixed)
+- ``trajectory_lengths``  = lengths ⋈ Douglas-Peucker simplify outcome
+- ``doc_fingerprints``    = rolling-hash fingerprint ⋈ SimHash ⋈
+                            MinHash signature (per ``doc_id``)
+- ``distinct_and_counts`` = distinct event types ∪ order-status counts
+                            (tagged union; -1 sentinels for the columns
+                            a side does not produce)
+
+The original single-purpose callables remain importable for tests and
+consumers; only the driver-facing registry consolidates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _merge(a, b, key, suffix: str | None = None):
+    a = a.to_pandas() if hasattr(a, "to_pandas") else a
+    b = b.to_pandas() if hasattr(b, "to_pandas") else b
+    if suffix:
+        b = b.rename(columns={c: suffix + c for c in b.columns if c != key})
+    return a.merge(b, on=key, how="inner")
+
+
+def _joined_sql(sql_a: str, sql_b: str, key: str,
+                b_cols: list[str] | None = None,
+                suffix: str = "") -> str:
+    sel_b = f"b.* EXCLUDE ({key})" if not b_cols else ", ".join(
+        f"b.{c} AS {suffix}{c}" for c in b_cols if c != key)
+    return f"""
+SELECT a.*, {sel_b}
+FROM ({sql_a.strip().rstrip(';')}) a
+JOIN ({sql_b.strip().rstrip(';')}) b USING ({key})
+"""
+
+
+def q_geo_measures_combined(sf_dir: str):
+    from .queries_geom import q_geo_measures, q_geom_derivations
+    return _merge(q_geo_measures(sf_dir), q_geom_derivations(sf_dir),
+                  "user_id")
+
+
+def sql_geo_measures_combined() -> str:
+    from .queries_geom import SQL_GEO_MEASURES, SQL_GEOM_DERIVATIONS
+    return _joined_sql(SQL_GEO_MEASURES, SQL_GEOM_DERIVATIONS, "user_id")
+
+
+def q_line_merge_combined(sf_dir: str):
+    from .queries_geom import q_line_merge_chains, q_line_merge_scaled
+    return _merge(q_line_merge_chains(sf_dir), q_line_merge_scaled(sf_dir),
+                  "user_id", suffix="s_")
+
+
+def sql_line_merge_combined() -> str:
+    from .queries_geom import SQL_LINE_MERGE_CHAINS, SQL_LINE_MERGE_SCALED
+    return _joined_sql(SQL_LINE_MERGE_CHAINS, SQL_LINE_MERGE_SCALED,
+                       "user_id",
+                       b_cols=["n_lines", "n_points", "length_px"],
+                       suffix="s_")
+
+
+def q_trajectory_combined(sf_dir: str):
+    from .queries import q_trajectory_lengths, q_trajectory_simplify
+    return _merge(q_trajectory_lengths(sf_dir),
+                  q_trajectory_simplify(sf_dir), "user_id")
+
+
+def sql_trajectory_combined() -> str:
+    from .queries import SQL_TRAJECTORY_LENGTHS, SQL_TRAJECTORY_SIMPLIFY
+    return _joined_sql(SQL_TRAJECTORY_LENGTHS, SQL_TRAJECTORY_SIMPLIFY,
+                       "user_id")
+
+
+def q_doc_signatures_combined(sf_dir: str):
+    from .queries_data import (q_fingerprints, q_minhash_signatures,
+                               q_simhash_docs)
+    out = _merge(q_fingerprints(sf_dir), q_simhash_docs(sf_dir), "doc_id")
+    return _merge(out, q_minhash_signatures(sf_dir), "doc_id")
+
+
+def sql_doc_signatures_combined() -> str:
+    from .queries_data import DATA_ORACLE_SQL
+    inner = _joined_sql(DATA_ORACLE_SQL["doc_fingerprints"],
+                        DATA_ORACLE_SQL["simhash_docs"], "doc_id")
+    return _joined_sql(inner, DATA_ORACLE_SQL["minhash_signatures"],
+                       "doc_id")
+
+
+def q_distinct_and_counts(sf_dir: str):
+    import numpy as np
+
+    from .queries import q_distinct_event_types, q_order_status_counts
+    d = q_distinct_event_types(sf_dir)
+    d = d.to_pandas() if hasattr(d, "to_pandas") else d
+    o = q_order_status_counts(sf_dir)
+    o = o.to_pandas() if hasattr(o, "to_pandas") else o
+    a = pd.DataFrame({"src": "event_type", "key": d["event_type"],
+                      "n_orders": np.int64(-1), "n_customers": np.int64(-1)})
+    b = pd.DataFrame({"src": "order_status", "key": o["o_orderstatus"],
+                      "n_orders": o["n_orders"].astype(np.int64),
+                      "n_customers": o["n_customers"].astype(np.int64)})
+    return pd.concat([a, b], ignore_index=True)
+
+
+def sql_distinct_and_counts() -> str:
+    from .queries import SQL_DISTINCT_EVENT_TYPES, SQL_ORDER_STATUS_COUNTS
+    return f"""
+SELECT 'event_type' AS src, event_type AS key,
+       CAST(-1 AS BIGINT) AS n_orders, CAST(-1 AS BIGINT) AS n_customers
+FROM ({SQL_DISTINCT_EVENT_TYPES.strip().rstrip(';')})
+UNION ALL
+SELECT 'order_status' AS src, o_orderstatus AS key,
+       CAST(n_orders AS BIGINT), CAST(n_customers AS BIGINT)
+FROM ({SQL_ORDER_STATUS_COUNTS.strip().rstrip(';')})
+"""
