@@ -107,7 +107,8 @@ def run_bench() -> dict:
     from planetiler_ray.stages.exchange import exchange_reduce
     warm = ray.data.range(num_cpus * 64, override_num_blocks=num_cpus) \
         .map_batches(lambda b: _pa.table(
-            {"part": _pa.array(b["id"] % 8)}), batch_format="pyarrow")
+            {"part": _pa.compute.bit_wise_and(b["id"].combine_chunks(), 7)}),
+            batch_format="pyarrow")
     exchange_reduce(warm, 8, lambda t: t.slice(0, 1)).count()
 
     n_images = sum(pq_.read_metadata(os.path.join(images_dir, f)).num_rows
