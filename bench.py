@@ -157,6 +157,8 @@ def run_bench() -> dict:
                           with_feature_ids=False, bounds=b_pyr)
     n_tiles = tiles.count()
     timings["pyramid_z0_14"] = time.monotonic() - t0
+    del tiles          # release the materialized tile blocks — keeping the
+    #                    Dataset pinned starves later queries' object store
     extras["tiles"] = n_tiles
     extras["tiles_per_sec"] = round(n_tiles / timings["pyramid_z0_14"], 1)
     extras["images"] = n_images
@@ -169,6 +171,7 @@ def run_bench() -> dict:
     timings["spatial_join_z14"] = time.monotonic() - t0
     extras["join_rows"] = n_join
     extras["join_rows_per_sec"] = round(n_join / timings["spatial_join_z14"], 1)
+    del join
 
     # operator micro-suite over the shared sf tables
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
@@ -189,6 +192,7 @@ def run_bench() -> dict:
             if hasattr(res, "count"):
                 res.count()
             timings[name] = time.monotonic() - t0
+            res = None  # noqa: F841 — drop block refs before the next query
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
