@@ -245,7 +245,27 @@ def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
     ``x, y`` (tile coords, x wrapped), ``part_offsets``, ``vx, vy``
     (clipped ring vertices, local px), ``is_fill`` (the window is fully
     interior — clipped ring is the whole buffered window).
+
+    Scale escape: a ring whose bbox covers more than
+    ``STRIPE_RING_TILES`` candidate tiles would pay
+    O(bbox tiles × ring vertices) here (vertex replication per
+    candidate); such rings route through the striped kernel
+    (``stripeclip.slice_polygons_striped`` — O(vertices + boundary
+    crossings + output), ``render/TiledGeometry.java:406-699``) with
+    interior fill runs expanded to canonical fill squares, so a
+    planet-spanning coastline polygon costs boundary+output work at
+    every zoom, never bbox area × vertices.  (The expansion is
+    O(interior tiles); a sink that consumes run-native fills can call
+    ``slice_polygons_striped`` directly and skip the expansion — the
+    reference ships ``CoveredTiles`` runs to the writer the same way.)
     """
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    big = _stripe_escape_mask(px, py, ring_offsets, z, buffer)
+    if big.any():
+        return _slice_polygons_mixed(px, py, ring_offsets, z, buffer,
+                                     extents, big)
     chunked = _sliced_in_chunks(slice_polygons, px, py, ring_offsets, z,
                                 buffer, extents, "row")
     if chunked is not None:
@@ -350,6 +370,63 @@ def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
         "vx": vx_k, "vy": vy_k,
         "is_fill": is_fill,
     }
+
+
+# bbox-candidate tiles beyond which a ring takes the striped scale path
+# (slice_polygons docstring): at 4096 candidates the bbox kernel's
+# vertex replication starts to dominate; the striped kernel's
+# boundary-proportional cost wins for everything larger.
+STRIPE_RING_TILES = 4096
+
+
+def _stripe_escape_mask(px, py, ring_offsets, z, buffer) -> np.ndarray:
+    """Per-ring: bbox candidate-tile count exceeds STRIPE_RING_TILES."""
+    n_rings = len(ring_offsets) - 1
+    if n_rings == 0:
+        return np.zeros(0, bool)
+    nb = buffer + NEIGHBOR_BUFFER_EPS
+    n_tiles = 1 << z
+    o = ring_offsets[:-1]
+    w = (np.floor(np.maximum.reduceat(px, o) + nb)
+         - np.floor(np.minimum.reduceat(px, o) - nb) + 1)
+    h = (np.floor(np.maximum.reduceat(py, o) + nb)
+         - np.floor(np.minimum.reduceat(py, o) - nb) + 1)
+    return np.minimum(w, n_tiles) * h > STRIPE_RING_TILES
+
+
+def _slice_polygons_mixed(px, py, ring_offsets, z, buffer, extents,
+                          big: np.ndarray) -> dict[str, np.ndarray]:
+    """Split rings between the bbox kernel (small) and the striped
+    kernel (giant), expand the striped interior fill runs into
+    canonical fill-square fragments, and merge the outputs in the
+    ``slice_polygons`` fragment layout."""
+    from .stripeclip import expand_fill_runs, slice_polygons_striped
+
+    counts = np.diff(ring_offsets)
+    parts: list[dict[str, np.ndarray]] = []
+    idx_small = np.flatnonzero(~big)
+    if len(idx_small):
+        m = np.repeat(~big, counts)
+        offs = np.concatenate([[0], np.cumsum(counts[idx_small])])
+        r = slice_polygons(px[m], py[m], offs, z, buffer, extents)
+        r["row"] = idx_small[r["row"]]
+        parts.append(r)
+    idx_big = np.flatnonzero(big)
+    m = np.repeat(big, counts)
+    offs = np.concatenate([[0], np.cumsum(counts[idx_big])])
+    rs = slice_polygons_striped(px[m], py[m], offs, z, buffer, extents)
+    fills = expand_fill_runs(rs, buffer)
+    for r in (rs, fills):
+        r["row"] = idx_big[r["row"]]
+        parts.append(r)
+    out: dict[str, np.ndarray] = {}
+    for k in ("row", "x", "y", "vx", "vy", "is_fill"):
+        out[k] = np.concatenate([p[k] for p in parts])
+    po = [np.asarray(p["part_offsets"], np.int64) for p in parts]
+    base = np.cumsum([0] + [int(p[-1]) for p in po[:-1]])
+    out["part_offsets"] = np.concatenate(
+        [po[0]] + [p[1:] + b for p, b in zip(po[1:], base[1:])])
+    return out
 
 
 # candidate (segment, tile) pairs per internal slice chunk: the clip

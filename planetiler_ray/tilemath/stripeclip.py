@@ -35,7 +35,44 @@ import numpy as np
 
 from .clip import NEIGHBOR_BUFFER_EPS, _expand_ranges
 
-__all__ = ["slice_polygons_striped"]
+__all__ = ["expand_fill_runs", "slice_polygons_striped"]
+
+
+def expand_fill_runs(res: dict, buffer: float,
+                     outer_of_poly=None) -> dict:
+    """Expand interior fill RUNS into per-tile canonical fill-square
+    fragments — the sink-compatible shape (the reference analogously
+    expands ``CoveredTiles`` runs at archive write, every tile reusing
+    ONE memoized fill encode, ``render/FeatureRenderer.java:290-315``;
+    here every square is byte-identical so the archive content-hash
+    dedup collapses them the same way).  O(interior tiles) output,
+    O(1) per tile — no giant-ring vertex replication.
+
+    ``row`` of each fragment = the polygon id (or its outer ring via
+    ``outer_of_poly``)."""
+    import numpy as np
+
+    from .clip import _expand_ranges
+
+    bpx = buffer * 256.0
+    rr, ys = _expand_ranges(np.asarray(res["fill_y0"], np.int64),
+                            np.asarray(res["fill_y1"], np.int64))
+    n = len(rr)
+    poly = np.asarray(res["fill_poly"], np.int64)[rr]
+    vx = np.empty((n, 4))
+    vx[:] = (-bpx, 256.0 + bpx, 256.0 + bpx, -bpx)
+    vy = np.empty((n, 4))
+    vy[:] = (-bpx, -bpx, 256.0 + bpx, 256.0 + bpx)
+    return {
+        "row": poly if outer_of_poly is None else
+        np.asarray(outer_of_poly, np.int64)[poly],
+        "x": np.asarray(res["fill_x"], np.int64)[rr],
+        "y": ys,
+        "part_offsets": np.arange(n + 1, dtype=np.int64) * 4,
+        "vx": vx.ravel(),
+        "vy": vy.ravel(),
+        "is_fill": np.ones(n, bool),
+    }
 
 
 def _cyclic_segments(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -174,3 +174,61 @@ def test_candidates_scale_with_boundary_not_bbox():
         assert r["n_candidates"] < 40 * (nv + 4 * n_tiles), (z, cand)
     # growth from z10→z12 must track perimeter (×4), not area (×16)
     assert cand[12] / cand[10] < 6.0, cand
+
+
+def test_slice_polygons_escape_matches_bbox_kernel():
+    """Production entry point: a ring over the STRIPE_RING_TILES
+    threshold routes through the striped kernel + fill expansion and
+    must cover exactly the tiles (and fill set) of the bbox kernel."""
+    import planetiler_ray.tilemath.clip as C
+
+    z = 7
+    s = float(1 << z)
+    px = np.concatenate([np.array([0.1, 0.85, 0.85, 0.1]) * s,
+                         np.array([0.35, 0.55, 0.55, 0.35]) * s])
+    py = np.concatenate([np.array([0.3, 0.3, 0.7, 0.7]) * s,
+                         np.array([0.4, 0.4, 0.6, 0.6]) * s])
+    offs = np.array([0, 4, 8])
+    r_new = C.slice_polygons(px, py, offs, z, BUF)
+    old = C.STRIPE_RING_TILES
+    try:
+        C.STRIPE_RING_TILES = 10 ** 9          # force the bbox kernel
+        r_old = C.slice_polygons(px, py, offs, z, BUF)
+    finally:
+        C.STRIPE_RING_TILES = old
+
+    def frags(r):
+        return set(zip(r["row"].tolist(), r["x"].tolist(),
+                       r["y"].tolist(), r["is_fill"].tolist()))
+
+    assert frags(r_new) == frags(r_old)
+    assert len(r_new["row"]) == len(r_old["row"])
+    # offsets consistent with the vertex stream
+    assert r_new["part_offsets"][-1] == len(r_new["vx"])
+
+
+def test_slice_polygons_escape_output_bounded():
+    """The escape's work is bounded by output tiles, not bbox·vertices:
+    a world-spanning ring with many vertices at z10 finishes fast and
+    emits one fragment per covered tile."""
+    import time
+
+    import planetiler_ray.tilemath.clip as C
+
+    z = 10
+    n_tiles = 1 << z
+    nv = 4096
+    t = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    px = n_tiles / 2 + (n_tiles / 2 - 2) * np.cos(t)
+    py = n_tiles / 2 + (n_tiles / 2 - 2) * np.sin(t)
+    t0 = time.monotonic()
+    r = C.slice_polygons(px, py, np.array([0, nv]), z, BUF)
+    wall = time.monotonic() - t0
+    # bbox kernel would be ~10^6 candidates × 4096 vertices (≈10^9);
+    # the striped path emits ~π/4·2^20 fragments in seconds
+    assert wall < 60.0, wall
+    n_fill = int(r["is_fill"].sum())
+    assert n_fill > 700_000, n_fill
+    # every fragment tile unique per ring
+    keys = r["x"] * (1 << z) + r["y"]
+    assert len(np.unique(keys)) == len(keys)
