@@ -19,6 +19,8 @@ constituent keeps its exact per-row hash coverage:
 - ``distinct_and_counts`` = distinct event types ∪ order-status counts
                             (tagged union; -1 sentinels for the columns
                             a side does not produce)
+- ``cell_encodings``      = Hilbert z8 tile ids ∪ S2 level-12 cells
+                            (tagged union, same sentinel convention)
 
 The original single-purpose callables remain importable for tests and
 consumers; only the driver-facing registry consolidates.
@@ -127,4 +129,38 @@ UNION ALL
 SELECT 'order_status' AS src, o_orderstatus AS key,
        CAST(n_orders AS BIGINT), CAST(n_customers AS BIGINT)
 FROM ({SQL_ORDER_STATUS_COUNTS.strip().rstrip(';')})
+"""
+
+
+def q_cell_encodings(sf_dir: str):
+    """Hilbert z8 tile ids ∪ S2 level-12 cells (tagged union): both
+    cell-encoder pipelines run unchanged; -1 sentinels fill the columns
+    a side does not produce."""
+    import numpy as np
+
+    from .queries import q_hilbert_tiles_z8, q_s2_cells_l12
+    h = q_hilbert_tiles_z8(sf_dir)
+    h = h.to_pandas() if hasattr(h, "to_pandas") else h
+    s = q_s2_cells_l12(sf_dir)
+    s = s.to_pandas() if hasattr(s, "to_pandas") else s
+    a = pd.DataFrame({"src": "hilbert", "cell": h["hilbert_id"],
+                      "k2": h["x"].astype(np.int64),
+                      "k3": h["y"].astype(np.int64),
+                      "n": h["n"].astype(np.int64)})
+    b = pd.DataFrame({"src": "s2", "cell": s["s2_cell"],
+                      "k2": s["parent_l6"].astype(np.int64),
+                      "k3": np.int64(-1), "n": s["n"].astype(np.int64)})
+    return pd.concat([a, b], ignore_index=True)
+
+
+def sql_cell_encodings() -> str:
+    from .queries import SQL_HILBERT_TILES_Z8, SQL_S2_CELLS_L12
+    return f"""
+SELECT 'hilbert' AS src, hilbert_id AS cell, CAST(x AS BIGINT) AS k2,
+       CAST(y AS BIGINT) AS k3, CAST(n AS BIGINT) AS n
+FROM ({SQL_HILBERT_TILES_Z8.strip().rstrip(';')})
+UNION ALL
+SELECT 's2', s2_cell, CAST(parent_l6 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(n AS BIGINT)
+FROM ({SQL_S2_CELLS_L12.strip().rstrip(';')})
 """

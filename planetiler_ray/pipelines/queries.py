@@ -1022,7 +1022,8 @@ from .queries_geom import GEOM_ORACLE_SQL, GEOM_QUERIES  # noqa: E402
 # EXACTLY 50 entries and every operator family keeps a recorded row.
 # The original single-purpose callables stay importable below.
 def _combined():
-    from .combined import (q_distinct_and_counts, q_doc_signatures_combined,
+    from .combined import (q_cell_encodings, q_distinct_and_counts,
+                           q_doc_signatures_combined,
                            q_geo_measures_combined, q_line_merge_combined,
                            q_trajectory_combined)
     return {
@@ -1031,13 +1032,14 @@ def _combined():
         "trajectory_lengths": q_trajectory_combined,
         "doc_fingerprints": q_doc_signatures_combined,
         "distinct_and_counts": q_distinct_and_counts,
+        "cell_encodings": q_cell_encodings,
     }
 
 
 _MERGED_AWAY = ("geom_derivations", "line_merge_scaled",
                 "trajectory_simplify", "simhash_docs",
                 "minhash_signatures", "distinct_event_types",
-                "order_status_counts")
+                "order_status_counts", "hilbert_tiles_z8", "s2_cells_l12")
 
 QUERIES = {
     **DATA_QUERIES,
@@ -1090,7 +1092,7 @@ ORACLE_SQL = {
 
 
 def _combined_sql():
-    from .combined import (sql_distinct_and_counts,
+    from .combined import (sql_cell_encodings, sql_distinct_and_counts,
                            sql_doc_signatures_combined,
                            sql_geo_measures_combined,
                            sql_line_merge_combined,
@@ -1101,6 +1103,7 @@ def _combined_sql():
         "trajectory_lengths": sql_trajectory_combined(),
         "doc_fingerprints": sql_doc_signatures_combined(),
         "distinct_and_counts": sql_distinct_and_counts(),
+        "cell_encodings": sql_cell_encodings(),
     }
 
 

@@ -866,6 +866,111 @@ FROM cls GROUP BY z ORDER BY z
 """
 
 
+# ---------------------------------------------------------------------------
+# reader_roundtrip — shapefile / GeoPackage / Natural-Earth readers
+# ---------------------------------------------------------------------------
+
+def q_reader_roundtrip(sf_dir: str):
+    """Oracle-gate the binary geo READERS end-to-end: deterministic
+    point fixtures derived from ``events`` (``sources/geofixtures.py``)
+    are written as a shapefile (+shx/dbf), a GeoPackage and a
+    Natural-Earth sqlite, read back through each reader
+    (``sources/shapefile.py`` / ``sources/gpkg.py`` — the
+    ``ShapefileReader.java`` / ``GeoPackageReader.java`` /
+    ``NaturalEarthReader.java`` analogs), and summarized per
+    (source, rank-bucket): counts, id sums, quantized world-mercator
+    coordinate sums and attr-length sums.  The SQL oracle recomputes
+    all of it from the events parquet with the same arithmetic."""
+    import ray.data
+
+    from ..sources.geofixtures import geo_fixture_dir
+    from ..sources.gpkg import read_geopackage, read_naturalearth
+    from ..sources.shapefile import read_shapefile
+
+    d = geo_fixture_dir(sf_dir)
+    sources = [
+        ("shp", read_shapefile(f"{d}/points.shp",
+                               attr_cols=["NAME", "RANK"]), "NAME", "RANK"),
+        ("gpkg", read_geopackage(f"{d}/points.gpkg",
+                                 attr_cols=["name", "rank"]),
+         "name", "rank"),
+        ("ne", read_naturalearth(f"{d}/natural_earth.sqlite",
+                                 attr_cols=["name", "rank"]),
+         "name", "rank"),
+    ]
+
+    def make_partial(src: str, name_col: str, rank_col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            x0 = pa.compute.list_flatten(batch["xs"]).to_numpy()
+            y0 = pa.compute.list_flatten(batch["ys"]).to_numpy()
+            rank = batch[rank_col].to_numpy()
+            nlen = pa.compute.utf8_length(
+                batch[name_col]).to_numpy().astype(np.int64)
+            bucket = rank % 8
+            out = {"src": [], "bucket": [], "n": [], "sum_rank": [],
+                   "sxq": [], "syq": [], "sum_namelen": []}
+            for b in np.unique(bucket):
+                m = bucket == b
+                out["src"].append(src)
+                out["bucket"].append(int(b))
+                out["n"].append(int(m.sum()))
+                out["sum_rank"].append(int(rank[m].sum()))
+                out["sxq"].append(int(np.floor(
+                    x0[m] * 1048576.0).astype(np.int64).sum()))
+                out["syq"].append(int(np.floor(
+                    y0[m] * 65536.0).astype(np.int64).sum()))
+                out["sum_namelen"].append(int(nlen[m].sum()))
+            return pa.table({
+                "src": pa.array(out["src"], pa.string()),
+                "bucket": pa.array(out["bucket"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "sum_rank": pa.array(out["sum_rank"], pa.int64()),
+                "sxq": pa.array(out["sxq"], pa.int64()),
+                "syq": pa.array(out["syq"], pa.int64()),
+                "sum_namelen": pa.array(out["sum_namelen"], pa.int64())})
+        return partial
+
+    from ray.data.aggregate import Sum
+
+    parts = [ds.map_batches(make_partial(src, nc, rc),
+                            batch_format="pyarrow")
+             for src, ds, nc, rc in sources]
+    ds = parts[0].union(*parts[1:])
+    out = ds.groupby(["src", "bucket"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_rank", alias_name="sum_rank"),
+        Sum("sxq", alias_name="sxq"),
+        Sum("syq", alias_name="syq"),
+        Sum("sum_namelen", alias_name="sum_namelen")).to_pandas()
+    for c in ("n", "sum_rank", "sxq", "syq", "sum_namelen"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["src", "bucket"]).reset_index(drop=True)
+
+
+def _sql_reader_roundtrip() -> str:
+    from .sqlgen import _merc_y
+    return f"""
+WITH e AS (SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 400),
+g AS (SELECT event_id,
+             CAST((event_id*37) % 348 AS DOUBLE) - 174.0 + 0.5 AS lon,
+             CAST((user_id*13) % 156 AS DOUBLE) - 78.0 + 0.5 AS lat FROM e),
+w AS (SELECT event_id, (lon + 180) / 360 AS wx, {_merc_y('lat')} AS wy FROM g),
+a AS (SELECT event_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS sum_rank,
+             CAST(sum(CAST(floor(wx * 1048576) AS BIGINT)) AS BIGINT) AS sxq,
+             CAST(sum(CAST(floor(wy * 65536) AS BIGINT)) AS BIGINT) AS syq,
+             CAST(sum(length('e' || CAST(event_id AS VARCHAR))) AS BIGINT)
+               AS sum_namelen
+      FROM w GROUP BY 1)
+SELECT src, bucket, n, sum_rank, sxq, syq, sum_namelen
+FROM (VALUES ('shp'), ('gpkg'), ('ne')) s(src) CROSS JOIN a
+ORDER BY src, bucket
+"""
+
+
+SQL_READER_ROUNDTRIP = _sql_reader_roundtrip()
+
+
 GEOM_QUERIES = {
     "sortkey_pack": q_sortkey_pack,
     "zoomfn_values": q_zoomfn_values,
@@ -876,6 +981,7 @@ GEOM_QUERIES = {
     "geojson_roundtrip": q_geojson_roundtrip,
     "ocean_fill_tiles": q_ocean_fill_tiles,
     "line_smooth": q_line_smooth,
+    "reader_roundtrip": q_reader_roundtrip,
 }
 
 GEOM_ORACLE_SQL = {
@@ -888,4 +994,5 @@ GEOM_ORACLE_SQL = {
     "geojson_roundtrip": SQL_GEOJSON_ROUNDTRIP,
     "ocean_fill_tiles": SQL_OCEAN_FILL_TILES,
     "line_smooth": SQL_LINE_SMOOTH,
+    "reader_roundtrip": SQL_READER_ROUNDTRIP,
 }
