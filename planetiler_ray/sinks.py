@@ -442,9 +442,44 @@ def write_archive(tiles: "ray.data.Dataset", path: str) -> dict:
             "n_dedup": n_dedup, "bytes": os.path.getsize(path)}
 
 
+def _expand_fill_chunk(z: np.ndarray, x: np.ndarray, y0: np.ndarray,
+                       y1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Expand one chunk of interior fill RUNS (z, x, y0..y1) to
+    hilbert-sorted (tile_id, hilbert_id) arrays — 16 bytes per fill
+    tile, no geometry.  Runs in a remote task so the expansion output
+    lives in the object store, never on the driver."""
+    from .tilemath.clip import _expand_ranges
+    from .tilemath.tilecoord import hilbert_encode_tile, tms_encode
+
+    rr, ys = _expand_ranges(np.asarray(y0, np.int64),
+                            np.asarray(y1, np.int64))
+    xs = np.asarray(x, np.int64)[rr]
+    zs = np.asarray(z, np.int64)[rr]
+    tid = tms_encode(xs, ys, zs)
+    hil = np.empty(len(tid), np.int64)
+    for zz in np.unique(zs):
+        m = zs == zz
+        hil[m] = hilbert_encode_tile(xs[m], ys[m], int(zz))
+    o = np.argsort(hil, kind="stable")
+    return tid[o], hil[o]
+
+
+def fill_runs_from_striped(res: dict, z: int) -> "pa.Table":
+    """Striped-clip output (``slice_polygons_striped``) → the compact
+    fill-runs side table ``write_archive_sharded`` consumes."""
+    n = len(res["fill_x"])
+    return pa.table({
+        "z": pa.array(np.full(n, z, np.int64)),
+        "x": pa.array(np.asarray(res["fill_x"], np.int64)),
+        "y0": pa.array(np.asarray(res["fill_y0"], np.int64)),
+        "y1": pa.array(np.asarray(res["fill_y1"], np.int64))})
+
+
 def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
                           num_shards: int = 16,
-                          sample_cap: int = 100_000) -> dict:
+                          sample_cap: int = 100_000,
+                          fill_runs: "pa.Table | None" = None,
+                          fill_blob: bytes | None = None) -> dict:
     """Hilbert-range-sharded archive: per-range parts written BY WORKERS,
     the driver writes only a tiny root index.
 
@@ -456,10 +491,43 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
     ``map_groups`` task that owns it, and the root index records the
     hilbert range → part mapping.  No stage holds more than one shard's
     blobs; a failed run can re-write only the missing parts.
+
+    ``fill_runs`` + ``fill_blob``: run-native interior fill for
+    planet-scale polygons — the analog of the reference shipping
+    ``CoveredTiles`` ranges to the writer and memoizing ONE fill encode
+    (``render/FeatureRenderer.java:290-315``,
+    ``archive/TileArchiveWriter.java``).  The compact run table
+    (z, x, y0, y1) expands in remote tasks to bare
+    (tile_id, hilbert_id) pairs — 16 bytes per interior tile instead of
+    a geometry row through the shuffle — and every shard writer splices
+    the fill tiles of ITS hilbert range into its part, all pointing at
+    one stored copy of ``fill_blob`` (raw MVT bytes, gzipped once).
+    Detail tiles win over fills at the same coordinate.
     """
     import json
 
     os.makedirs(out_dir, exist_ok=True)
+
+    fill_chunk_refs: list = []
+    fill_blob_gz = None
+    if fill_runs is not None and fill_runs.num_rows:
+        if fill_blob is None:
+            raise ValueError("fill_runs requires fill_blob")
+        fill_blob_gz = gzip.compress(fill_blob, 6)
+        expand = ray.remote(_expand_fill_chunk)
+        lens = (fill_runs["y1"].to_numpy()
+                - fill_runs["y0"].to_numpy() + 1)
+        cuts = np.concatenate(
+            [[0], np.searchsorted(np.cumsum(lens),
+                                  np.arange(1, 64) * 4_000_000),
+             [len(lens)]])
+        for lo, hi in zip(np.unique(cuts)[:-1], np.unique(cuts)[1:]):
+            if hi > lo:
+                fill_chunk_refs.append(expand.remote(
+                    fill_runs["z"].to_numpy()[lo:hi],
+                    fill_runs["x"].to_numpy()[lo:hi],
+                    fill_runs["y0"].to_numpy()[lo:hi],
+                    fill_runs["y1"].to_numpy()[lo:hi]))
 
     def downsample(b: pa.Table) -> pa.Table:
         # ≤64 evenly-spaced ids per block → the driver sees a bounded,
@@ -481,21 +549,35 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
         shard = np.searchsorted(bounds, hil, side="right").astype(np.int32)
         return batch.append_column("shard", pa.array(shard))
 
-    def write_shard(grp: pa.Table) -> pa.Table:
-        if grp.num_rows == 0:
-            return pa.table({"shard": pa.array([], pa.int32()),
-                             "n_tiles": pa.array([], pa.int64()),
-                             "n_blobs": pa.array([], pa.int64()),
-                             "min_hilbert": pa.array([], pa.int64()),
-                             "max_hilbert": pa.array([], pa.int64()),
-                             "bytes": pa.array([], pa.int64())})
-        shard = int(grp["shard"][0].as_py())
-        order = np.argsort(grp["hilbert_id"].to_numpy(), kind="stable")
-        grp = grp.take(pa.array(order))
-        blobs = _encode_batch(grp)
-        hs = grp["content_hash"].to_numpy()
-        tids = grp["tile_id"].to_numpy()
-        hils = grp["hilbert_id"].to_numpy()
+    def shard_fills(shard: int, detail_tids: np.ndarray):
+        """(tile_id, hilbert_id) of this shard's fill tiles, detail
+        tiles excluded (detail wins at the same coordinate)."""
+        ft, fh = [], []
+        for ref in fill_chunk_refs:
+            t, h = ray.get(ref)
+            sel = np.searchsorted(bounds, h, side="right") == shard
+            ft.append(t[sel])
+            fh.append(h[sel])
+        if not ft:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ft = np.concatenate(ft)
+        fh = np.concatenate(fh)
+        if len(detail_tids):
+            keep = ~np.isin(ft, detail_tids)
+            ft, fh = ft[keep], fh[keep]
+        return ft, fh
+
+    def write_part(shard: int, grp: "pa.Table | None") -> dict:
+        if grp is not None and grp.num_rows:
+            order = np.argsort(grp["hilbert_id"].to_numpy(), kind="stable")
+            grp = grp.take(pa.array(order))
+            blobs = _encode_batch(grp)
+            hs = grp["content_hash"].to_numpy()
+            tids = grp["tile_id"].to_numpy()
+            hils = grp["hilbert_id"].to_numpy()
+        else:
+            blobs, hs = [], np.empty(0, np.int64)
+            tids = hils = np.empty(0, np.int64)
         index = []
         blob_offsets: dict[int, tuple[int, int]] = {}
         data_parts: list[bytes] = []
@@ -510,6 +592,20 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
                 data_parts.append(blob)
                 pos += ln
             index.append((int(tid), int(hil), off, ln))
+        # splice this shard's interior fill tiles: every entry points at
+        # ONE stored copy of the shared fill blob
+        if fill_chunk_refs:
+            ft, fh = shard_fills(shard, tids)
+            if len(ft):
+                f_off, f_ln = pos, len(fill_blob_gz)
+                data_parts.append(fill_blob_gz)
+                pos += f_ln
+                blob_offsets[-1] = (f_off, f_ln)
+                index.extend((int(t), int(h), f_off, f_ln)
+                             for t, h in zip(ft, fh))
+        if not index:
+            return {}
+        index.sort(key=lambda e: e[1])
         header = json.dumps({"n_tiles": len(index),
                              "n_blobs": len(blob_offsets),
                              "format": "planetiler-ray-archive-v1"}).encode() + b"\n"
@@ -523,17 +619,41 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
             for p in data_parts:
                 f.write(p)
         os.replace(tmp, part_path)
-        return pa.table({"shard": pa.array([shard], pa.int32()),
-                         "n_tiles": pa.array([len(index)], pa.int64()),
-                         "n_blobs": pa.array([len(blob_offsets)], pa.int64()),
-                         "min_hilbert": pa.array([int(hils.min())], pa.int64()),
-                         "max_hilbert": pa.array([int(hils.max())], pa.int64()),
-                         "bytes": pa.array([os.path.getsize(part_path)],
-                                           pa.int64())})
+        return {"shard": shard, "n_tiles": len(index),
+                "n_blobs": len(blob_offsets),
+                "min_hilbert": int(idx[:, 1].min()),
+                "max_hilbert": int(idx[:, 1].max()),
+                "bytes": os.path.getsize(part_path)}
+
+    _summary_schema = {"shard": pa.int32(), "n_tiles": pa.int64(),
+                       "n_blobs": pa.int64(), "min_hilbert": pa.int64(),
+                       "max_hilbert": pa.int64(), "bytes": pa.int64()}
+
+    def write_shard(grp: pa.Table) -> pa.Table:
+        if grp.num_rows == 0:
+            return pa.table({k: pa.array([], t)
+                             for k, t in _summary_schema.items()})
+        shard = int(grp["shard"][0].as_py())
+        rec = write_part(shard, grp)
+        return pa.table({k: pa.array([rec[k]], t)
+                         for k, t in _summary_schema.items()})
 
     summary = tiles.map_batches(assign, batch_format="pyarrow") \
         .groupby("shard").map_groups(write_shard, batch_format="pyarrow") \
         .to_pandas()
+    # fill-only shards: hilbert ranges no detail tile hit still own fill
+    # tiles; write their parts via remote tasks (same part writer)
+    if fill_chunk_refs:
+        written = set(int(s) for s in summary["shard"])
+        missing = [s for s in range(len(bounds) + 1) if s not in written]
+        if missing:
+            import pandas as pd
+            part_task = ray.remote(write_part)
+            recs = [r for r in ray.get(
+                [part_task.remote(s, None) for s in missing]) if r]
+            if recs:
+                summary = pd.concat(
+                    [summary, pd.DataFrame(recs)], ignore_index=True)
     root = {"format": "planetiler-ray-archive-sharded-v1",
             "bounds": bounds.tolist(),
             "shards": summary.sort_values("shard").to_dict("records")}

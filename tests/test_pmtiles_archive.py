@@ -175,3 +175,82 @@ def test_pmtiles_bounds_from_extent(tiles, tmp_path):
     clon, clat = hdr["center"]
     assert clon == pytest.approx((lon0 + lon1) / 2, abs=1e-6)
     assert lat0 <= clat <= lat1
+
+
+class TestShardedArchiveFillRuns:
+    def test_fill_runs_spliced_with_one_stored_blob(self, ray_session,
+                                                    tmp_path):
+        """Run-native interior fill: the ocean-style polygon's interior
+        tiles reach the archive as (tile_id, hilbert) pairs expanded
+        from the compact run table, every entry sharing ONE stored
+        blob; detail tiles win at the same coordinate; hilbert ranges
+        without any detail tile still get their fill-only parts."""
+        import pyarrow as pa
+        import ray.data as rd
+        from planetiler_ray.sinks import (fill_runs_from_striped,
+                                          read_sharded_archive_tile,
+                                          write_archive_sharded)
+        from planetiler_ray.tilemath.stripeclip import slice_polygons_striped
+        from planetiler_ray.tilemath.tilecoord import (hilbert_encode_tile,
+                                                       tms_encode)
+
+        z = 7
+        s = float(1 << z)
+        px = np.concatenate([np.array([0.1, 0.85, 0.85, 0.1]) * s,
+                             np.array([0.35, 0.55, 0.55, 0.35]) * s])
+        py = np.concatenate([np.array([0.3, 0.3, 0.7, 0.7]) * s,
+                             np.array([0.4, 0.4, 0.6, 0.6]) * s])
+        res = slice_polygons_striped(px, py, np.array([0, 4, 8]), z,
+                                     4 / 256.0,
+                                     poly_of_ring=np.array([0, 0]))
+        runs = fill_runs_from_striped(res, z)
+        n_fill = int((runs["y1"].to_numpy()
+                      - runs["y0"].to_numpy() + 1).sum())
+        assert n_fill > 3000
+
+        # detail = the boundary tiles (deduped) + ONE artificial detail
+        # tile placed on a fill coordinate (detail must win)
+        bx, by = np.unique(np.stack([res["x"], res["y"]]), axis=1)
+        fx = int(runs["x"][0].as_py())
+        fy = int(runs["y0"][0].as_py())
+        bx = np.concatenate([bx, [fx]])
+        by = np.concatenate([by, [fy]])
+        tids = tms_encode(bx, by, np.full(len(bx), z, np.int64))
+        hils = hilbert_encode_tile(bx, by, z)
+        tiles = rd.from_arrow(pa.table({
+            "tile_id": pa.array(tids),
+            "hilbert_id": pa.array(hils),
+            "z": pa.array(np.full(len(bx), z, np.int8)),
+            "content_hash": pa.array(np.arange(len(bx)), pa.int64()),
+            "mvt_bytes": pa.array([b"detail%d" % i
+                                   for i in range(len(bx))],
+                                  pa.large_binary())}))
+
+        out = str(tmp_path / "arc")
+        info = write_archive_sharded(tiles, out, num_shards=4,
+                                     fill_runs=runs,
+                                     fill_blob=b"FILLSQUARE")
+        # total = boundary + fills, minus the fill tile shadowed by the
+        # artificial detail row
+        assert info["n_tiles"] == len(bx) + n_fill - 1
+
+        root = json.load(open(os.path.join(out, "root.json")))
+        # every part stores the fill blob at most once
+        for sh in root["shards"]:
+            assert sh["n_blobs"] <= len(bx) + 1
+
+        # random interior tiles decode to the shared fill payload
+        rr = runs.to_pandas().sample(5, random_state=2)
+        for _, r in rr.iterrows():
+            y = int((r["y0"] + r["y1"]) // 2)
+            tid = int(tms_encode(np.array([r["x"]]), np.array([y]),
+                                 np.array([z]))[0])
+            hid = int(hilbert_encode_tile(np.array([r["x"]]),
+                                          np.array([y]), z)[0])
+            if tid == int(tids[-1]):          # the shadowed coordinate
+                continue
+            assert read_sharded_archive_tile(out, tid, hid) == b"FILLSQUARE"
+
+        # the artificial detail tile wins over the fill
+        assert read_sharded_archive_tile(
+            out, int(tids[-1]), int(hils[-1])) == b"detail%d" % (len(bx) - 1)
