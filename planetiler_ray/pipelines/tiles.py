@@ -698,3 +698,173 @@ def poly_merge_tile_summary(sf_dir: str, zoom: int = 5):
     parts = _read(sf_dir, "events", ["event_id"]) \
         .map_batches(rects, batch_format="pyarrow")
     return tile_hash_exchange(parts, per_tile, 64)
+
+
+def polygon_fill_archive(px: np.ndarray, py: np.ndarray,
+                         ring_offsets: np.ndarray,
+                         poly_of_ring: np.ndarray,
+                         min_zoom: int, max_zoom: int, out_dir: str,
+                         num_shards: int = 8,
+                         layer_name: str = "water") -> dict:
+    """Planet-polygon → sharded archive end-to-end — the reference's
+    water-polygons path re-expressed run-native.
+
+    Per zoom (fanned out as Ray tasks), the striped clip
+    (``tilemath/stripeclip.py``; ``render/TiledGeometry.java:406-699``
+    + ``CoveredTiles`` ``:748-806``) emits boundary-tile fragments plus
+    interior fill RUNS.  Fragments hash-exchange into tiles and encode
+    real MVT polygon rings; the runs stay a compact side table whose
+    tiles reach the archive as run-native 16-byte entries, every one
+    sharing ONE memoized fill encode
+    (``render/FeatureRenderer.java:290-315``).  Interior tiles of a
+    world-spanning polygon never pass through the shuffle as geometry.
+
+    ``px, py`` in WORLD units ([0,1]²); rings grouped into polygons by
+    ``poly_of_ring`` (first ring of each polygon = outer shell).
+    """
+    import hashlib
+
+    import ray.data
+
+    from ..sinks import fill_runs_from_striped, write_archive_sharded
+    from ..tilemath.clip import DEFAULT_BUFFER_PX
+    from ..tilemath.mvt_pb import KIND_POLY, encode_tile_batch
+    from ..tilemath.stripeclip import slice_polygons_striped
+    from ..tilemath.tilecoord import hilbert_encode_tile, tms_decode, tms_encode
+
+    buf = DEFAULT_BUFFER_PX / 256.0
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    ring_offsets = np.asarray(ring_offsets, np.int64)
+    poly_of_ring = np.asarray(poly_of_ring, np.int64)
+
+    empty_f32l = pa.array([], pa.list_(pa.float32()))
+
+    def slice_z(batch: pa.Table) -> pa.Table:
+        frags = {"is_run": [], "z": [], "tile_id": [], "ring": [],
+                 "run_x": [], "run_y0": [], "run_y1": [],
+                 "vx": [], "vy": []}
+        tables = []
+        for z in batch["z"].to_pylist():
+            s = float(1 << z)
+            r = slice_polygons_striped(px * s, py * s, ring_offsets, z,
+                                       buf, poly_of_ring=poly_of_ring)
+            n = len(r["x"])
+            tid = tms_encode(r["x"], r["y"], np.full(n, z, np.int64))
+            off = pa.array(np.asarray(r["part_offsets"], np.int32))
+            runs = fill_runs_from_striped(r, z)
+            m = runs.num_rows
+            tables.append(pa.table({
+                "is_run": pa.array(
+                    np.concatenate([np.zeros(n, bool), np.ones(m, bool)])),
+                "z": pa.array(np.full(n + m, z, np.int64)),
+                "tile_id": pa.array(np.concatenate(
+                    [tid, np.zeros(m, np.int64)])),
+                "ring": pa.array(np.concatenate(
+                    [np.asarray(r["row"], np.int64), np.zeros(m, np.int64)])),
+                "run_x": pa.array(np.concatenate(
+                    [np.zeros(n, np.int64), runs["x"].to_numpy()])),
+                "run_y0": pa.array(np.concatenate(
+                    [np.zeros(n, np.int64), runs["y0"].to_numpy()])),
+                "run_y1": pa.array(np.concatenate(
+                    [np.zeros(n, np.int64), runs["y1"].to_numpy()])),
+                "vx": pa.concat_arrays([
+                    pa.ListArray.from_arrays(
+                        off, pa.array(np.asarray(r["vx"], np.float32))),
+                    pa.nulls(m, pa.list_(pa.float32()))]),
+                "vy": pa.concat_arrays([
+                    pa.ListArray.from_arrays(
+                        off, pa.array(np.asarray(r["vy"], np.float32))),
+                    pa.nulls(m, pa.list_(pa.float32()))]),
+            }))
+        return pa.concat_tables(tables) if tables else pa.table(
+            {k: pa.array([]) for k in frags})
+
+    sliced = ray.data.from_items(
+        [{"z": z} for z in range(min_zoom, max_zoom + 1)],
+        override_num_blocks=max_zoom - min_zoom + 1) \
+        .map_batches(slice_z, batch_format="pyarrow").materialize()
+
+    # the runs side table is tiny (O(boundary) rows) — collect it from
+    # the materialized blocks without re-running the clip
+    runs_tbl = pa.concat_tables(
+        [ray.get(r).filter(ray.get(r)["is_run"]).select(
+            ["z", "run_x", "run_y0", "run_y1"])
+         for r in sliced.to_arrow_refs()])
+    fill_runs = pa.table({"z": runs_tbl["z"], "x": runs_tbl["run_x"],
+                          "y0": runs_tbl["run_y0"],
+                          "y1": runs_tbl["run_y1"]})
+    frags = sliced.map_batches(
+        lambda b: b.filter(pa.compute.invert(b["is_run"].combine_chunks())),
+        batch_format="pyarrow") \
+        .select_columns(["z", "tile_id", "ring", "vx", "vy"])
+
+    def to_bytes(blob) -> bytes:
+        return blob.as_py() if hasattr(blob, "as_py") else bytes(blob)
+
+    def blob_hash(blob: bytes) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(blob, digest_size=8).digest(), "little",
+            signed=True)
+
+    def per_tile(grp: pa.Table) -> pa.Table:
+        cols = {"tile_id": pa.array([], pa.int64()),
+                "hilbert_id": pa.array([], pa.int64()),
+                "z": pa.array([], pa.int8()),
+                "content_hash": pa.array([], pa.int64()),
+                "mvt_bytes": pa.array([], pa.large_binary())}
+        if grp.num_rows == 0:
+            return pa.table(cols)
+        order = np.lexsort((grp["ring"].to_numpy(),
+                            grp["tile_id"].to_numpy()))
+        grp = grp.take(pa.array(order))
+        tid = grp["tile_id"].to_numpy()
+        ring = grp["ring"].to_numpy()
+        vx_l = grp["vx"].combine_chunks()
+        vy_l = grp["vy"].combine_chunks()
+        voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
+        n = len(tid)
+        utid, blobs = encode_tile_batch(
+            tid, np.full(n, 0, np.int8), np.full(n, KIND_POLY, np.int8),
+            ring, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
+            {0: layer_name},
+            line_verts=(vx_l.flatten().to_numpy(),
+                        vy_l.flatten().to_numpy(), voff))
+        x, y, zz = tms_decode(utid)
+        hil = np.empty(len(utid), np.int64)
+        for z in np.unique(zz):
+            m = zz == z
+            hil[m] = hilbert_encode_tile(x[m], y[m], int(z))
+        return pa.table({
+            "tile_id": pa.array(utid),
+            "hilbert_id": pa.array(hil),
+            "z": pa.array(zz.astype(np.int8)),
+            "content_hash": pa.array(
+                np.array([blob_hash(to_bytes(b)) for b in blobs],
+                         np.int64)),
+            "mvt_bytes": pa.array([to_bytes(b) for b in blobs],
+                                  pa.large_binary())})
+
+    tiles = tile_hash_exchange(frags, per_tile,
+                               num_partitions=max(8, num_shards))
+
+    # ONE memoized fill encode shared by every interior tile
+    bpx = DEFAULT_BUFFER_PX
+    sq = np.array([-bpx, 256.0 + bpx, 256.0 + bpx, -bpx]), \
+        np.array([-bpx, -bpx, 256.0 + bpx, 256.0 + bpx])
+    _, fill_blobs = encode_tile_batch(
+        np.array([0], np.int64), np.array([0], np.int8),
+        np.array([KIND_POLY], np.int8), np.array([0], np.int64),
+        np.zeros(1), np.zeros(1), np.zeros(1), np.zeros(1),
+        {0: layer_name},
+        line_verts=(sq[0], sq[1], np.array([0, 4], np.int64)))
+
+    info = write_archive_sharded(tiles, out_dir, num_shards=num_shards,
+                                 fill_runs=fill_runs,
+                                 fill_blob=fill_blobs[0].as_py()
+                                 if hasattr(fill_blobs[0], "as_py")
+                                 else bytes(fill_blobs[0]))
+    info["n_fill_tiles"] = int(
+        (fill_runs["y1"].to_numpy() - fill_runs["y0"].to_numpy() + 1).sum())
+    info["n_runs"] = fill_runs.num_rows
+    return info
