@@ -143,8 +143,6 @@ def _tag_values_in(node, acc=None) -> set:
     """Tag keys referenced by a value expression: ``tag_value`` forms
     and bare identifiers inside ``${…}`` scripts — these must be
     promoted from the tag lists even when not kept as plain attrs."""
-    import ast as _ast
-    import re as _re
     if acc is None:
         acc = set()
     if isinstance(node, dict):
@@ -156,17 +154,6 @@ def _tag_values_in(node, acc=None) -> set:
         for v in node:
             _tag_values_in(v, acc)
     elif isinstance(node, str):
-        m = _re.match(r"^\s*\$\{(.*)\}\s*$", node, _re.DOTALL)
-        if m:
-            src = _re.sub(r"&&", " and ", m.group(1))
-            src = _re.sub(r"\|\|", " or ", src)
-            try:
-                tree = _ast.parse(src.strip(), mode="eval")
-            except SyntaxError:
-                return acc
-            funcs = {"num", "str", "upper", "lower", "len", "abs",
-                     "round", "coalesce", "min2", "max2", "concat"}
-            for sub in _ast.walk(tree):
-                if isinstance(sub, _ast.Name) and sub.id not in funcs:
-                    acc.add(sub.id)
+        from .functions.valueexpr import script_tag_keys
+        acc |= script_tag_keys(node)
     return acc

@@ -41,6 +41,28 @@ def is_script(obj) -> bool:
     return isinstance(obj, str) and _SCRIPT_RE.match(obj) is not None
 
 
+def script_tag_keys(obj) -> set:
+    """Tag keys (bare identifiers) referenced inside a ``${...}``
+    script — the single source of truth for which names are FUNCTIONS
+    vs tag columns (``_ScriptCompiler._FUNCS``), so callers promoting
+    script-referenced tags (``config.osm_rules_from_yaml``) can never
+    drift from the compiler's function set."""
+    import ast as _ast
+
+    m = _SCRIPT_RE.match(obj) if isinstance(obj, str) else None
+    if m is None:
+        return set()
+    src = re.sub(r"&&", " and ", m.group(1))
+    src = re.sub(r"\|\|", " or ", src)
+    try:
+        tree = _ast.parse(src.strip(), mode="eval")
+    except SyntaxError:
+        return set()
+    return {sub.id for sub in _ast.walk(tree)
+            if isinstance(sub, _ast.Name)
+            and sub.id not in _ScriptCompiler._FUNCS}
+
+
 def unescape(obj):
     """``\\${…}`` is a literal string, not a script
     (``ConfigExpressionScript.unescape``)."""
@@ -214,9 +236,7 @@ def compile_value_expression(node):
         keys = set(node)
         if "type" in keys:
             rest = {k: v for k, v in node.items() if k != "type"}
-            inner = compile_value_expression(
-                rest if len(rest) > 1 else next(iter(rest.values()))
-                if rest else None)
+            inner = compile_value_expression(rest if rest else None)
             dtype = node["type"]
             return lambda t: _cast(inner(t), dtype)
         if keys == {"coalesce"}:

@@ -95,7 +95,8 @@ class CheckpointedReduceFn:
 
 def checkpointed_exchange(frags, num_partitions: int, reduce_fn,
                           checkpoint_dir: str, extra_manifest: dict | None = None,
-                          run_config: dict | None = None):
+                          run_config: dict | None = None,
+                          map_fn=None, map_target_rows: int | None = None):
     """Run the exchange with per-partition checkpointing + resume.
 
     Completed partitions (lineage present) are skipped BEFORE the
@@ -112,7 +113,9 @@ def checkpointed_exchange(frags, num_partitions: int, reduce_fn,
     if len(parts_to_run):
         reducer = CheckpointedReduceFn(checkpoint_dir, reduce_fn)
         metrics = exchange_reduce(frags, num_partitions, reducer,
-                                  parts_to_run=parts_to_run, pass_part=True)
+                                  parts_to_run=parts_to_run, pass_part=True,
+                                  map_fn=map_fn,
+                                  map_target_rows=map_target_rows)
         metrics.materialize()  # drive execution; tiny (one row per partition)
     return store.finalize({"num_partitions": num_partitions,
                            "resumed_parts": len(done), **(extra_manifest or {})})
@@ -149,15 +152,41 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
                         skip_filled_tiles=cfg.skip_filled_tiles,
                         max_point_buffer=cfg.max_point_buffer)
 
-    if checkpoint_dir is None:
+    if shuffle == "groupby":
         frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
                                  profile=profile)
-        if shuffle == "groupby":
-            return frags.groupby("part").map_groups(reduce_fn, batch_format="pyarrow")
-        return exchange_reduce(frags, num_partitions, reduce_fn)
+        return frags.groupby("part").map_groups(reduce_fn, batch_format="pyarrow")
 
+    # fused map-side shuffle write: the georeferenced image stream (small)
+    # is what crosses the object store; each split task runs the ~17×
+    # row-multiplying fan-out itself and returns partition pieces directly
+    # (render_fragments kept for the groupby cross-check path above)
+    # default OFF: interleaved A/B at 8 cpus showed the fused task
+    # granularity (one task per image block) loses the fan-out/split
+    # overlap and load balance of the pipelined path; enable per-run to
+    # re-measure on other hosts
+    import os
+    if os.environ.get("GRAFT_FUSED_EXCHANGE", "0") == "1":
+        georefed = images.map_batches(georef_batch, batch_format="pyarrow")
+        if profile is not None:
+            georefed = georefed.map_batches(profile.process_features,
+                                            batch_format="pyarrow")
+        fanout = partial(render_fanout, cfg=cfg, part_bounds=bounds,
+                         slim=not with_feature_ids)
+        mtr = int(os.environ.get("GRAFT_FUSED_TARGET_ROWS", "16384"))
+        if checkpoint_dir is None:
+            return exchange_reduce(georefed, num_partitions, reduce_fn,
+                                   map_fn=fanout, map_target_rows=mtr)
+        return checkpointed_exchange(georefed, num_partitions, reduce_fn,
+                                     checkpoint_dir,
+                                     run_config=_run_config("pyramid", bounds,
+                                                            num_partitions,
+                                                            cfg, sample_ids),
+                                     map_fn=fanout, map_target_rows=mtr)
     frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
                              profile=profile)
+    if checkpoint_dir is None:
+        return exchange_reduce(frags, num_partitions, reduce_fn)
     return checkpointed_exchange(frags, num_partitions, reduce_fn,
                                  checkpoint_dir,
                                  run_config=_run_config("pyramid", bounds,
@@ -815,21 +844,28 @@ def polygon_fill_archive(px: np.ndarray, py: np.ndarray,
                 "mvt_bytes": pa.array([], pa.large_binary())}
         if grp.num_rows == 0:
             return pa.table(cols)
-        order = np.lexsort((grp["ring"].to_numpy(),
-                            grp["tile_id"].to_numpy()))
+        # one FEATURE per (tile, polygon): a polygon's fragments in a
+        # tile — shell fill/detail first (lowest ring index), then its
+        # holes — become one multi-ring MVT feature, so decoders attach
+        # interior rings to the right exterior (MVT 2.1 §4.3.4.4)
+        ring0 = grp["ring"].to_numpy()
+        poly0 = poly_of_ring[ring0]
+        order = np.lexsort((ring0, poly0, grp["tile_id"].to_numpy()))
         grp = grp.take(pa.array(order))
         tid = grp["tile_id"].to_numpy()
         ring = grp["ring"].to_numpy()
+        poly = poly_of_ring[ring]
         vx_l = grp["vx"].combine_chunks()
         vy_l = grp["vy"].combine_chunks()
         voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
         n = len(tid)
         utid, blobs = encode_tile_batch(
             tid, np.full(n, 0, np.int8), np.full(n, KIND_POLY, np.int8),
-            ring, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
+            poly, np.zeros(n), np.zeros(n), np.zeros(n), np.zeros(n),
             {0: layer_name},
             line_verts=(vx_l.flatten().to_numpy(),
-                        vy_l.flatten().to_numpy(), voff))
+                        vy_l.flatten().to_numpy(), voff),
+            feature_group=poly)
         x, y, zz = tms_decode(utid)
         hil = np.empty(len(utid), np.int64)
         for z in np.unique(zz):

@@ -442,12 +442,17 @@ def write_archive(tiles: "ray.data.Dataset", path: str) -> dict:
             "n_dedup": n_dedup, "bytes": os.path.getsize(path)}
 
 
-def _expand_fill_chunk(z: np.ndarray, x: np.ndarray, y0: np.ndarray,
-                       y1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _expand_fill_chunk(bounds: np.ndarray, z: np.ndarray, x: np.ndarray,
+                       y0: np.ndarray, y1: np.ndarray
+                       ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Expand one chunk of interior fill RUNS (z, x, y0..y1) to
     hilbert-sorted (tile_id, hilbert_id) arrays — 16 bytes per fill
-    tile, no geometry.  Runs in a remote task so the expansion output
-    lives in the object store, never on the driver."""
+    tile, no geometry — PRE-PARTITIONED by the shard ``bounds``
+    (one return object per shard, via ``num_returns``), so each shard
+    writer fetches only its own slice instead of every expanded chunk
+    (O(total fill tiles) transfer per shard otherwise).  Runs in a
+    remote task so the expansion output lives in the object store,
+    never on the driver."""
     from .tilemath.clip import _expand_ranges
     from .tilemath.tilecoord import hilbert_encode_tile, tms_encode
 
@@ -461,7 +466,15 @@ def _expand_fill_chunk(z: np.ndarray, x: np.ndarray, y0: np.ndarray,
         m = zs == zz
         hil[m] = hilbert_encode_tile(xs[m], ys[m], int(zz))
     o = np.argsort(hil, kind="stable")
-    return tid[o], hil[o]
+    tid, hil = tid[o], hil[o]
+    bounds = np.asarray(bounds, np.int64)
+    # shard of h = searchsorted(bounds, h, 'right') → shard j owns
+    # [bounds[j-1], bounds[j]), so the cut at bound j is the first
+    # hil >= bounds[j] (side='left')
+    cuts = np.concatenate([[0], np.searchsorted(hil, bounds, side="left"),
+                           [len(hil)]])
+    out = [(tid[a:b], hil[a:b]) for a, b in zip(cuts[:-1], cuts[1:])]
+    return out if len(out) > 1 else out[0]
 
 
 def fill_runs_from_striped(res: dict, z: int) -> "pa.Table":
@@ -508,27 +521,6 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
 
-    fill_chunk_refs: list = []
-    fill_blob_gz = None
-    if fill_runs is not None and fill_runs.num_rows:
-        if fill_blob is None:
-            raise ValueError("fill_runs requires fill_blob")
-        fill_blob_gz = gzip.compress(fill_blob, 6)
-        expand = ray.remote(_expand_fill_chunk)
-        lens = (fill_runs["y1"].to_numpy()
-                - fill_runs["y0"].to_numpy() + 1)
-        cuts = np.concatenate(
-            [[0], np.searchsorted(np.cumsum(lens),
-                                  np.arange(1, 64) * 4_000_000),
-             [len(lens)]])
-        for lo, hi in zip(np.unique(cuts)[:-1], np.unique(cuts)[1:]):
-            if hi > lo:
-                fill_chunk_refs.append(expand.remote(
-                    fill_runs["z"].to_numpy()[lo:hi],
-                    fill_runs["x"].to_numpy()[lo:hi],
-                    fill_runs["y0"].to_numpy()[lo:hi],
-                    fill_runs["y1"].to_numpy()[lo:hi]))
-
     def downsample(b: pa.Table) -> pa.Table:
         # ≤64 evenly-spaced ids per block → the driver sees a bounded,
         # whole-range sample no matter the dataset size
@@ -549,15 +541,42 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
         shard = np.searchsorted(bounds, hil, side="right").astype(np.int32)
         return batch.append_column("shard", pa.array(shard))
 
+    # expand fill runs AFTER bounds are known, pre-partitioned by shard
+    # (num_returns = one object per shard) — each shard writer fetches
+    # only its own slice, not every expanded chunk
+    n_shards_eff = len(bounds) + 1
+    fill_chunk_refs: list = []          # list[chunk] of list[shard ref]
+    fill_blob_gz = None
+    if fill_runs is not None and fill_runs.num_rows:
+        if fill_blob is None:
+            raise ValueError("fill_runs requires fill_blob")
+        fill_blob_gz = gzip.compress(fill_blob, 6)
+        expand = ray.remote(_expand_fill_chunk)
+        lens = (fill_runs["y1"].to_numpy()
+                - fill_runs["y0"].to_numpy() + 1)
+        cuts = np.concatenate(
+            [[0], np.searchsorted(np.cumsum(lens),
+                                  np.arange(1, 64) * 4_000_000),
+             [len(lens)]])
+        for lo, hi in zip(np.unique(cuts)[:-1], np.unique(cuts)[1:]):
+            if hi > lo:
+                refs = expand.options(num_returns=n_shards_eff).remote(
+                    bounds,
+                    fill_runs["z"].to_numpy()[lo:hi],
+                    fill_runs["x"].to_numpy()[lo:hi],
+                    fill_runs["y0"].to_numpy()[lo:hi],
+                    fill_runs["y1"].to_numpy()[lo:hi])
+                fill_chunk_refs.append(
+                    [refs] if n_shards_eff == 1 else list(refs))
+
     def shard_fills(shard: int, detail_tids: np.ndarray):
         """(tile_id, hilbert_id) of this shard's fill tiles, detail
         tiles excluded (detail wins at the same coordinate)."""
         ft, fh = [], []
-        for ref in fill_chunk_refs:
-            t, h = ray.get(ref)
-            sel = np.searchsorted(bounds, h, side="right") == shard
-            ft.append(t[sel])
-            fh.append(h[sel])
+        for chunk in fill_chunk_refs:
+            t, h = ray.get(chunk[shard])
+            ft.append(t)
+            fh.append(h)
         if not ft:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         ft = np.concatenate(ft)

@@ -78,7 +78,10 @@ def geofabrik_download_url(search: str,
         urls = props.get("urls") or {}
         if "pbf" not in urls:
             continue
-        ids = [props.get("id", ""), props.get("name", "")]
+        # name tokens stay OUT of the id tier: id beats name (the
+        # reference resolves id='georgia' over name='Georgia' of
+        # us/georgia — Geofabrik.searchIndexForDownloadUrl tier order)
+        ids = [props.get("id", "")]
         ids += props.get("iso3166-1:alpha2") or []
         ids += props.get("iso3166-2") or []
         name_tokens = _tokenize(props.get("name", ""))

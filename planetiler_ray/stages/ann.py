@@ -229,50 +229,62 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset", dim: int,
         D = len(um)
         out_a, out_b = [], []
         budget = max_pairs_per_bucket
+        clipped = False          # a pair that SHOULD exist was dropped
 
         def emit(va: int, vb: int):
-            nonlocal budget
+            nonlocal budget, clipped
             if budget <= 0:
+                clipped = True
                 return
             ga = ids[vorder[vstarts[va]:vstarts[va] + vcounts[va]]]
             if va == vb:
+                full = len(ga) * (len(ga) - 1) // 2
                 ia0, ib0 = bounded_triu_pairs(len(ga), budget)
                 a, b = ga[ia0], ga[ib0]
             else:
                 gb = ids[vorder[vstarts[vb]:vstarts[vb] + vcounts[vb]]]
-                need = min(budget, len(ga) * len(gb))
+                full = len(ga) * len(gb)
+                need = min(budget, full)
                 k = np.arange(need)
                 a0 = ga[k // len(gb)]
                 b0 = gb[k % len(gb)]
                 a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+            if len(a) < full:
+                clipped = True
             out_a.append(a)
             out_b.append(b)
             budget -= len(a)
 
         # identical rows: cosine exactly 1 ≥ threshold
-        for v in np.flatnonzero(vcounts > 1):
+        dup_vs = np.flatnonzero(vcounts > 1)
+        for j, v in enumerate(dup_vs):
             emit(int(v), int(v))
             if budget <= 0:
+                clipped |= j + 1 < len(dup_vs)
                 break
         T = 2048
         for s0 in range(0, D, T):
             if budget <= 0:
+                clipped = True       # unscanned tiles remain
                 break
             for s1 in range(s0, D, T):
                 if budget <= 0:
+                    clipped = True   # unscanned tiles remain
                     break
                 sims = um[s0:s0 + T] @ um[s1:s1 + T].T
                 ra, rb = np.nonzero(sims >= cosine_threshold)
                 if s0 == s1:
                     k2 = ra < rb
                     ra, rb = ra[k2], rb[k2]
-                for va, vb in zip(ra, rb):
+                for j, (va, vb) in enumerate(zip(ra, rb)):
                     emit(int(s0 + va), int(s1 + vb))
                     if budget <= 0:
+                        clipped |= j + 1 < len(ra)
                         break
-        if budget <= 0:
+        if clipped:
             # no silent caps: dense bucket beyond the pair budget → the
-            # truncation is observable, not silent
+            # truncation is observable, not silent (a budget exhausted
+            # exactly by the final legitimate pair does NOT warn)
             _LOG.warning(
                 "embedding_near_dup_pairs: bucket with %d rows exhausted "
                 "max_pairs_per_bucket=%d; pair output truncated",

@@ -448,42 +448,52 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
         D = len(uh)
         out_a, out_b, out_d = [], [], []
         budget = max_pairs_per_bucket
+        clipped = False          # a pair that SHOULD exist was dropped
 
         def emit(va: int, vb: int, dist: int):
             """expand value-pair → id pairs, generating only up to the
             remaining budget (never the full cross product)."""
-            nonlocal budget
+            nonlocal budget, clipped
             if budget <= 0:
+                clipped = True
                 return
             if va == vb:
                 g = ids[starts[va]:starts[va] + counts[va]]
+                full = len(g) * (len(g) - 1) // 2
                 ia, ib = bounded_triu_pairs(len(g), budget)
                 a, b = g[ia], g[ib]
             else:
                 ga = ids[starts[va]:starts[va] + counts[va]]
                 gb = ids[starts[vb]:starts[vb] + counts[vb]]
-                need = min(budget, len(ga) * len(gb))
+                full = len(ga) * len(gb)
+                need = min(budget, full)
                 k = np.arange(need)
                 a0 = ga[k // len(gb)]
                 b0 = gb[k % len(gb)]
                 a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+            if len(a) < full:
+                clipped = True
             out_a.append(a)
             out_b.append(b)
             out_d.append(np.full(len(a), dist, np.int64))
             budget -= len(a)
 
         # within-value pairs: hamming 0
-        for v in np.flatnonzero(counts > 1):
+        dup_vs = np.flatnonzero(counts > 1)
+        for j, v in enumerate(dup_vs):
             emit(int(v), int(v), 0)
             if budget <= 0:
+                clipped |= j + 1 < len(dup_vs)
                 break
         # cross-value pairs: blocked all-pairs over DISTINCT values
         T = 2048
         for s0 in range(0, D, T):
             if budget <= 0:
+                clipped = True       # unscanned tiles remain
                 break
             for s1 in range(s0, D, T):
                 if budget <= 0:
+                    clipped = True   # unscanned tiles remain
                     break
                 ha = uh[s0:s0 + T]
                 hb = uh[s1:s1 + T]
@@ -498,14 +508,16 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
                 if s0 == s1:
                     keep = ra < rb
                     ra, rb = ra[keep], rb[keep]
-                for va, vb in zip(ra, rb):
+                for j, (va, vb) in enumerate(zip(ra, rb)):
                     emit(int(s0 + va), int(s1 + vb),
                          int(ham[va, vb]))
                     if budget <= 0:
+                        clipped |= j + 1 < len(ra)
                         break
-        if budget <= 0:
+        if clipped:
             # no silent caps: a legitimately dense bucket beyond the
             # per-bucket pair budget yields truncated output — say so
+            # (a budget exhausted exactly by the final pair does NOT warn)
             _LOG.warning(
                 "hamming_near_dup_pairs: bucket with %d rows exhausted "
                 "max_pairs_per_bucket=%d; pair output truncated",

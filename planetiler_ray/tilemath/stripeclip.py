@@ -220,9 +220,6 @@ def _combine_runs(gA, loA, hiA, gB, loB, hiB, mode: str):
     ca = np.cumsum(ev_a)
     cb = np.cumsum(ev_b)
     gs = _group_starts(ev_g)
-    base_a = np.zeros(len(ev_g), np.int64)
-    base_b = np.zeros(len(ev_g), np.int64)
-    grp = np.cumsum(np.isin(np.arange(len(ev_g)), gs)) - 1
     base_a = np.repeat(np.where(gs > 0, ca[gs - 1], 0), np.diff(
         np.append(gs, len(ev_g))))
     base_b = np.repeat(np.where(gs > 0, cb[gs - 1], 0), np.diff(
@@ -371,7 +368,10 @@ def _rows_in_runs(keys: np.ndarray, rows: np.ndarray, rg: np.ndarray,
     by (key, lo)."""
     if len(rg) == 0 or len(keys) == 0:
         return np.zeros(len(keys), bool)
-    SH = np.int64(1) << 34
+    # pack (key, row) with a data-sized multiplier — a fixed 1<<34 shift
+    # overflows int64 once key reaches 2**29 (≈28k polygons at z14)
+    SH = np.int64(max(int(rows.max(initial=0)), int(rhi.max(initial=0)),
+                      int(rlo.max(initial=0))) + 2)
     pos = np.searchsorted(rg * SH + rlo, keys * SH + rows, side="right") - 1
     ok = pos >= 0
     p = np.maximum(pos, 0)
@@ -436,8 +436,7 @@ def slice_polygons_striped(px: np.ndarray, py: np.ndarray,
     p_outer = is_outer_ring[p_ring]
     outer_g = pkey(poly_of_ring[p_ring[p_outer]], p_col[p_outer])
     outer_lo, outer_hi = par_lo[p_outer], par_hi[p_outer]
-    oorder = np.argsort(outer_g * (np.int64(1) << 34) + outer_lo,
-                        kind="stable")
+    oorder = np.lexsort((outer_lo, outer_g))
     outer_g, outer_lo, outer_hi = (outer_g[oorder], outer_lo[oorder],
                                    outer_hi[oorder])
     hole_g = pkey(poly_of_ring[p_ring[~p_outer]], p_col[~p_outer])
@@ -460,7 +459,10 @@ def slice_polygons_striped(px: np.ndarray, py: np.ndarray,
         hk = pkey(frag_poly[hole_frag], frag_col[hole_frag])
         inside = _rows_in_runs(hk, frag_row[hole_frag],
                                outer_g, outer_lo, outer_hi)
-        SH = np.int64(1) << 34
+        # rows are tile y indices < n_tiles, so pack with an n_tiles
+        # multiplier — a fixed 1<<34 shift overflows int64 at ≈28k
+        # polygons at z14
+        SH = np.int64(n_tiles)
         outer_tiles = np.unique(
             pkey(frag_poly[~hole_frag], frag_col[~hole_frag]) * SH
             + frag_row[~hole_frag])
@@ -469,9 +471,9 @@ def slice_polygons_striped(px: np.ndarray, py: np.ndarray,
         # one fill square per tile even if several holes touch it
         tiles = np.unique((hk * SH + frag_row[hole_frag])[pick])
         if len(tiles):
-            inf_col = (tiles >> 34) % KC - 2
-            inf_poly = (tiles >> 34) // KC
-            inf_row = tiles & (SH - 1)
+            inf_col = (tiles // SH) % KC - 2
+            inf_poly = (tiles // SH) // KC
+            inf_row = tiles % SH
 
     # final extents / world-wrap filtering on fragments
     wrapped = np.mod(frag_col, n_tiles)

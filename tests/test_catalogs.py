@@ -172,3 +172,22 @@ def test_overture_collection_extent_short_circuit():
     assert urls == []
     # no item documents fetched when the collection extent misses
     assert not any("item" in u for u in calls)
+
+
+def test_geofabrik_id_beats_name():
+    """id tokens resolve in a higher tier than name tokens: id='georgia'
+    (country) wins over us/georgia named 'Georgia' instead of raising a
+    multiple-exact-ID error (Geofabrik.searchIndexForDownloadUrl)."""
+    idx = {"features": [
+        {"properties": {"id": "georgia", "name": "Georgia",
+                        "urls": {"pbf": "https://x/georgia.pbf"}}},
+        {"properties": {"id": "us/georgia", "name": "Georgia",
+                        "urls": {"pbf": "https://x/us-georgia.pbf"}}},
+    ]}
+    fetch = lambda u: json.dumps(idx).encode()  # noqa: E731
+    assert geofabrik_download_url(
+        "georgia", fetch=fetch,
+        index_url="t-id-name-1") == "https://x/georgia.pbf"
+    assert geofabrik_download_url(
+        "us/georgia", fetch=fetch,
+        index_url="t-id-name-2") == "https://x/us-georgia.pbf"

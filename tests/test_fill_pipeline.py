@@ -102,3 +102,46 @@ def test_polygon_fill_archive_end_to_end(ray_session, tmp_path):
     root = json.load(open(os.path.join(out, "root.json")))
     total_blobs = sum(sh["n_blobs"] for sh in root["shards"])
     assert total_blobs < info["n_tiles"] / 10
+
+
+def _ring_count(feature) -> int:
+    """Count rings in a decoded MVT polygon feature (ClosePath cmds)."""
+    g = feature["geometry"]
+    i = rings = 0
+    while i < len(g):
+        cmd = g[i]
+        cid, cnt = cmd & 7, cmd >> 3
+        if cid == 7:
+            rings += cnt
+            i += 1
+        else:
+            i += 1 + 2 * cnt
+    return rings
+
+
+def test_hole_joins_its_polygon_feature(ray_session, tmp_path):
+    """A tile holding the polygon's interior fill AND a hole fragment
+    decodes to ONE multi-ring water feature — not two stacked polygons
+    (MVT 2.1 §4.3.4.4: interior rings follow their exterior)."""
+    from planetiler_ray.pipelines.tiles import polygon_fill_archive
+    from planetiler_ray.sinks import read_sharded_archive_tile
+    from planetiler_ray.tilemath.mvt_pb import decode_tile
+    from planetiler_ray.tilemath.tilecoord import (hilbert_encode_tile,
+                                                   tms_encode)
+
+    px, py, offs, por = _ocean_rings()
+    z = 7
+    out = str(tmp_path / "ocean_hole")
+    polygon_fill_archive(px, py, offs, por, z, z, out, num_shards=2)
+
+    s = 1 << z
+    # a tile crossed by the hole boundary, interior to the outer ring
+    hx = int(OCEAN["H0"] * s)
+    hy = int(0.5 * s)
+    tid = int(tms_encode(np.array([hx]), np.array([hy]), np.array([z]))[0])
+    hid = int(hilbert_encode_tile(np.array([hx]), np.array([hy]), z)[0])
+    layers = decode_tile(read_sharded_archive_tile(out, tid, hid))
+    feats = layers["water"]["features"]
+    assert len(feats) == 1, \
+        f"hole fragment must merge into its polygon's feature, got {len(feats)}"
+    assert _ring_count(feats[0]) >= 2

@@ -232,3 +232,34 @@ def test_slice_polygons_escape_output_bounded():
     # every fragment tile unique per ring
     keys = r["x"] * (1 << z) + r["y"]
     assert len(np.unique(keys)) == len(keys)
+
+
+def test_large_polygon_index_no_key_overflow():
+    """Packed (poly, col, row) keys must survive huge polygon indexes at
+    z14 (regression: a fixed 1<<34 shift overflowed int64 at ~28k
+    polygons, silently corrupting fill-run attribution)."""
+    from planetiler_ray.tilemath.stripeclip import slice_polygons_striped
+
+    z = 14
+    s = float(1 << z)
+    # small square with a hole, owned by polygon index 40_000_000
+    o = dict(X0=0.40, X1=0.402, Y0=0.40, Y1=0.402,
+             H0=0.4005, H1=0.4015, G0=0.4005, G1=0.4015)
+    px = np.array([o["X0"], o["X1"], o["X1"], o["X0"],
+                   o["H0"], o["H1"], o["H1"], o["H0"]]) * s
+    py = np.array([o["Y0"], o["Y0"], o["Y1"], o["Y1"],
+                   o["G0"], o["G0"], o["G1"], o["G1"]]) * s
+    offs = np.array([0, 4, 8])
+    big = 40_000_000
+    r = slice_polygons_striped(px, py, offs, z, 4 / 256.0,
+                               poly_of_ring=np.array([big, big]))
+    r0 = slice_polygons_striped(px, py, offs, z, 4 / 256.0,
+                                poly_of_ring=np.array([0, 0]))
+    # identical tile sets and fill runs regardless of the polygon index
+    k = lambda rr: sorted(zip(rr["x"].tolist(), rr["y"].tolist()))  # noqa: E731
+    assert k(r) == k(r0)
+    fk = lambda rr: sorted(zip(rr["fill_x"].tolist(),               # noqa: E731
+                               rr["fill_y0"].tolist(),
+                               rr["fill_y1"].tolist()))
+    assert fk(r) == fk(r0)
+    assert (np.asarray(r["fill_x"]) >= 0).all()

@@ -135,3 +135,16 @@ layers:
     assert attrs["highway"] == "primary"
     assert attrs["tag"] == "primary"          # coalesce fell through
     assert attrs["score"] == "20"             # num(lanes)*10, Arrow float->string
+
+
+def test_type_with_direct_tag_value_and_coalesce():
+    """{'type': t, 'tag_value': k} and {'type': t, 'coalesce': [...]}
+    (no 'value' wrapper) must compile the FORM, not treat the single
+    rest value as a constant (regression: the tag NAME was cast)."""
+    t = T(lanes=["2", "3", None], ref=["r1", None, "r3"])
+    f = compile_value_expression({"type": "integer", "tag_value": "lanes"})
+    assert f(t).to_pylist() == [2, 3, None]
+    g = compile_value_expression({"type": "string",
+                                  "coalesce": [{"tag_value": "lanes"},
+                                               {"tag_value": "ref"}]})
+    assert g(t).to_pylist() == ["2", "3", "r3"]
