@@ -71,8 +71,15 @@ def run_bench() -> dict:
 
     import ray
 
+    # exchange_slots: per-node cap on concurrent exchange (shuffle)
+    # tasks — they are memory-bandwidth heavy and >4 concurrent on this
+    # host class collapse aggregate bandwidth (see stages/exchange.py
+    # _slot_options).  A node property like CPU count: the SAME value at
+    # every parallelism level (binding only where CPUs > slots).
+    slots = int(os.environ.get("GRAFT_EXCHANGE_SLOTS", "4"))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             resources={"exchange_slots": slots} if slots > 0 else None)
     import ray.data
     from ray.data import DataContext
 

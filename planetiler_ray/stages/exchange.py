@@ -43,7 +43,7 @@ import ray.data
 
 
 def _split_block(num_targets: int, key_offset: int, key_div: int,
-                 *tbls: pa.Table) -> list[pa.Table]:
+                 map_fn, *tbls: pa.Table) -> list[pa.Table]:
     """Split one or more blocks into per-target sub-tables (vectorized).
 
     Target of a row = ``(part - key_offset) // key_div`` — identity for
@@ -52,10 +52,20 @@ def _split_block(num_targets: int, key_offset: int, key_div: int,
     input blocks may arrive per task (the driver groups tiny blocks so
     split-task count tracks data volume, not upstream block count).
 
+    ``map_fn`` (map-side shuffle-write fusion): when given, each input
+    block is mapped through it FIRST — for a fan-out map this means the
+    multiplied fragment stream is born, partitioned and returned in one
+    task, never round-tripping the object store between the map and the
+    split (the dominant shuffle traffic at high parallelism).
+
     Fan-out batches arrive pre-sorted by ``part``; blocks concatenating
     several batches are near-sorted, so skip the argsort when possible
     and slice zero-copy.
     """
+    if map_fn is not None:
+        # map only non-empty blocks (schema-less empties can't be mapped);
+        # if everything is empty fall through to the empty-piece path
+        tbls = tuple(map_fn(t) for t in tbls if t.num_rows) or tbls
     live = [t for t in tbls
             if t.num_rows and "part" in t.schema.names]
     if not live:
@@ -104,6 +114,29 @@ def _reduce_task(reduce_fn, pass_part: bool, part_id: int,
 _REMOTE_CACHE: dict = {}
 
 
+def _slot_options() -> dict:
+    """Per-node cap on concurrent exchange tasks via the optional
+    ``exchange_slots`` custom resource.
+
+    Exchange tasks (split / combine / reduce) are memory-bandwidth
+    heavy: on this class of host, >4 concurrent ~200 MB sort+serialize
+    tasks collapse aggregate bandwidth (measured 8.5× slower at 8
+    concurrent than at 4).  A deployment that declares
+    ``resources={"exchange_slots": K}`` per node caps them at K per
+    node while leaving the remaining CPUs to compute stages — the
+    shuffle analog of capping transfer threads per node.  When the
+    resource is absent (tests, driver sessions) tasks run unrestricted.
+    """
+    if "slots" not in _REMOTE_CACHE:
+        try:
+            has = "exchange_slots" in ray.cluster_resources()
+        except Exception:
+            has = False
+        _REMOTE_CACHE["slots"] = (
+            {"resources": {"exchange_slots": 1}} if has else {})
+    return _REMOTE_CACHE["slots"]
+
+
 def _remotes() -> dict:
     """Remote handles created ONCE per session: a fresh ``ray.remote``
     per ``exchange_reduce`` call would mint a new function id each
@@ -111,7 +144,7 @@ def _remotes() -> dict:
     exchange on a 32-worker session).  ``reduce_fn`` travels as a
     ``ray.put`` ref argument instead of a closure so one exported
     function serves every exchange."""
-    if not _REMOTE_CACHE:
+    if "split" not in _REMOTE_CACHE:
         _REMOTE_CACHE["split"] = ray.remote(_split_block)
         _REMOTE_CACHE["combine"] = ray.remote(_combine_task)
         _REMOTE_CACHE["reduce"] = ray.remote(_reduce_task)
@@ -124,7 +157,9 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
                     pass_part: bool = False,
                     max_fanin: int = 64,
                     two_level_threshold: int = 65536,
-                    materialize: bool = True) -> "ray.data.Dataset":
+                    materialize: bool = True,
+                    map_fn: Callable[[pa.Table], pa.Table] | None = None,
+                    map_target_rows: int | None = None) -> "ray.data.Dataset":
     """Exchange fan-out blocks by precomputed ``part`` and reduce each.
 
     ``parts_to_run``: optional subset of partition ids (resume support —
@@ -145,6 +180,13 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     the lazy ref Dataset instead when composing exchanges under memory
     pressure (escape hatch: the lazy consumption path pays a measured
     6–12 s streaming-executor backoff on this Ray version).
+    ``map_fn``: map-side shuffle-write fusion — each split task maps its
+    input blocks through this BEFORE partitioning, so a row-multiplying
+    map (tile fan-out) streams straight into the partition pieces
+    without an intermediate object-store round trip.  ``frags`` is then
+    the PRE-map dataset; size split tasks with ``map_target_rows``
+    (pre-map rows per task, default ``target_rows`` — set it so
+    rows × fan-out factor stays a bounded piece payload).
     Returns a Dataset of the concatenated reduce outputs.
     """
     # stream blocks out of the fan-out as they complete and launch their
@@ -155,9 +197,11 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     # volume, not upstream block count.
     split = _remotes()["split"]
     reduce_fn_ref = ray.put(reduce_fn)
+    map_fn_ref = ray.put(map_fn) if map_fn is not None else None
 
-    def launch_split(refs, n, offset=0, div=1):
-        out = split.options(num_returns=n).remote(n, offset, div, *refs)
+    def launch_split(refs, n, offset=0, div=1, mf=None):
+        out = split.options(num_returns=n, **_slot_options()) \
+            .remote(n, offset, div, mf, *refs)
         return [out] if n == 1 else out
 
     # rows per split task: interleaved A/B at 8 cpus measured 262144
@@ -167,6 +211,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     # fragment rows per split task — small vs worker heap at any scale.
     import os
     target_rows = int(os.environ.get("GRAFT_EXCHANGE_TARGET_ROWS", "262144"))
+    if map_fn is not None:
+        target_rows = map_target_rows or target_rows
     block_groups: list[list] = []
     cur: list = []
     cur_rows = 0
@@ -192,9 +238,11 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
 
     def tree_reduce(p: int, refs: list) -> "ray.ObjectRef":
         while len(refs) > max_fanin:
-            refs = [combine.remote(*refs[i:i + max_fanin])
+            refs = [combine.options(**_slot_options())
+                    .remote(*refs[i:i + max_fanin])
                     for i in range(0, len(refs), max_fanin)]
-        return reduce_task.remote(reduce_fn_ref, pass_part, p, *refs)
+        return reduce_task.options(**_slot_options()).remote(
+            reduce_fn_ref, pass_part, p, *refs)
 
     # NOTE on the materialize() below: the exchange output refs are the
     # reduce tasks' results — already concrete object-store blocks, the
@@ -209,7 +257,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     out_refs = []
     if n_blocks * num_partitions <= two_level_threshold or num_partitions < 4:
         # flat exchange: one split per block group, B×P refs is affordable
-        pieces = [launch_split(grp, num_partitions) for grp in block_groups]
+        pieces = [launch_split(grp, num_partitions, mf=map_fn_ref)
+                  for grp in block_groups]
         for p in run:
             out_refs.append(tree_reduce(p, [pieces[b][p]
                                             for b in range(n_blocks)]))
@@ -219,7 +268,7 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     # two-level: coarse buckets of ~√P contiguous partitions
     bucket_size = max(1, math.ceil(math.sqrt(num_partitions)))
     n_buckets = math.ceil(num_partitions / bucket_size)
-    coarse = [launch_split(grp, n_buckets, 0, bucket_size)
+    coarse = [launch_split(grp, n_buckets, 0, bucket_size, mf=map_fn_ref)
               for grp in block_groups]
     run_arr = np.asarray(run, np.int64)
     for g in range(n_buckets):
