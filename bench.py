@@ -71,12 +71,15 @@ def run_bench() -> dict:
 
     import ray
 
-    # exchange_slots: per-node cap on concurrent exchange (shuffle)
-    # tasks — they are memory-bandwidth heavy and >4 concurrent on this
-    # host class collapse aggregate bandwidth (see stages/exchange.py
-    # _slot_options).  A node property like CPU count: the SAME value at
-    # every parallelism level (binding only where CPUs > slots).
-    slots = int(os.environ.get("GRAFT_EXCHANGE_SLOTS", "4"))
+    # exchange_slots: optional per-node cap on concurrent exchange
+    # (shuffle) tasks (see stages/exchange.py _slot_options).  Default
+    # OFF: the pure-memcpy microbenchmark showed an 8.5× win at 4 vs 8
+    # concurrent splits, but interleaved calm-window A/B of the REAL
+    # pipeline measured slots=4 ~25% SLOWER than uncapped (real reduce
+    # tasks are compute-heavy, so halving their parallelism costs more
+    # than the bandwidth contention saves).  Kept as an opt-in knob for
+    # hosts where the shuffle truly is bandwidth-bound.
+    slots = int(os.environ.get("GRAFT_EXCHANGE_SLOTS", "0"))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
              resources={"exchange_slots": slots} if slots > 0 else None)
