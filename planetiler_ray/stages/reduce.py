@@ -150,10 +150,24 @@ def prepare_fragments(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     tile, layer, sort_key, idx = tile[sel], layer[sel], sort_key[sel], idx[sel]
     osel = order[sel]
     kind = group["kind"].to_numpy()[osel]
-    ax = group["ax"].to_numpy()[osel]
-    ay = group["ay"].to_numpy()[osel]
-    bx = group["bx"].to_numpy()[osel]
-    by = group["by"].to_numpy()[osel]
+
+    def _px(col: str) -> np.ndarray:
+        """Wire coords back to tile px.  int16 columns carry
+        PRE-QUANTIZED extent units (render._q16): /SCALE is exact in
+        binary, so re-quantizing below reproduces the same integers
+        bit-for-bit; the Q16 NaN sentinel round-trips to NaN.  float
+        columns (older fixtures / direct callers) pass through."""
+        v = group[col].to_numpy()[osel]
+        if v.dtype == np.int16:
+            out = v.astype(np.float64) / SCALE
+            out[v == np.int16(-32768)] = np.nan
+            return out
+        return v
+
+    ax = _px("ax")
+    ay = _px("ay")
+    bx = _px("bx")
+    by = _px("by")
     is_fill = (group["is_fill"].to_numpy()[osel]
                if "is_fill" in group.column_names else np.zeros(len(osel), bool))
     image_id = (group["image_id"].to_numpy(zero_copy_only=False)[osel]

@@ -16,9 +16,11 @@ Output schema (one Arrow table per input batch, ~Σ_z fanout rows):
 
     tile_id:int64  hilbert_id:int64  part:int32  z:int8  x:int32 y:int32
     layer:int8  kind:int8(0=box,1=point)  idx:int64  image_id:str
-    sort_key:int16  group_id:int16 (local grid cell)  ax,ay,bx,by:float32 (local px)
-    (narrow shuffle dtypes: the grid id fits 2^28 at z13, the
-    density rank <1000 — 6 fewer bytes/row through the exchange)
+    sort_key:int16  group_id:int16 (local grid cell)
+    ax,ay,bx,by:int16 (PRE-QUANTIZED extent units, see _q16)
+    (narrow shuffle dtypes — 14 fewer bytes/row through the exchange
+    than the round-3 layout, exactly round-tripping the reduce's f64
+    quantization and keep-mask winners)
     is_fill:bool  cx,cy:float64 (world centroid, for kNN)
 
 ``part`` is the explicit Hilbert range-partition id (searchsorted into
@@ -46,6 +48,20 @@ KIND_POINT = 1
 # 32 px grid squares, keep the best 4 per square (FeatureCollector-style)
 LABEL_GRID_PX = 32.0
 LABEL_GRID_LIMIT = 4
+
+# fragment coords travel the exchange PRE-QUANTIZED to MVT extent units
+# (floor(px*16 + 0.5), int16): 2 bytes instead of a float32, and the
+# round trip back to px (q/16, exact in binary) reproduces the reduce's
+# f64 quantization bit-for-bit — the same trick the archive sinks use
+# for fixed-width records (records_to_mvt_pb_batch).  Q16_NAN marks the
+# unused corners of point fragments.
+Q16_NAN = np.int16(-32768)
+
+
+def _q16(v: np.ndarray) -> np.ndarray:
+    from ..tilemath.mvt import SCALE
+    q = np.floor(np.asarray(v, np.float64) * SCALE + 0.5)
+    return np.clip(q, -32000, 32000).astype(np.int16)
 
 
 def label_grid_keep_mask(tile, layer, gid, sort_key, idx, limit: int) -> np.ndarray:
@@ -173,10 +189,10 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
             out["kind"].append(np.full(nb, KIND_BOX, np.int8))
             out["sort_key"].append(np.zeros(nb, np.int16))
             out["group_id"].append(np.zeros(nb, np.int16))
-            out["ax"].append(boxes["fx0"].astype(np.float32))
-            out["ay"].append(boxes["fy0"].astype(np.float32))
-            out["bx"].append(boxes["fx1"].astype(np.float32))
-            out["by"].append(boxes["fy1"].astype(np.float32))
+            out["ax"].append(_q16(boxes["fx0"]))
+            out["ay"].append(_q16(boxes["fy0"]))
+            out["bx"].append(_q16(boxes["fx1"]))
+            out["by"].append(_q16(boxes["fy1"]))
             out["is_fill"].append(boxes["is_fill"])
 
         if cfg.emit_points:
@@ -209,10 +225,10 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
                          | (g & np.uint64(15))).astype(np.int16) + np.int16(1)
                 out["group_id"].append(np.where(z < cfg.max_zoom, local,
                                                 np.int16(0)))
-                out["ax"].append(pts["px"].astype(np.float32))
-                out["ay"].append(pts["py"].astype(np.float32))
-                out["bx"].append(np.full(np_, np.nan, np.float32))
-                out["by"].append(np.full(np_, np.nan, np.float32))
+                out["ax"].append(_q16(pts["px"]))
+                out["ay"].append(_q16(pts["py"]))
+                out["bx"].append(np.full(np_, Q16_NAN, np.int16))
+                out["by"].append(np.full(np_, Q16_NAN, np.int16))
                 out["is_fill"].append(np.zeros(np_, bool))
 
     if not out["row"]:
@@ -275,9 +291,9 @@ def _empty_fragments_table(slim: bool = False) -> pa.Table:
         "tile_id": pa.array([], pa.int64()), "part": pa.array([], pa.int32()),
         "layer": pa.array([], pa.int8()), "kind": pa.array([], pa.int8()),
         "idx": pa.array([], pa.int64()), "sort_key": pa.array([], pa.int16()),
-        "group_id": pa.array([], pa.int16()), "ax": pa.array([], pa.float32()),
-        "ay": pa.array([], pa.float32()), "bx": pa.array([], pa.float32()),
-        "by": pa.array([], pa.float32()), "is_fill": pa.array([], pa.bool_()),
+        "group_id": pa.array([], pa.int16()), "ax": pa.array([], pa.int16()),
+        "ay": pa.array([], pa.int16()), "bx": pa.array([], pa.int16()),
+        "by": pa.array([], pa.int16()), "is_fill": pa.array([], pa.bool_()),
     }
     if not slim:
         cols["hilbert_id"] = pa.array([], pa.int64())
