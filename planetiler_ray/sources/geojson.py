@@ -21,45 +21,69 @@ from ..tilemath.projection import get_world_x, get_world_y
 
 
 def _features_to_rows(batch: pa.Table) -> pa.Table:
+    """Parse one batch of NDJSON features, geometry math vectorized.
+
+    ``json.loads`` per line is unavoidable (GeoJSON geometry unions
+    are too ragged for Arrow JSON schema inference), but all the
+    projection/extent math runs as BULK numpy over the batch: points
+    as one (n, 2) array, polygon outer rings as one concatenated
+    coordinate array reduced per ring with ``minimum.reduceat``."""
     import json
 
-    feats = [json.loads(line) for line in batch["text"].to_pylist() if line.strip()]
-    geoms = [f.get("geometry") for f in feats]
-    props = [f.get("properties") or {} for f in feats]
-    ids, cxs, cys, hws, hhs, caps = [], [], [], [], [], []
-    for i, (geom, prop) in enumerate(zip(geoms, props)):
-        gid = str(prop.get("id", f"feat{i:08d}"))
+    feats = [json.loads(line) for line in batch["text"].to_pylist()
+             if line.strip()]
+    order, kinds, ids, caps = [], [], [], []
+    pts, rings = [], []
+    for i, f in enumerate(feats):
+        geom = f.get("geometry")
         if geom is None:
             continue
         gtype = geom.get("type")
         if gtype == "Point":
-            lon, lat = geom["coordinates"][:2]
-            cx = float(get_world_x(lon))
-            cy = float(get_world_y(lat))
-            hw = hh = 0.0
+            kinds.append(0)
+            pts.append(geom["coordinates"][:2])
         elif gtype == "Polygon":
-            ring = np.asarray(geom["coordinates"][0], dtype=np.float64)
-            wx = get_world_x(ring[:, 0])
-            wy = get_world_y(ring[:, 1])
-            x0, x1 = float(wx.min()), float(wx.max())
-            y0, y1 = float(wy.min()), float(wy.max())
-            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
-            hw, hh = (x1 - x0) / 2, (y1 - y0) / 2
+            kinds.append(1)
+            rings.append(np.asarray(geom["coordinates"][0], np.float64))
         else:  # unsupported geometry types are skipped (counted upstream)
             continue
-        ids.append(gid)
-        cxs.append(cx)
-        cys.append(cy)
-        hws.append(hw)
-        hhs.append(hh)
+        prop = f.get("properties") or {}
+        order.append(i)
+        ids.append(str(prop.get("id", f"feat{i:08d}")))
         caps.append(str(prop.get("caption", prop.get("name", ""))))
+    n = len(order)
+    kinds = np.asarray(kinds, np.int8)
+    cx = np.empty(n)
+    cy = np.empty(n)
+    hw = np.zeros(n)
+    hh = np.zeros(n)
+    if pts:
+        p = np.asarray(pts, np.float64)
+        ispt = kinds == 0
+        cx[ispt] = get_world_x(p[:, 0])
+        cy[ispt] = get_world_y(p[:, 1])
+    if rings:
+        lens = np.array([len(r) for r in rings], np.int64)
+        allc = np.concatenate(rings)
+        wx = get_world_x(allc[:, 0])
+        wy = get_world_y(allc[:, 1])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        x0 = np.minimum.reduceat(wx, starts)
+        x1 = np.maximum.reduceat(wx, starts)
+        y0 = np.minimum.reduceat(wy, starts)
+        y1 = np.maximum.reduceat(wy, starts)
+        ispoly = kinds == 1
+        cx[ispoly] = (x0 + x1) / 2
+        cy[ispoly] = (y0 + y1) / 2
+        hw[ispoly] = (x1 - x0) / 2
+        hh[ispoly] = (y1 - y0) / 2
     return pa.table({
         "image_id": pa.array(ids, pa.string()),
         "caption": pa.array(caps, pa.string()),
-        "phash": pa.array(np.zeros(len(ids), np.int64)),
-        "idx": pa.array(np.arange(len(ids), dtype=np.int64)),
-        "cx": pa.array(np.array(cxs)), "cy": pa.array(np.array(cys)),
-        "hw": pa.array(np.array(hws)), "hh": pa.array(np.array(hhs)),
+        "phash": pa.array(np.zeros(n, np.int64)),
+        "idx": pa.array(np.arange(n, dtype=np.int64)),
+        "cx": pa.array(cx), "cy": pa.array(cy),
+        "hw": pa.array(hw), "hh": pa.array(hh),
     })
 
 
