@@ -253,7 +253,7 @@ def run_scaling() -> dict:
     # num_cpus=32 than at 8, so 8→32 measures hardware saturation, not
     # the engine.  We report both pairs.)  Host timing noise is 2-4×
     # between runs → take the best of N trials per level.
-    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 
     # interleave the levels (2,8,32, 2,8,32, ...) so host-performance
     # drift over the measurement window hits every level equally; the
