@@ -97,3 +97,30 @@ def test_two_level_exchange_identical(ray_session):
     flat_s, two_s = run(1 << 30, parts=sub), run(1, parts=sub)
     assert flat_s["tile_id"].equals(two_s["tile_id"])
     assert flat_s["content_hash"].equals(two_s["content_hash"])
+
+
+def test_fused_map_side_split_identical(ray_session, monkeypatch):
+    """The fused map-side shuffle write (GRAFT_FUSED_EXCHANGE=1: the
+    fan-out runs inside the split task) must produce a pyramid
+    identical to the pipelined default."""
+    import ray.data as rd
+
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.stages.render import RenderConfig
+
+    n = 300
+    path = fixtures.images_parquet(n, with_bytes=False)
+    ids = fixtures.image_ids(n)
+    cfg = RenderConfig(0, 5)
+
+    def run(fused):
+        monkeypatch.setenv("GRAFT_FUSED_EXCHANGE", "1" if fused else "0")
+        ds = rd.read_parquet(path, columns=["image_id", "caption", "phash"])
+        df = build_pyramid(ds, ids, cfg, num_partitions=6).to_pandas()
+        return df.sort_values("tile_id").reset_index(drop=True)
+
+    a, b = run(True), run(False)
+    assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
+    assert (a["content_hash"].to_numpy() == b["content_hash"].to_numpy()).all()
+    assert (a["n_features"].to_numpy() == b["n_features"].to_numpy()).all()
