@@ -124,3 +124,25 @@ def test_fused_map_side_split_identical(ray_session, monkeypatch):
     assert (a["tile_id"].to_numpy() == b["tile_id"].to_numpy()).all()
     assert (a["content_hash"].to_numpy() == b["content_hash"].to_numpy()).all()
     assert (a["n_features"].to_numpy() == b["n_features"].to_numpy()).all()
+
+
+def test_q16_wire_roundtrip_matches_reduce_quantization():
+    """int16 wire coords must reproduce the reduce's f64 quantization
+    bit-for-bit across the whole representable px range."""
+    import numpy as np
+
+    from planetiler_ray.stages.render import _q16
+    from planetiler_ray.tilemath.mvt import SCALE
+
+    rng = np.random.default_rng(7)
+    px = np.concatenate([rng.uniform(-8, 264, 20000).astype(np.float32),
+                         np.array([-4.0, 0.0, 255.99999, 256.0, 260.0],
+                                  np.float32)])
+    q = _q16(px)
+    # direct quantization (what the reduce did pre-wire-format)
+    direct = np.floor(px.astype(np.float64) * SCALE + 0.5).astype(np.int64)
+    # wire round trip: int16 -> px float -> re-quantize (reduce._px + q())
+    back = q.astype(np.float64) / SCALE
+    again = np.floor(back * SCALE + 0.5).astype(np.int64)
+    assert (q == direct).all()
+    assert (again == direct).all()

@@ -148,3 +148,14 @@ def test_type_with_direct_tag_value_and_coalesce():
                                   "coalesce": [{"tag_value": "lanes"},
                                                {"tag_value": "ref"}]})
     assert g(t).to_pylist() == ["2", "3", "r3"]
+
+
+def test_script_tag_keys_excludes_functions():
+    """script_tag_keys promotes tag identifiers but never the script
+    function names (single source of truth with _ScriptCompiler)."""
+    from planetiler_ray.functions.valueexpr import script_tag_keys
+
+    keys = script_tag_keys("${ num(lanes) * 10 + len(coalesce(ref, name)) }")
+    assert keys == {"lanes", "ref", "name"}
+    assert script_tag_keys("not a script") == set()
+    assert script_tag_keys("${ upper(") == set()   # syntax error -> empty
