@@ -138,6 +138,24 @@ class Transliterate:
             self.repl[cp] = out
         self.max_cp = max_cp
 
+    def _fold(self, cp: int) -> str:
+        """One codepoint → latin: the curated table first, else a
+        general stdlib NFKD decomposition with combining marks
+        stripped (covers the long tail of Latin-script diacritics the
+        table does not enumerate — ń-with-caron, Vietnamese tone
+        stacks, fullwidth forms...).  Non-decomposable codepoints pass
+        through unchanged (the documented non-ICU residue)."""
+        if cp < self.max_cp and self.repl[cp] is not None:
+            return self.repl[cp]
+        ch = chr(cp)
+        if cp < 128:
+            return ch
+        import unicodedata
+        dec = unicodedata.normalize("NFKD", ch)
+        folded = "".join(c for c in dec
+                         if not unicodedata.combining(c))
+        return folded if folded and folded != ch else ch
+
     def transliterate(self, strings) -> list[str]:
         out = []
         for s in strings:
@@ -145,14 +163,10 @@ class Transliterate:
                 out.append(None)
                 continue
             cps = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-            hit = (cps < self.max_cp)
-            if not hit.any() or not any(
-                    self.repl[c] is not None for c in cps[hit]):
+            if not (cps > 127).any():
                 out.append(s)
                 continue
-            out.append("".join(
-                self.repl[c] if c < self.max_cp and self.repl[c] is not None
-                else chr(c) for c in cps))
+            out.append("".join(self._fold(int(c)) for c in cps))
         return out
 
     def __call__(self, batch: pa.Table, name_col: str = "name") -> pa.Table:

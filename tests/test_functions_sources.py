@@ -234,3 +234,15 @@ def test_language_utils(ray_session):
     assert got["Москва"] == "Moskva"
     assert got["Αθήνα"] == "Athina"
     assert got["café"] == "café"                # latin w/ diacritic: kept
+
+
+def test_transliterate_nfkd_long_tail():
+    """Codepoints beyond the curated table fold through stdlib NFKD
+    (combining marks stripped): Vietnamese tone stacks, fullwidth
+    forms, any Latin diacritic; CJK passes through unchanged (the
+    documented non-ICU residue)."""
+    from planetiler_ray.functions.language import Transliterate
+
+    t = Transliterate()
+    got = t.transliterate(["Việt Nam", "Ｔｏｋｙｏ", "Łódź", "北京", None])
+    assert got == ["Viet Nam", "Tokyo", "Lodz", "北京", None]
