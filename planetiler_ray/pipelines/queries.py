@@ -745,16 +745,34 @@ FROM part GROUP BY p_brand
 
 
 def q_user_sessions(sf_dir: str):
-    """Sessionization: count 30-min-gap sessions per user (ordered groups)."""
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(gaps.sum()) + 1],
-                             "n_events": [len(g)]})
+    """Sessionization: count 30-min-gap sessions per user.
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .groupby("user_id").map_groups(sess, batch_format="pandas")
+    Hash-exchange by user_id + one vectorized pass per partition
+    (lexsort → boundary-masked gap flags → ``reduceat``) — no
+    sort-based groupby, no per-user pandas (see pipelines/userkey.py).
+    """
+    from .userkey import run_lengths, segment_sums, user_segment_reduce
+
+    def segs(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy()
+        ts = t["ts"].to_numpy()
+        gap = np.zeros(n, bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")
+        gap[starts] = False                   # gaps never cross users
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_sessions": pa.array(segment_sums(gap.astype(np.int64),
+                                                starts) + 1),
+            "n_events": pa.array(run_lengths(starts, n)),
+        })
+
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), segs)
 
 
 SQL_USER_SESSIONS = """
@@ -831,19 +849,28 @@ def q_trajectory_lengths(sf_dir: str):
                          "event_id": t["event_id"],
                          "wx": t["wx"], "wy": t["wy"]})
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        dx = g["wx"].diff().to_numpy()[1:]
-        dy = g["wy"].diff().to_numpy()[1:]
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_points": [len(g)],
-            "length": [round_half_away(np.hypot(dx, dy).sum(), 6)[()]],
+    from .userkey import (run_lengths, segment_sums, step_lengths,
+                          user_segment_reduce)
+
+    def segs(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_points": pa.array([], pa.int64()),
+                             "length": pa.array([], pa.float64())})
+        uid = t["user_id"].to_numpy()
+        steps = step_lengths(t["wx"].to_numpy(), t["wy"].to_numpy(),
+                             starts, n)
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_points": pa.array(run_lengths(starts, n)),
+            "length": pa.array(round_half_away(segment_sums(steps, starts),
+                                               6)),
         })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs)
 
 
 SQL_TRAJECTORY_LENGTHS = f"""
@@ -968,28 +995,44 @@ def q_trajectory_simplify(sf_dir: str):
         return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
                          "event_id": t["event_id"], "wx": t["wx"], "wy": t["wy"]})
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        line = np.column_stack([g["wx"].to_numpy(), g["wy"].to_numpy()])
-        out = merge_lines([line], tolerance=TOL)
-        simp = out[0] if out else line[:0]
-        ok = (2 <= len(simp) <= len(line)
-              and bool((simp[0] == line[0]).all())
-              and bool((simp[-1] == line[-1]).all()))
-        if ok:
-            d2 = np.full(len(line), np.inf)
-            for s in range(len(simp) - 1):
-                d2 = np.minimum(d2, _seg_dist_sq(line, simp[s], simp[s + 1]))
-            ok = bool((d2 <= TOL * TOL + 1e-18).all())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_before": [len(line)],
-                             "first_wx": [line[0, 0]], "first_wy": [line[0, 1]],
-                             "last_wx": [line[-1, 0]], "last_wy": [line[-1, 1]],
-                             "simp_ok": [ok]})
+    from .userkey import run_lengths, user_segment_reduce
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def segs_fn(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        u = len(starts)
+        wx = t["wx"].to_numpy() if n else np.empty(0)
+        wy = t["wy"].to_numpy() if n else np.empty(0)
+        uid = t["user_id"].to_numpy() if n else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], n] if u else starts
+        ok_arr = np.zeros(u, bool)
+        for i in range(u):
+            s, e = int(starts[i]), int(ends[i])
+            line = np.column_stack([wx[s:e], wy[s:e]])
+            out = merge_lines([line], tolerance=TOL)
+            simp = out[0] if out else line[:0]
+            ok = (2 <= len(simp) <= len(line)
+                  and bool((simp[0] == line[0]).all())
+                  and bool((simp[-1] == line[-1]).all()))
+            if ok:
+                d2 = np.full(len(line), np.inf)
+                for k in range(len(simp) - 1):
+                    d2 = np.minimum(d2, _seg_dist_sq(line, simp[k],
+                                                     simp[k + 1]))
+                ok = bool((d2 <= TOL * TOL + 1e-18).all())
+            ok_arr[i] = ok
+        last = ends - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_before": pa.array(run_lengths(starts, n)),
+            "first_wx": pa.array(wx[starts]), "first_wy": pa.array(wy[starts]),
+            "last_wx": pa.array(wx[last] if u else np.empty(0)),
+            "last_wy": pa.array(wy[last] if u else np.empty(0)),
+            "simp_ok": pa.array(ok_arr),
+        })
+
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs_fn)
 
 
 SQL_TRAJECTORY_SIMPLIFY = f"""

@@ -158,32 +158,51 @@ def q_geom_derivations(sf_dir: str):
             "wy": 0.05 + 0.9 * (v.astype(np.float64) / TWO32),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        coords = np.column_stack([g["wx"].to_numpy(), g["wy"].to_numpy()])
-        mid = line_midpoint(coords)
-        q1 = point_along_line(coords, 0.25)
-        if len(coords) >= 2:
-            part = partial_line(coords, 0.25, 0.75)
-            d = np.diff(part, axis=0)
-            partial_len = float(np.hypot(d[:, 0], d[:, 1]).sum())
-        else:
-            partial_len = 0.0
-        r6 = lambda x: round_half_away(x, 6)[()]
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "mid_x": [r6(mid[0])], "mid_y": [r6(mid[1])],
-            "q1_x": [r6(q1[0])], "q1_y": [r6(q1[1])],
-            # length of partialLine(0.25, 0.75) — exactly half the total
-            # length, a CONTINUOUS check of the vertex selection +
-            # interpolation (a discrete vertex count would flip when a
-            # vertex sits ulp-close to a quarter-length boundary)
-            "partial_len": [round_half_away(partial_len, 4)[()]],
+    from .userkey import user_segment_reduce
+
+    def segs(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        # hash-exchange partition: sort is vectorized upstream; the
+        # per-run fold walks numpy slices (the geomfn kernels are
+        # per-polyline by contract — cumlen order must stay per-user
+        # for bit-stable interpolation vs the windowed-SQL oracle)
+        n = t.num_rows
+        u = len(starts)
+        wx = t["wx"].to_numpy() if n else np.empty(0)
+        wy = t["wy"].to_numpy() if n else np.empty(0)
+        uid = t["user_id"].to_numpy() if n else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], n] if u else starts
+        mx = np.empty(u); my = np.empty(u)
+        qx = np.empty(u); qy = np.empty(u)
+        pl = np.empty(u)
+        for i in range(u):
+            s, e = int(starts[i]), int(ends[i])
+            coords = np.column_stack([wx[s:e], wy[s:e]])
+            mid = line_midpoint(coords)
+            q1 = point_along_line(coords, 0.25)
+            if e - s >= 2:
+                part = partial_line(coords, 0.25, 0.75)
+                d = np.diff(part, axis=0)
+                # length of partialLine(0.25, 0.75) — exactly half the
+                # total length, a CONTINUOUS check of the vertex
+                # selection + interpolation
+                pl[i] = float(np.hypot(d[:, 0], d[:, 1]).sum())
+            else:
+                pl[i] = 0.0
+            mx[i], my[i] = mid
+            qx[i], qy[i] = q1
+        return pa.table({
+            "user_id": pa.array(uid[starts] if u else
+                                np.empty(0, np.int64)),
+            "mid_x": pa.array(round_half_away(mx, 6)),
+            "mid_y": pa.array(round_half_away(my, 6)),
+            "q1_x": pa.array(round_half_away(qx, 6)),
+            "q1_y": pa.array(round_half_away(qy, 6)),
+            "partial_len": pa.array(round_half_away(pl, 4)),
         })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs)
 
 
 # Edge selection replicates numpy searchsorted(cl, target, 'right')-1 with
@@ -264,29 +283,56 @@ def q_geo_measures(sf_dir: str):
             "lat": 72 - wy * 144,
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        lons = g["lon"].to_numpy()
-        lats = g["lat"].to_numpy()
-        x0, x1 = lons.min(), lons.max()
-        y0, y1 = lats.min(), lats.max()
-        ring_lons = np.array([x0, x1, x1, x0, x0])
-        ring_lats = np.array([y0, y0, y1, y1, y0])
-        wx = get_world_x(np.array([x0, x1]))
-        wy = get_world_y(np.array([y0, y1]))
-        size = max(wx[1] - wx[0], abs(wy[0] - wy[1]))
-        r = lambda x, d: round_half_away(x, d)[()]
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "len_km": [r(line_length_meters(lons, lats) / 1000.0, 6)],
-            "bbox_km2": [r(ring_area_meters(ring_lons, ring_lats) / 1e6, 3)],
-            "min_zoom": [int(min_zoom_for_pixel_size(size)[()])],
-            "loc0": [int(encode_flat_location(lons[:1], lats[:1])[0])],
+    from ..tilemath.measure import (AREA_FACTOR, RADIANS_PER_DEGREE,
+                                    meters_between)
+    from .userkey import segment_sums, user_segment_reduce
+
+    def segs(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        # fully vectorized over users: reduceat bboxes + masked
+        # haversine steps; the 4-edge JPL box-ring area collapses to
+        # the same four terms ring_area_meters sums
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "len_km": pa.array([], pa.float64()),
+                             "bbox_km2": pa.array([], pa.float64()),
+                             "min_zoom": pa.array([], pa.int64()),
+                             "loc0": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy()
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        steps = np.zeros(n)
+        steps[1:] = meters_between(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        steps[starts] = 0.0
+        len_km = segment_sums(steps, starts) / 1000.0
+        x0 = np.minimum.reduceat(lon, starts)
+        x1 = np.maximum.reduceat(lon, starts)
+        y0 = np.minimum.reduceat(lat, starts)
+        y1 = np.maximum.reduceat(lat, starts)
+        # ring_area_meters over the closed box ring
+        # [x0,x1,x1,x0,x0]×[y0,y0,y1,y1,y0]: the JPL edge terms are
+        # (x1-x0)sin(y0), (x0-x1)sin(y1), (x0-x1)sin(y1), (x1-x0)sin(y0)
+        dx = (x1 - x0) * RADIANS_PER_DEGREE
+        t0 = dx * np.sin(y0 * RADIANS_PER_DEGREE)
+        t1 = -dx * np.sin(y1 * RADIANS_PER_DEGREE)
+        area = np.abs((t0 + t1) + (t1 + t0)) * AREA_FACTOR
+        wx0 = get_world_x(x0)
+        wx1 = get_world_x(x1)
+        wy0 = get_world_y(y0)
+        wy1 = get_world_y(y1)
+        size = np.maximum(wx1 - wx0, np.abs(wy0 - wy1))
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "len_km": pa.array(round_half_away(len_km, 6)),
+            "bbox_km2": pa.array(round_half_away(area / 1e6, 3)),
+            "min_zoom": pa.array(min_zoom_for_pixel_size(size)),
+            "loc0": pa.array(encode_flat_location(lon[starts],
+                                                  lat[starts])),
         })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs)
 
 
 # Spherical bbox-ring area: the JPL edge sum over the closed 5-point box
@@ -368,31 +414,45 @@ def q_line_merge_chains(sf_dir: str):
             "px": px, "py": py,
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        coords = np.column_stack([g["px"].to_numpy(), g["py"].to_numpy()])
-        if len(coords) < 2:
-            return pd.DataFrame({
-                "user_id": [g["user_id"].iloc[0]], "n_lines": [0],
-                "n_points": [len(coords)], "length_px": [0.0]})
-        segs = [coords[i:i + 2] for i in range(len(coords) - 1)]
-        # scramble: merge must not depend on input order
-        order = np.argsort((g["event_id"].to_numpy()[:-1] * U_MULT)
-                           % (1 << 32), kind="stable")
-        merged = merge_lines([segs[i] for i in order], precision=0.0)
-        n_points = sum(len(m) for m in merged)
-        length = sum(float(np.hypot(*np.diff(m, axis=0).T).sum())
-                     for m in merged)
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_lines": [len(merged)],
-            "n_points": [n_points],
-            "length_px": [round_half_away(length, 6)[()]],
+    from .userkey import user_segment_reduce
+
+    def segs_fn(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        u = len(starts)
+        px = t["px"].to_numpy() if n else np.empty(0)
+        py = t["py"].to_numpy() if n else np.empty(0)
+        eid = t["event_id"].to_numpy() if n else np.empty(0, np.int64)
+        uid = t["user_id"].to_numpy() if n else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], n] if u else starts
+        n_lines = np.zeros(u, np.int64)
+        n_points = np.zeros(u, np.int64)
+        length = np.zeros(u)
+        for i in range(u):
+            s, e = int(starts[i]), int(ends[i])
+            if e - s < 2:
+                n_points[i] = e - s
+                continue
+            coords = np.column_stack([px[s:e], py[s:e]])
+            segs = [coords[j:j + 2] for j in range(e - s - 1)]
+            # scramble: merge must not depend on input order
+            order = np.argsort((eid[s:e - 1] * U_MULT) % (1 << 32),
+                               kind="stable")
+            merged = merge_lines([segs[j] for j in order], precision=0.0)
+            n_lines[i] = len(merged)
+            n_points[i] = sum(len(m) for m in merged)
+            length[i] = sum(float(np.hypot(*np.diff(m, axis=0).T).sum())
+                            for m in merged)
+        return pa.table({
+            "user_id": pa.array(uid[starts] if u else
+                                np.empty(0, np.int64)),
+            "n_lines": pa.array(n_lines),
+            "n_points": pa.array(n_points),
+            "length_px": pa.array(round_half_away(length, 6)),
         })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs_fn)
 
 
 SQL_LINE_MERGE_CHAINS = """
@@ -454,38 +514,51 @@ def q_line_merge_scaled(sf_dir: str):
             "ky": ((v >> 8) % 40).astype(np.float64),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        # jitter in [-1/32, 1/32) px on the fine grid, injective in the
-        # rank for < 65536 vertices: every jittered variant rounds back
-        # to its lattice point, so the unscale walk collapses
-        # consecutive same-lattice vertices
-        rn = np.arange(1, len(g) + 1, dtype=np.int64)
-        px = g["kx"].to_numpy() + ((rn % 256) - 128) / fine
-        py = g["ky"].to_numpy() + (((rn >> 8) % 256) - 128) / fine
-        coords = np.column_stack([px, py])
-        uid = g["user_id"].iloc[0]
-        if len(coords) < 2:
-            return pd.DataFrame({"user_id": [uid], "n_lines": [0],
-                                 "n_points": [0], "length_px": [0.0]})
-        segs = [coords[i:i + 2] for i in range(len(coords) - 1)]
-        order = np.argsort((g["event_id"].to_numpy()[:-1] * U_MULT)
-                           % (1 << 32), kind="stable")
-        merged = merge_lines([segs[i] for i in order], precision=0.0)
-        out = unscale_lines(merged, S)
-        n_points = sum(len(m) for m in out)
-        length = sum(float(np.hypot(*np.diff(m, axis=0).T).sum())
-                     for m in out)
-        return pd.DataFrame({
-            "user_id": [uid],
-            "n_lines": [len(out)],
-            "n_points": [n_points],
-            "length_px": [round_half_away(length, 6)[()]],
+    from .userkey import user_segment_reduce
+
+    def segs_fn(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        n = t.num_rows
+        u = len(starts)
+        kx = t["kx"].to_numpy() if n else np.empty(0)
+        ky = t["ky"].to_numpy() if n else np.empty(0)
+        eid = t["event_id"].to_numpy() if n else np.empty(0, np.int64)
+        uid = t["user_id"].to_numpy() if n else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], n] if u else starts
+        n_lines = np.zeros(u, np.int64)
+        n_points = np.zeros(u, np.int64)
+        length = np.zeros(u)
+        for i in range(u):
+            s, e = int(starts[i]), int(ends[i])
+            if e - s < 2:
+                continue
+            # jitter in [-1/32, 1/32) px on the fine grid, injective in
+            # the rank for < 65536 vertices: every jittered variant
+            # rounds back to its lattice point, so the unscale walk
+            # collapses consecutive same-lattice vertices
+            rn = np.arange(1, e - s + 1, dtype=np.int64)
+            px = kx[s:e] + ((rn % 256) - 128) / fine
+            py = ky[s:e] + (((rn >> 8) % 256) - 128) / fine
+            coords = np.column_stack([px, py])
+            segs = [coords[j:j + 2] for j in range(e - s - 1)]
+            order = np.argsort((eid[s:e - 1] * U_MULT) % (1 << 32),
+                               kind="stable")
+            merged = merge_lines([segs[j] for j in order], precision=0.0)
+            out = unscale_lines(merged, S)
+            n_lines[i] = len(out)
+            n_points[i] = sum(len(m) for m in out)
+            length[i] = sum(float(np.hypot(*np.diff(m, axis=0).T).sum())
+                            for m in out)
+        return pa.table({
+            "user_id": pa.array(uid[starts] if u else
+                                np.empty(0, np.int64)),
+            "n_lines": pa.array(n_lines),
+            "n_points": pa.array(n_points),
+            "length_px": pa.array(round_half_away(length, 6)),
         })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs_fn)
 
 
 SQL_LINE_MERGE_SCALED = """
@@ -677,28 +750,43 @@ def q_line_smooth(sf_dir: str):
             "wy": 0.05 + 0.9 * (v.astype(np.float64) / TWO32),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        vx = g["wx"].to_numpy()
-        vy = g["wy"].to_numpy()
-        offs = np.array([0, len(vx)], np.int64)
+    from .userkey import segment_sums, step_lengths, user_segment_reduce
+
+    def segs_fn(t: pa.Table, starts: np.ndarray) -> pa.Table:
+        # the smoothers are natively offset-vectorized (one numpy pass
+        # over ALL users' polylines at once) — the whole partition is
+        # smoothed with zero per-user Python
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "chaikin_n": pa.array([], pa.int64()),
+                             "chaikin_len": pa.array([], pa.float64()),
+                             "mid_n": pa.array([], pa.int64()),
+                             "mid_len": pa.array([], pa.float64())})
+        uid = t["user_id"].to_numpy()
+        vx = t["wx"].to_numpy()
+        vy = t["wy"].to_numpy()
+        offs = np.r_[starts, n].astype(np.int64)
         cx, cy, co = dual_midpoint_smooth(vx, vy, offs, closed=False,
                                           a=0.25, b=0.75, iters=1)
         mx, my, mo = midpoint_smooth(vx, vy, offs, closed=False,
                                      ratio=0.5, iters=1)
-        length = lambda x, y: float(np.hypot(np.diff(x), np.diff(y)).sum())
-        r6 = lambda x: round_half_away(x, 6)[()]
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "chaikin_n": [np.int64(co[-1])],
-            "chaikin_len": [r6(length(cx, cy))],
-            "mid_n": [np.int64(mo[-1])],
-            "mid_len": [r6(length(mx, my))],
+
+        def lengths(x, y, o):
+            st = o[:-1].astype(np.int64)
+            return segment_sums(step_lengths(x, y, st, int(o[-1])), st)
+
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "chaikin_n": pa.array(np.diff(co).astype(np.int64)),
+            "chaikin_len": pa.array(round_half_away(lengths(cx, cy, co), 6)),
+            "mid_n": pa.array(np.diff(mo).astype(np.int64)),
+            "mid_len": pa.array(round_half_away(lengths(mx, my, mo), 6)),
         })
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
-        .map_batches(pts, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return user_segment_reduce(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(pts, batch_format="pyarrow"), segs_fn)
 
 
 SQL_LINE_SMOOTH = """

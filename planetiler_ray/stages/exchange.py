@@ -19,11 +19,18 @@ key ranges → narrower partitions).
 
 At large block × partition products the flat exchange would make the
 driver hold B×P piece refs (10⁵ blocks × 10³ partitions = 10⁸ refs).
-Above ``two_level_threshold`` pieces the exchange switches to a
-coarse-bucket two-level split: blocks split into ~√P contiguous
-partition-range buckets first, then each bucket's pieces re-split into
-its local partitions while the driver iterates buckets — peak
-driver-held refs drop to O(B·√P) and per-task return counts stay ≤√P.
+Above ``two_level_threshold`` pieces the exchange switches to the
+SEGMENTED form: the driver never sees a piece ref at all.  Splitter
+ACTORS launch the map-side split sub-tasks and therefore OWN the
+per-bucket piece refs (Ray task returns are owned by their caller);
+one bucket-coordinator task per ~√P-partition bucket then pulls its
+piece-ref lists straight from the splitter actors, runs the level-2
+split and the per-partition tree reduce as its own sub-tasks, and
+streams the finished partitions back as ordinary driver-owned task
+returns.  Peak driver-held refs are O(splitters + buckets + P
+outputs) — independent of the block count, the same property as the
+reference's external merge sort, whose chunks own their files and
+never centralize handles (``collection/ExternalMergeSort.java:84-128``).
 
 This is the one place the engine drops below the Dataset API — the
 Dataset ``groupby`` cannot express "rows are already partitioned;
@@ -111,6 +118,80 @@ def _reduce_task(reduce_fn, pass_part: bool, part_id: int,
     return reduce_fn(merged, part_id) if pass_part else reduce_fn(merged)
 
 
+class _Splitter:
+    """Map-side owner of one shard of the segmented exchange.
+
+    A zero-CPU coordinator actor: ``submit`` launches the split
+    sub-tasks for its assigned block groups (so THIS process — which
+    stays alive for the whole exchange — owns the piece refs, not the
+    driver) and files the per-bucket piece refs; bucket-coordinator
+    tasks later collect them with ``get_bucket``.  Actor-task ordering
+    guarantees every ``get_bucket`` issued after the driver has awaited
+    ``flush`` sees the complete piece lists.
+    """
+
+    def __init__(self, n_buckets: int, bucket_size: int, map_fn_box):
+        self._n = n_buckets
+        self._div = bucket_size
+        self._map_ref = map_fn_box[0] if map_fn_box else None
+        self._pieces: list[list] = [[] for _ in range(n_buckets)]
+
+    def submit(self, groups: list) -> None:
+        split = _remotes()["split"]
+        for refs in groups:
+            out = split.options(num_returns=self._n, **_slot_options()) \
+                .remote(self._n, 0, self._div, self._map_ref, *refs)
+            if self._n == 1:
+                out = [out]
+            for g, r in enumerate(out):
+                self._pieces[g].append(r)
+
+    def flush(self) -> int:
+        return sum(len(p) for p in self._pieces)
+
+    def get_bucket(self, g: int) -> list:
+        return self._pieces[g]
+
+
+def _bucket_reduce(reduce_fn_box, pass_part: bool, p_lo: int,
+                   run_parts: list, n_local: int, max_fanin: int,
+                   g: int, *splitters):
+    """Reduce-side coordinator for one bucket of the segmented exchange.
+
+    Owns every intermediate this bucket creates: pulls the bucket's
+    piece-ref lists from the splitter actors (small lists of refs),
+    launches the level-2 split + per-partition tree reduce as sub-tasks
+    of THIS worker, then yields the finished partition tables one at a
+    time — a static-``num_returns`` generator, so each output is
+    serialized into a driver-owned return object and freed from this
+    worker's heap before the next is fetched.
+    """
+    split = _remotes()["split"]
+    combine = _remotes()["combine"]
+    reduce_task = _remotes()["reduce"]
+    rf_ref = reduce_fn_box[0]
+    lists = ray.get([s.get_bucket.remote(g) for s in splitters])
+    pieces = [r for lst in lists for r in lst]
+    # level-2 split: bounded piece fan-in per sub-task keeps argument
+    # lists and concat widths small at any upstream block count
+    subs = []
+    for i in range(0, len(pieces), 16):
+        out = split.options(num_returns=n_local, **_slot_options()) \
+            .remote(n_local, p_lo, 1, None, *pieces[i:i + 16])
+        subs.append([out] if n_local == 1 else list(out))
+    outs = []
+    for p in run_parts:
+        refs = [s[p - p_lo] for s in subs]
+        while len(refs) > max_fanin:
+            refs = [combine.options(**_slot_options())
+                    .remote(*refs[i:i + max_fanin])
+                    for i in range(0, len(refs), max_fanin)]
+        outs.append(reduce_task.options(**_slot_options()).remote(
+            rf_ref, pass_part, p, *refs))
+    for o in outs:
+        yield ray.get(o)
+
+
 _REMOTE_CACHE: dict = {}
 
 
@@ -148,6 +229,8 @@ def _remotes() -> dict:
         _REMOTE_CACHE["split"] = ray.remote(_split_block)
         _REMOTE_CACHE["combine"] = ray.remote(_combine_task)
         _REMOTE_CACHE["reduce"] = ray.remote(_reduce_task)
+        _REMOTE_CACHE["splitter_actor"] = ray.remote(num_cpus=0)(_Splitter)
+        _REMOTE_CACHE["bucket_reduce"] = ray.remote(_bucket_reduce)
     return _REMOTE_CACHE
 
 
@@ -172,9 +255,11 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     argument lists and single concat widths stay bounded at any block
     count (the segmented-merge analog of the reference's k-way
     ``LongMerger``).
-    ``two_level_threshold``: when blocks × partitions exceeds this, use
-    the coarse-bucket two-level split (see module docstring) so the
-    driver never materializes the full B×P ref matrix.
+    ``two_level_threshold``: when blocks × partitions exceeds this,
+    switch from the flat exchange to the SEGMENTED exchange (see
+    module docstring): splitter actors own the piece refs and
+    per-bucket coordinator tasks own the reduce intermediates, so the
+    driver never materializes any piece-ref matrix at all.
     ``materialize``: wait for the reduce tasks and return a concrete
     Dataset (default — see the NOTE below for why); pass False to get
     the lazy ref Dataset instead when composing exchanges under memory
@@ -211,6 +296,8 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     # fragment rows per split task — small vs worker heap at any scale.
     import os
     target_rows = int(os.environ.get("GRAFT_EXCHANGE_TARGET_ROWS", "262144"))
+    two_level_threshold = int(os.environ.get(
+        "GRAFT_EXCHANGE_SEGMENT_THRESHOLD", two_level_threshold))
     if map_fn is not None:
         target_rows = map_target_rows or target_rows
     block_groups: list[list] = []
@@ -265,23 +352,55 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
         ds = ray.data.from_arrow_refs(out_refs)
         return ds.materialize() if materialize else ds
 
-    # two-level: coarse buckets of ~√P contiguous partitions
+    # segmented: splitter actors own the piece refs, bucket coordinator
+    # tasks own the reduce-side intermediates — the driver touches only
+    # O(splitters + buckets + P output) refs at any block count.
+    # Fault-tolerance note: a lost splitter actor loses its owned
+    # pieces (no automatic method replay); a production deployment
+    # would re-run the exchange from the (resumable, checkpointed)
+    # consumer — the same contract as the reference's external sort,
+    # which restarts a chunk whose file is gone.
     bucket_size = max(1, math.ceil(math.sqrt(num_partitions)))
     n_buckets = math.ceil(num_partitions / bucket_size)
-    coarse = [launch_split(grp, n_buckets, 0, bucket_size, mf=map_fn_ref)
-              for grp in block_groups]
+    try:
+        avail = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        avail = 8
+    n_splitters = max(2, min(n_blocks, avail))
+    splitter_cls = _remotes()["splitter_actor"]
+    map_box = [map_fn_ref] if map_fn_ref is not None else None
+    splitters = [splitter_cls.remote(n_buckets, bucket_size, map_box)
+                 for _ in range(n_splitters)]
+    SUBMIT_CHUNK = 32
+    for ci, i in enumerate(range(0, n_blocks, SUBMIT_CHUNK)):
+        splitters[ci % n_splitters].submit.remote(
+            block_groups[i:i + SUBMIT_CHUNK])
+    # barrier: all submits processed before any bucket task asks for
+    # pieces (flush is ordered after this caller's submits per actor)
+    ray.get([s.flush.remote() for s in splitters])
+    del block_groups             # driver releases its input-ref list
+    bucket_remote = _remotes()["bucket_reduce"]
+    rf_box = [reduce_fn_ref]
     run_arr = np.asarray(run, np.int64)
     for g in range(n_buckets):
         p_lo = g * bucket_size
         p_hi = min(p_lo + bucket_size, num_partitions)
-        local = run_arr[(run_arr >= p_lo) & (run_arr < p_hi)]
-        if len(local) == 0:
+        local = [int(p) for p in run_arr[(run_arr >= p_lo)
+                                         & (run_arr < p_hi)]]
+        if not local:
             continue
-        sub = [launch_split([coarse[b][g]], p_hi - p_lo, p_lo, 1)
-               for b in range(n_blocks)]
-        for p in local:
-            out_refs.append(tree_reduce(int(p), [sub[b][p - p_lo]
-                                                 for b in range(n_blocks)]))
-        del sub                  # bucket refs released before the next bucket
-    ds = ray.data.from_arrow_refs(out_refs)
-    return ds.materialize() if materialize else ds
+        r = bucket_remote.options(num_returns=len(local)).remote(
+            rf_box, pass_part, p_lo, local, p_hi - p_lo, max_fanin,
+            g, *splitters)
+        out_refs.extend([r] if len(local) == 1 else list(r))
+    if materialize:
+        ds = ray.data.from_arrow_refs(out_refs).materialize()
+    else:
+        # outputs are driver-owned task returns, but the splitter
+        # actors must outlive the bucket tasks — wait (without
+        # fetching) before releasing them, then hand back the lazy ds
+        ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
+        ds = ray.data.from_arrow_refs(out_refs)
+    for s in splitters:
+        ray.kill(s)
+    return ds

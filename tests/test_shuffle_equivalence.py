@@ -61,10 +61,11 @@ def test_tree_merge_fanin_identical(ray_session):
     assert a["n_features"].equals(b["n_features"])
 
 
-def test_two_level_exchange_identical(ray_session):
-    """The coarse-bucket two-level exchange (driver refs O(B·√P)) must
-    produce exactly the flat exchange's output, including with a
-    parts_to_run subset (resume path)."""
+def test_segmented_exchange_identical(ray_session):
+    """The segmented exchange (splitter actors own piece refs, bucket
+    coordinator tasks own reduce intermediates — driver holds no piece
+    refs) must produce exactly the flat exchange's output, including
+    with a parts_to_run subset (resume path)."""
     from functools import partial
 
     import ray.data as rd
@@ -97,6 +98,56 @@ def test_two_level_exchange_identical(ray_session):
     flat_s, two_s = run(1 << 30, parts=sub), run(1, parts=sub)
     assert flat_s["tile_id"].equals(two_s["tile_id"])
     assert flat_s["content_hash"].equals(two_s["content_hash"])
+
+
+def test_segmented_full_pipeline_identical(ray_session, monkeypatch):
+    """Forcing the whole pyramid through the segmented exchange
+    (GRAFT_EXCHANGE_SEGMENT_THRESHOLD=1) — including the checkpointed
+    resume path and the fused map-side write — must reproduce the flat
+    exchange's archive exactly."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.stages.render import RenderConfig
+
+    n = 300
+    path = fixtures.images_parquet(n, with_bytes=False)
+    ids = fixtures.image_ids(n)
+    cfg = RenderConfig(0, 5)
+
+    def run(threshold, fused=False, checkpoint=False):
+        monkeypatch.setenv("GRAFT_EXCHANGE_SEGMENT_THRESHOLD", str(threshold))
+        monkeypatch.setenv("GRAFT_FUSED_EXCHANGE", "1" if fused else "0")
+        ds = rd.read_parquet(path, columns=["image_id", "caption", "phash"])
+        ckpt = tempfile.mkdtemp(prefix="seg_ckpt_") if checkpoint else None
+        try:
+            if checkpoint:
+                from planetiler_ray.state.checkpoint import CheckpointStore
+                build_pyramid(ds, ids, cfg, num_partitions=6,
+                              checkpoint_dir=ckpt)
+                files = CheckpointStore(ckpt).data_files()
+                df = rd.read_parquet(files).to_pandas()
+                df = df[["tile_id", "content_hash", "n_features"]]
+            else:
+                df = build_pyramid(ds, ids, cfg, num_partitions=6).to_pandas()
+                df = df[["tile_id", "content_hash", "n_features"]]
+            return df.sort_values("tile_id").reset_index(drop=True)
+        finally:
+            if ckpt:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+    flat = run(1 << 30)
+    seg = run(1)
+    seg_fused = run(1, fused=True)
+    seg_ckpt = run(1, checkpoint=True)
+    for other in (seg, seg_fused, seg_ckpt):
+        assert flat["tile_id"].equals(other["tile_id"])
+        assert flat["content_hash"].equals(other["content_hash"])
+        assert flat["n_features"].equals(other["n_features"])
 
 
 def test_fused_map_side_split_identical(ray_session, monkeypatch):
