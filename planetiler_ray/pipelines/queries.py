@@ -137,16 +137,40 @@ FROM t GROUP BY z
 
 
 def q_tile_extents_filter(sf_dir: str):
-    """Bbox filter in world space, counted per z5 tile (TileExtents analog)."""
+    """Rect bounds + non-rectangular ``.poly`` shape mask, counted per
+    z7 tile (``geo/TileExtents.java:38-69`` with a shape +
+    ``reader/osm/PolyFileReader.java``).
+
+    The clip polygon — a diamond with a diamond hole, expressed as an
+    osmosis ``.poly`` file in lat/lon — is parsed, projected to world
+    mercator, rasterized per zoom by the striped clip into covered-tile
+    runs, and ANDed into the extents test.  The oracle evaluates the
+    equivalent closed-form predicate: a tile box intersects the
+    diamond iff its L1 box-to-center distance ≤ r, and is swallowed by
+    the hole iff its farthest-corner L1 distance ≤ r_hole
+    (fp-tie-free: min decision margin at z7 is 1.25e-4, asserted in
+    tests/test_polymask.py)."""
+    from ..sources.polyfile import parse_poly
     from ..tilemath.extents import TileExtents
+    from ..tilemath.projection import get_world_lat, get_world_lon
     from ..tilemath.tilecoord import tile_of_point
 
-    ext = TileExtents.compute_from_world_bounds(5, (0.25, 0.3, 0.75, 0.8))
+    cx, cy, r, hr = 0.513, 0.462, 0.19, 0.07
+
+    def ring(rr):
+        pts = [(cx + rr, cy), (cx, cy + rr), (cx - rr, cy), (cx, cy - rr)]
+        return "\n".join(f"{get_world_lon(x)!r} {get_world_lat(y)!r}"
+                         for x, y in pts)
+
+    poly_text = "\n".join(["engine-clip", "area", ring(r), "END",
+                           "!hole", ring(hr), "END", "END"])
+    ext = TileExtents.compute_from_world_bounds(
+        7, (0.25, 0.3, 0.75, 0.8), shape=parse_poly(poly_text))
 
     def assign(batch: pa.Table) -> pa.Table:
         t = _event_world(batch)
-        x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 5)
-        m = ext.test(x, y, 5)
+        x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 7)
+        m = ext.test(x, y, 7)
         return pa.table({"x": x[m], "y": y[m]})
 
     from ray.data.aggregate import Count
@@ -154,12 +178,22 @@ def q_tile_extents_filter(sf_dir: str):
     return ds.groupby(["x", "y"]).aggregate(Count(alias_name="n"))
 
 
-# extents: quantizeDown(0.25·32)=8, quantizeUp(0.75·32)=24 → x∈[8,24); y∈[9,26)
+# extents at z7: quantizeDown(0.25·128)=32, quantizeUp(0.75·128)=96 →
+# x∈[32,96); y∈[38,103); plus the diamond-minus-hole box-intersection
+# predicate (see q_tile_extents_filter docstring)
 SQL_TILE_EXTENTS_FILTER = f"""
 WITH w AS ({_EVENT_WORLD_SQL}),
-t AS (SELECT CAST(floor(wx*32) AS BIGINT) AS x, CAST(floor(wy*32) AS BIGINT) AS y FROM w)
-SELECT x, y, count(*) AS n FROM t
-WHERE x >= 8 AND x < 24 AND y >= 9 AND y < 26
+t AS (SELECT CAST(floor(wx*128) AS BIGINT) AS x,
+             CAST(floor(wy*128) AS BIGINT) AS y FROM w),
+b AS (SELECT x, y, x / 128.0 AS x0, (x + 1) / 128.0 AS x1,
+             y / 128.0 AS y0, (y + 1) / 128.0 AS y1
+      FROM t
+      WHERE x >= 32 AND x < 96 AND y >= 38 AND y < 103)
+SELECT x, y, count(*) AS n FROM b
+WHERE greatest(x0 - 0.513, 0.513 - x1, 0)
+      + greatest(y0 - 0.462, 0.462 - y1, 0) <= 0.19
+  AND NOT (greatest(abs(x0 - 0.513), abs(x1 - 0.513))
+           + greatest(abs(y0 - 0.462), abs(y1 - 0.462)) <= 0.07)
 GROUP BY x, y
 """
 

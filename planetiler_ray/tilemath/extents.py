@@ -29,6 +29,7 @@ class ZoomExtents:
     min_y: int
     max_x: int
     max_y: int
+    shape: object = None    # optional ZoomShape (tilemath/shapemask.py)
 
     def test_x(self, x) -> np.ndarray:
         x = np.asarray(x)
@@ -39,7 +40,12 @@ class ZoomExtents:
         return (y >= self.min_y) & (y < self.max_y)
 
     def test(self, x, y) -> np.ndarray:
-        return self.test_x(x) & self.test_y(y)
+        m = self.test_x(x) & self.test_y(y)
+        if self.shape is not None:
+            # testOverShape (TileExtents.java:96-106): the polygon
+            # mask refines the rectangle
+            m = m & self.shape.test(x, y)
+        return m
 
 
 class TileExtents:
@@ -49,12 +55,20 @@ class TileExtents:
         self._per_zoom = zoom_extents
 
     @classmethod
-    def compute_from_world_bounds(cls, maxzoom: int, bounds: tuple[float, float, float, float]
-                                  ) -> "TileExtents":
+    def compute_from_world_bounds(cls, maxzoom: int, bounds: tuple[float, float, float, float],
+                                  shape=None) -> "TileExtents":
         """``TileExtents.computeFromWorldBounds`` (``TileExtents.java:32-70``).
 
         ``bounds`` = (min_x, min_y, max_x, max_y) in world mercator [0,1].
+        ``shape``: optional non-rectangular refinement — a
+        ``shapemask.ShapeMask`` (already rasterized) or a parsed
+        ``.poly`` dict (``sources/polyfile.py``), rasterized here per
+        zoom exactly as the reference does with ``getCoveredTiles``
+        (``TileExtents.java:54-64``).
         """
+        if shape is not None and not hasattr(shape, "for_zoom"):
+            from .shapemask import ShapeMask
+            shape = ShapeMask.from_poly(shape, maxzoom)
         min_x, min_y, max_x, max_y = bounds
         out = []
         for z in range(maxzoom + 1):
@@ -65,6 +79,7 @@ class TileExtents:
                 _quantize_down(min_y, n),
                 _quantize_up(max_x, n),
                 _quantize_up(max_y, n),
+                shape.for_zoom(z) if shape is not None else None,
             ))
         return cls(out)
 
