@@ -157,6 +157,7 @@ class Transliterate:
         return folded if folded and folded != ch else ch
 
     def transliterate(self, strings) -> list[str]:
+        from .cjk import fold_cjk, is_cjk
         out = []
         for s in strings:
             if s is None:
@@ -165,6 +166,12 @@ class Transliterate:
             cps = np.frombuffer(s.encode("utf-32-le"), np.uint32)
             if not (cps > 127).any():
                 out.append(s)
+                continue
+            if any(is_cjk(int(c)) for c in cps[cps > 0x3000]):
+                # CJK needs run context (kana digraphs, han spacing) —
+                # the string scanner handles it, non-CJK chars fall
+                # back to the per-codepoint fold below
+                out.append(fold_cjk(s, self._fold))
                 continue
             out.append("".join(self._fold(int(c)) for c in cps))
         return out

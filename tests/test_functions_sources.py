@@ -244,5 +244,35 @@ def test_transliterate_nfkd_long_tail():
     from planetiler_ray.functions.language import Transliterate
 
     t = Transliterate()
-    got = t.transliterate(["Việt Nam", "Ｔｏｋｙｏ", "Łódź", "北京", None])
-    assert got == ["Viet Nam", "Tokyo", "Lodz", "北京", None]
+    got = t.transliterate(["Việt Nam", "Ｔｏｋｙｏ", "Łódź", "𓀀", None])
+    assert got == ["Viet Nam", "Tokyo", "Lodz", "𓀀", None]
+
+
+def test_transliterate_cjk():
+    """CJK transliteration (functions/cjk.py — the ICU Any-Latin
+    stand-in): hangul decomposes algorithmically, kana folds through
+    the Hepburn-ish scanner (digraphs, sokuon, chōon), common han
+    codepoints map to toneless pinyin with ICU's syllable spacing;
+    han outside the table passes through (documented residue)."""
+    from planetiler_ray.functions.language import Transliterate
+
+    t = Transliterate()
+    cases = {
+        # han → toneless pinyin, space-joined (ICU reads kanji as
+        # pinyin too: 東京都 → dong jing du, not tokyo — same as ICU)
+        "北京": "bei jing", "上海": "shang hai", "广州": "guang zhou",
+        "重庆": "chong qing", "长城": "chang cheng", "東京都": "dong jing du",
+        "富士山": "fu shi shan",
+        # hangul → jamo-letter romanization (reversible convention)
+        "서울": "seoul", "부산": "busan", "평양": "pyeongyang",
+        "한국": "hangug",
+        # kana → romaji with digraphs / gemination / prolonged mark
+        "ひろしま": "hiroshima", "さっぽろ": "sapporo", "きょうと": "kyouto",
+        "しんじゅく": "shinjuku", "カタカナ": "katakana",
+        "トーキョー": "tookyoo",
+        # mixed script: non-CJK codepoints still fold per-codepoint
+        # (é folds via the diacritic table, as in the non-CJK path)
+        "北京 café": "bei jing cafe",
+    }
+    got = t.transliterate(list(cases))
+    assert got == list(cases.values()), dict(zip(cases, got))
