@@ -42,6 +42,69 @@ def _part_of(ids: np.ndarray, num_partitions: int) -> np.ndarray:
              >> np.uint64(16)) % np.uint64(num_partitions)).astype(np.int64)
 
 
+def _close_super_relations(parents: np.ndarray, childs: np.ndarray,
+                           roots: np.ndarray, max_depth: int = 8
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded multi-source BFS over the relation-membership graph,
+    fully vectorized (``OsmReader.java:563-607`` super-relation
+    closure): returns (descendant, root) id pairs — every relation
+    reachable from a root within ``max_depth`` frontier expansions —
+    sorted by (descendant, root).
+
+    Ids are rank-compressed so (root, node) pairs pack into int64
+    without overflow; each expansion is two ``searchsorted`` calls
+    over the parent-sorted edge array plus a variable-length range
+    expansion — no per-edge Python.
+    """
+    parents = np.asarray(parents, np.int64)
+    childs = np.asarray(childs, np.int64)
+    roots = np.asarray(roots, np.int64)
+    if len(parents) == 0 or len(roots) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = np.unique(np.concatenate([parents, childs, roots]))
+    n = np.int64(len(ids))
+    p = np.searchsorted(ids, parents)
+    c = np.searchsorted(ids, childs)
+    o = np.argsort(p, kind="stable")
+    p, c = p[o], c[o]
+    rts = np.unique(np.searchsorted(ids, roots))
+
+    def children_of(pair_root: np.ndarray, pair_node: np.ndarray):
+        lo = np.searchsorted(p, pair_node, "left")
+        hi = np.searchsorted(p, pair_node, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts, cnt) + np.repeat(lo, cnt))
+        return np.repeat(pair_root, cnt), c[idx]
+
+    seen = np.sort(rts * n + rts)           # (root, root) pre-seen
+    fr_root, fr_node = children_of(rts, rts)
+    out: list[np.ndarray] = []
+    for _ in range(max_depth):
+        if len(fr_node) == 0:
+            break
+        key = np.unique(fr_root * n + fr_node)
+        pos = np.searchsorted(seen, key)
+        posc = np.minimum(pos, len(seen) - 1)
+        new_key = key[(pos >= len(seen)) | (seen[posc] != key)]
+        if len(new_key) == 0:
+            break
+        seen = np.union1d(seen, new_key)
+        out.append(new_key)
+        fr_root, fr_node = children_of(new_key // n, new_key % n)
+    if not out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    allk = np.concatenate(out)
+    # sort by (descendant, root): pack desc-major
+    order = np.argsort((allk % n) * n + allk // n, kind="stable")
+    allk = allk[order]
+    return ids[allk % n], ids[allk // n]
+
+
 def _empty_join_schema() -> pa.Table:
     return pa.table({
         "part": pa.array([], pa.int64()),
@@ -410,35 +473,17 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
             "child": pa.array(flat[is_rel])})
 
     edges = relations.map_batches(rel_edges, batch_format="pyarrow") \
-        .take_all()
-    if edges:
-        children: dict[int, list[int]] = {}
-        for e in edges:
-            children.setdefault(int(e["parent"]), []).append(int(e["child"]))
-        root_ids = {r["rel_id"] for r in
-                    mp_rels.select_columns(["rel_id"]).take_all()}
-        desc_roots: dict[int, list[int]] = {}
-        for root in root_ids & children.keys():
-            seen = {root}
-            frontier = list(children[root])
-            depth = 0
-            while frontier and depth < 8:        # bounded walk
-                nxt_f = []
-                for c in frontier:
-                    if c in seen:
-                        continue
-                    seen.add(c)
-                    desc_roots.setdefault(c, []).append(root)
-                    nxt_f.extend(children.get(c, ()))
-                frontier = nxt_f
-                depth += 1
-        if desc_roots:
-            d_sorted = np.array(sorted(desc_roots), np.int64)
-            r_counts = np.array([len(desc_roots[d]) for d in d_sorted],
-                                np.int64)
+        .to_pandas()
+    if len(edges):
+        root_ids = mp_rels.select_columns(["rel_id"]) \
+            .to_pandas()["rel_id"].to_numpy()
+        pair_d, pair_r = _close_super_relations(
+            edges["parent"].to_numpy(), edges["child"].to_numpy(),
+            root_ids)
+        if len(pair_d):
+            d_sorted, r_counts = np.unique(pair_d, return_counts=True)
             r_off = np.concatenate([[0], np.cumsum(r_counts)])
-            r_flat = np.array([rt for d in d_sorted
-                               for rt in desc_roots[d]], np.int64)
+            r_flat = pair_r                # grouped: pairs sorted by desc
 
             def relabel(batch: pa.Table) -> pa.Table:
                 """way members of descendant relations → one row per

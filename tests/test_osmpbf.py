@@ -325,3 +325,67 @@ def test_nest_rings_containment():
     _, h2 = _nest_rings(two[:, 0], two[:, 1], np.array([0, 4, 8]),
                         np.array([1.0, 1.0]))
     assert not h2.any()
+
+
+def test_super_relation_closure_vectorized():
+    """The vectorized multi-source BFS must match a reference dict walk
+    on chain/diamond/cycle graphs, and close 1e5 synthetic edges well
+    under a time bound (the round-4 per-edge Python walk did not)."""
+    import time
+
+    import numpy as np
+
+    from planetiler_ray.pipelines.osm import _close_super_relations
+
+    def reference(parents, childs, roots, max_depth=8):
+        children = {}
+        for p, c in zip(parents, childs):
+            children.setdefault(int(p), []).append(int(c))
+        desc_roots = set()
+        for root in sorted(set(map(int, roots)) & children.keys()):
+            seen = {root}
+            frontier = list(children[root])
+            depth = 0
+            while frontier and depth < max_depth:
+                nxt = []
+                for c in frontier:
+                    if c in seen:
+                        continue
+                    seen.add(c)
+                    desc_roots.add((c, root))
+                    nxt.extend(children.get(c, ()))
+                frontier = nxt
+                depth += 1
+        return sorted(desc_roots)
+
+    rng = np.random.default_rng(42)
+    cases = [
+        # chain deeper than the bound: closure truncates at depth 8
+        (np.arange(1, 13), np.arange(2, 14), [1]),
+        # diamond + shared child, two roots
+        ([1, 1, 2, 3, 10], [2, 3, 4, 4, 2], [1, 10]),
+        # cycle: must terminate, no dup pairs
+        ([1, 2, 3], [2, 3, 1], [1]),
+        # random DAG-ish graph
+        (rng.integers(0, 500, 3000), rng.integers(0, 500, 3000),
+         rng.integers(0, 500, 60)),
+    ]
+    for parents, childs, roots in cases:
+        d, r = _close_super_relations(np.asarray(parents),
+                                      np.asarray(childs),
+                                      np.asarray(roots))
+        got = sorted(zip(d.tolist(), r.tolist()))
+        assert got == reference(parents, childs, roots), (parents, childs)
+
+    # scale: 1e5 edges over a SPARSE id space (real super-relation
+    # graphs are shallow forests, out-degree ≈ 1) — the per-edge dict
+    # walk took minutes here; the vectorized closure must be seconds
+    n = 100_000
+    parents = rng.integers(0, 400_000, n)
+    childs = rng.integers(0, 400_000, n)
+    roots = rng.integers(0, 400_000, 5_000)
+    t0 = time.perf_counter()
+    d, r = _close_super_relations(parents, childs, roots)
+    wall = time.perf_counter() - t0
+    assert len(d) > 0
+    assert wall < 10.0, wall
