@@ -120,8 +120,16 @@ def osm_rules_from_yaml(path: str) -> list:
         # ConfigExpressionParser forms — functions.valueexpr)
         from .functions.valueexpr import compile_value_expression
         plain, computed = [], {}
+        # engine-internal fan-out columns an attr may not shadow
+        # (a collision would silently corrupt the fragment stream)
+        _RESERVED = {"z", "layer", "kind", "geom_id", "is_fill",
+                     "vx", "vy", "part", "x", "y", "row"}
         for a in lay.get("attrs", []):
             if isinstance(a, dict):
+                if a["key"] in _RESERVED:
+                    raise ValueError(
+                        f"attr name {a['key']!r} shadows an internal "
+                        f"column; rename it (reserved: {sorted(_RESERVED)})")
                 computed[a["key"]] = compile_value_expression(
                     a.get("value", a.get("expr")))
                 walk(a.get("value", a.get("expr")), fields)

@@ -21,8 +21,22 @@ Supported YAML forms (each compiles to ``fn(pa.Table) -> pa.Array``):
   the Python AST to pyarrow.compute: ``+ - * / %`` (``+`` on strings
   concatenates), comparisons, and the functions ``num`` (string→
   double), ``str`` (→string), ``upper lower len abs round coalesce
-  min2 max2 concat``.  Conditionals use the ``match`` form above
-  (reference scripts can also inline them; documented subset).
+  min2 max2 concat``.
+
+  CEL-parity extensions (``PlanetilerStdLib.java:40-80`` + CEL
+  builtins):
+
+  * ``matches(s, "re")`` — unanchored regex match →
+    ``pc.match_substring_regex`` (CEL ``string.matches``)
+  * ``replaceRegex(s, "re", "repl")`` — replace ALL matches →
+    ``pc.replace_substring_regex`` (``PlanetilerStdLib.java:68-80``;
+    Java ``$1`` backrefs are translated to RE2 ``\\1``)
+  * ``extractRegex(s, "re")`` — first match (or first named group) →
+    ``pc.extract_regex``; null where no match
+  * ``nullif(a, b)`` — null where ``a == b``, else ``a``
+    (``PlanetilerStdLib.java:62-67``)
+  * conditional expressions ``a if cond else b`` → ``pc.if_else``
+    (the Python-AST spelling of CEL's ``cond ? a : b``)
 """
 
 from __future__ import annotations
@@ -104,7 +118,8 @@ class _ScriptCompiler(ast.NodeVisitor):
     """Compile the ``${…}`` subset to a closure over a pa.Table."""
 
     _FUNCS = {"num", "str", "upper", "lower", "len", "abs", "round",
-              "coalesce", "min2", "max2", "concat"}
+              "coalesce", "min2", "max2", "concat",
+              "matches", "replaceRegex", "extractRegex", "nullif"}
 
     def compile(self, src: str):
         # accept CEL boolean operators
@@ -117,7 +132,7 @@ class _ScriptCompiler(ast.NodeVisitor):
                 ast.UnaryOp, ast.Call, ast.Name, ast.Constant, ast.Load,
                 ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod, ast.USub,
                 ast.Not, ast.And, ast.Or, ast.Eq, ast.NotEq, ast.Lt,
-                ast.LtE, ast.Gt, ast.GtE))
+                ast.LtE, ast.Gt, ast.GtE, ast.IfExp))
             if not ok:
                 raise ValueError(
                     f"unsupported script syntax: {ast.dump(node)[:60]}")
@@ -206,6 +221,42 @@ def _eval_node(node, tbl: pa.Table):
         if name == "concat":
             return pc.binary_join_element_wise(
                 *[pc.cast(a, pa.string()) for a in args], "")
+        if name == "matches":
+            return pc.match_substring_regex(
+                pc.cast(args[0], pa.string()),
+                pattern=str(node.args[1].value))
+        if name == "replaceRegex":
+            # Java replaceAll $N backrefs → RE2 \N
+            repl = re.sub(r"\$(\d)", r"\\\1", str(node.args[2].value))
+            return pc.replace_substring_regex(
+                pc.cast(args[0], pa.string()),
+                pattern=str(node.args[1].value), replacement=repl)
+        if name == "extractRegex":
+            pat = str(node.args[1].value)
+            if "(?P<" not in pat:
+                pat = f"(?P<x>{pat})"      # full match when no named group
+            struct = pc.extract_regex(pc.cast(args[0], pa.string()),
+                                      pattern=pat)
+            return pc.struct_field(struct, [0])
+        if name == "nullif":
+            a, b = args[0], args[1]
+            if _is_str_arr(a) or _is_str_arr(b):
+                eq = pc.equal(pc.cast(a, pa.string()),
+                              pc.cast(b, pa.string()))
+            else:
+                eq = pc.equal(*_numeric_align(a, b))
+            return pc.if_else(pc.fill_null(eq, False),
+                              pa.nulls(len(a), a.type), a)
+    if isinstance(node, ast.IfExp):
+        cond = pc.cast(_eval_node(node.test, tbl), pa.bool_())
+        a = _eval_node(node.body, tbl)
+        b = _eval_node(node.orelse, tbl)
+        if _is_str_arr(a) or _is_str_arr(b):
+            a = pc.cast(a, pa.string())
+            b = pc.cast(b, pa.string())
+        else:
+            a, b = _numeric_align(a, b)
+        return pc.if_else(pc.fill_null(cond, False), a, b)
     raise ValueError(f"unsupported node {node!r}")
 
 

@@ -106,10 +106,14 @@ layers:
         value: {coalesce: [{tag_value: ref}, {tag_value: highway}]}
       - key: score
         value: "${ num(lanes) * 10 }"
+      - key: base
+        value: "${ replaceRegex(highway, '_link$', '') }"
+      - key: cls
+        value: "${ 'major' if matches(highway, '^(primary|trunk|motorway)') else 'minor' }"
 """)
     rules = osm_rules_from_yaml(str(yml))
     assert rules[0].attrs == ("highway",)
-    assert set(rules[0].computed_attrs) == {"tag", "score"}
+    assert set(rules[0].computed_attrs) == {"tag", "score", "base", "cls"}
     assert {"highway", "ref", "lanes"} <= set(rules[0].tag_keys)
 
     nodes = ray.data.from_arrow(pa.table({
@@ -135,6 +139,21 @@ layers:
     assert attrs["highway"] == "primary"
     assert attrs["tag"] == "primary"          # coalesce fell through
     assert attrs["score"] == "20"             # num(lanes)*10, Arrow float->string
+    assert attrs["base"] == "primary"         # replaceRegex (no-op here)
+    assert attrs["cls"] == "major"            # regex conditional
+
+    # internal-column shadowing is refused loudly, not silently broken
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("""
+layers:
+  - name: r
+    element: line
+    include_when: {field: highway, present: true}
+    attrs:
+      - {key: kind, value: "${ upper(highway) }"}
+""")
+    with pytest.raises(ValueError, match="shadows an internal"):
+        osm_rules_from_yaml(str(bad))
 
 
 def test_type_with_direct_tag_value_and_coalesce():
@@ -159,3 +178,48 @@ def test_script_tag_keys_excludes_functions():
     assert keys == {"lanes", "ref", "name"}
     assert script_tag_keys("not a script") == set()
     assert script_tag_keys("${ upper(") == set()   # syntax error -> empty
+
+
+def test_script_regex_and_conditionals():
+    """CEL-parity extensions: matches / replaceRegex / extractRegex /
+    nullif compiled to Arrow regex kernels, and conditional
+    expressions (CEL ?:) through pc.if_else."""
+    t = T(ref=["A12", "B7", None, "xy"],
+          highway=["primary", "secondary", "primary_link", None],
+          lanes=["2", "4", None, "1"])
+
+    m = compile_value_expression('${ matches(ref, "[0-9]+") }')
+    assert m(t).to_pylist() == [True, True, None, False]
+
+    rr = compile_value_expression(
+        '${ replaceRegex(highway, "_link$", "") }')
+    assert rr(t).to_pylist() == ["primary", "secondary", "primary", None]
+
+    # $1 backref translation (Java replaceAll convention)
+    bk = compile_value_expression(
+        '${ replaceRegex(ref, "([A-Z])([0-9]+)", "$2-$1") }')
+    assert bk(t).to_pylist() == ["12-A", "7-B", None, "xy"]
+
+    ex = compile_value_expression('${ extractRegex(ref, "[0-9]+") }')
+    assert ex(t).to_pylist() == ["12", "7", None, None]
+
+    exg = compile_value_expression(
+        '${ extractRegex(ref, "(?P<letter>[A-Z])") }')
+    assert exg(t).to_pylist() == ["A", "B", None, None]
+
+    nf = compile_value_expression('${ nullif(highway, "primary") }')
+    assert nf(t).to_pylist() == [None, "secondary", "primary_link", None]
+
+    cond = compile_value_expression(
+        '${ "major" if matches(highway, "^primary") else "minor" }')
+    assert cond(t).to_pylist() == ["major", "minor", "major", "minor"]
+
+    ncond = compile_value_expression(
+        '${ num(lanes) * 10 if num(lanes) >= 3 else 0 }')
+    assert ncond(t).to_pylist() == [0.0, 40.0, 0.0, 0.0]
+
+    # function names never leak into promoted tag keys
+    from planetiler_ray.functions.valueexpr import script_tag_keys
+    assert script_tag_keys(
+        '${ replaceRegex(ref, "x", "y") if matches(name, "z") else nullif(a, b) }'
+    ) == {"ref", "name", "a", "b"}
