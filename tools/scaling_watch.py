@@ -12,7 +12,7 @@ Usage:  GRAFT_WATCH_ROUNDS=16 python tools/scaling_watch.py
 import json, os, subprocess, sys, time
 
 REPO = "/root/repo"
-OUT = "/root/repo/scaling_rounds.jsonl"
+OUT = os.environ.get("GRAFT_WATCH_OUT", "/root/repo/scaling_rounds.jsonl")
 TARGET_ROUNDS = int(os.environ.get("GRAFT_WATCH_ROUNDS", "16"))
 MAX_WALL = 3.2 * 3600
 CALM_TICKS = 80
