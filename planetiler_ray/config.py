@@ -120,23 +120,31 @@ def osm_rules_from_yaml(path: str) -> list:
         # ConfigExpressionParser forms — functions.valueexpr)
         from .functions.valueexpr import compile_value_expression
         plain, computed = [], {}
-        # engine-internal fan-out columns an attr may not shadow
-        # (a collision would silently corrupt the fragment stream)
+        # engine-internal fan-out / apply_rules columns an attr may not
+        # shadow (a collision would silently corrupt the fragment
+        # stream or the zoom windows) — applies to BOTH the plain
+        # string form and the {key, value} computed form
         _RESERVED = {"z", "layer", "kind", "geom_id", "is_fill",
-                     "vx", "vy", "part", "x", "y", "row"}
+                     "vx", "vy", "part", "x", "y", "row",
+                     "layer_id", "min_zoom", "max_zoom", "xs", "ys"}
+
+        def _check_attr_name(name: str) -> str:
+            if name in _RESERVED:
+                raise ValueError(
+                    f"attr name {name!r} shadows an internal "
+                    f"column; rename it (reserved: {sorted(_RESERVED)})")
+            return name
+
         for a in lay.get("attrs", []):
             if isinstance(a, dict):
-                if a["key"] in _RESERVED:
-                    raise ValueError(
-                        f"attr name {a['key']!r} shadows an internal "
-                        f"column; rename it (reserved: {sorted(_RESERVED)})")
+                _check_attr_name(a["key"])
                 computed[a["key"]] = compile_value_expression(
                     a.get("value", a.get("expr")))
                 walk(a.get("value", a.get("expr")), fields)
                 for k in _tag_values_in(a.get("value", a.get("expr"))):
                     fields.add(k)
             else:
-                plain.append(a)
+                plain.append(_check_attr_name(a))
         rules.append(OsmLayerRule(
             lay["name"], lay.get("element", "line"), expr,
             attrs=tuple(plain),

@@ -140,6 +140,18 @@ class _ScriptCompiler(ast.NodeVisitor):
                 if not (isinstance(node.func, ast.Name)
                         and node.func.id in self._FUNCS):
                     raise ValueError("unsupported function in script")
+                # args read as literals at eval time must BE literals —
+                # fail here with the function named, not per-batch
+                # inside a Ray task with an opaque AttributeError
+                fn = node.func.id
+                lit_args = {"matches": [1], "extractRegex": [1],
+                            "replaceRegex": [1, 2], "round": [1]}
+                for i in lit_args.get(fn, []):
+                    if i < len(node.args) and not isinstance(
+                            node.args[i], ast.Constant):
+                        raise ValueError(
+                            f"{fn}() argument {i + 1} must be a literal "
+                            f"constant, got {ast.dump(node.args[i])[:40]}")
         expr = tree.body
 
         def run(tbl: pa.Table) -> pa.Array:
@@ -193,7 +205,11 @@ def _eval_node(node, tbl: pa.Table):
         return op(left, right)
     if isinstance(node, ast.Call):
         name = node.func.id
-        args = [_eval_node(a, tbl) for a in node.args]
+        # regex/round literal args are read from the AST below, not
+        # evaluated — don't broadcast a [pattern] * n array per batch
+        n_eval = {"matches": 1, "replaceRegex": 1,
+                  "extractRegex": 1, "round": 1}.get(name, len(node.args))
+        args = [_eval_node(a, tbl) for a in node.args[:n_eval]]
         if name == "num":
             return pc.cast(args[0], pa.float64(), safe=False)
         if name == "str":

@@ -76,12 +76,14 @@ def q_tile_assign_z14(sf_dir: str):
 
     Batch-local partial counts (``np.unique``) feed the hash exchange;
     each reduce partition merges its partials with one more unique +
-    ``np.add.at``.  3× faster than the former Ray sort-groupby on the
-    same input (A/B'd at num_cpus=32, identical output) and shuffles
-    one partial row per (batch, tile) instead of one row per event.
+    ``np.add.at`` and reconstructs x/y from the tile id (the shuffle
+    carries only (part, tile_id, n)).  3× faster than the former Ray
+    sort-groupby on the same input (A/B'd at num_cpus=32, identical
+    output), shuffling one slim partial row per (batch, tile) instead
+    of one row per event.
     """
     from ..stages.exchange import exchange_reduce
-    from ..tilemath.tilecoord import tms_encode, tile_of_point
+    from ..tilemath.tilecoord import tms_decode, tms_encode, tile_of_point
     from .osm import _part_of
 
     P = 16
@@ -90,30 +92,22 @@ def q_tile_assign_z14(sf_dir: str):
         t = _event_world(batch)
         x, y = tile_of_point(t["wx"].to_numpy(), t["wy"].to_numpy(), 14)
         tid = tms_encode(x, y, np.full(len(x), 14))
-        u, inv, cnt = np.unique(tid, return_inverse=True, return_counts=True)
-        first = np.zeros(len(u), np.int64)
-        first[inv[::-1]] = np.arange(len(tid) - 1, -1, -1)
+        u, cnt = np.unique(tid, return_counts=True)
         return pa.table({"part": pa.array(_part_of(u, P)),
                          "tile_id": pa.array(u),
-                         "x": pa.array(x[first].astype(np.int64)),
-                         "y": pa.array(y[first].astype(np.int64)),
                          "n": pa.array(cnt.astype(np.int64))})
 
     def red(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"tile_id": pa.array([], pa.int64()),
-                             "x": pa.array([], pa.int64()),
-                             "y": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        tid = t["tile_id"].to_numpy()
+        tid = (t["tile_id"].to_numpy() if t.num_rows
+               else np.empty(0, np.int64))
         u, inv = np.unique(tid, return_inverse=True)
         s = np.zeros(len(u), np.int64)
-        np.add.at(s, inv, t["n"].to_numpy())
-        first = np.zeros(len(u), np.int64)
-        first[inv[::-1]] = np.arange(len(tid) - 1, -1, -1)
+        np.add.at(s, inv, t["n"].to_numpy() if t.num_rows
+                  else np.empty(0, np.int64))
+        x, y, _z = tms_decode(u)
         return pa.table({"tile_id": pa.array(u),
-                         "x": pa.array(t["x"].to_numpy()[first]),
-                         "y": pa.array(t["y"].to_numpy()[first]),
+                         "x": pa.array(x),
+                         "y": pa.array(y),
                          "n": pa.array(s)})
 
     ds = _read(sf_dir, "events", ["event_id"]).map_batches(assign, batch_format="pyarrow")

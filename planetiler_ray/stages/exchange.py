@@ -372,11 +372,17 @@ def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,
     splitters = [splitter_cls.remote(n_buckets, bucket_size, map_box)
                  for _ in range(n_splitters)]
     SUBMIT_CHUNK = 32
+    submit_refs = []
     for ci, i in enumerate(range(0, n_blocks, SUBMIT_CHUNK)):
-        splitters[ci % n_splitters].submit.remote(
-            block_groups[i:i + SUBMIT_CHUNK])
+        submit_refs.append(splitters[ci % n_splitters].submit.remote(
+            block_groups[i:i + SUBMIT_CHUNK]))
     # barrier: all submits processed before any bucket task asks for
-    # pieces (flush is ordered after this caller's submits per actor)
+    # pieces (flush is ordered after this caller's submits per actor).
+    # The submit refs themselves are fetched too — a submit that raised
+    # must fail the exchange here, not silently drop its 32 block
+    # groups from the reduce (O(blocks/32) refs, transient).
+    ray.get(submit_refs)
+    del submit_refs
     ray.get([s.flush.remote() for s in splitters])
     del block_groups             # driver releases its input-ref list
     bucket_remote = _remotes()["bucket_reduce"]

@@ -88,7 +88,7 @@ def test_parse_poly_errors():
         parse_poly("junk\narea\n0 0\n1 0\n1 1\nEND\nEND\ntrailing\n")
 
 
-@pytest.mark.parametrize("z", [3, 5, 6])
+@pytest.mark.parametrize("z", [3, 5, 6, 7])
 @pytest.mark.parametrize("with_hole", [False, True])
 def test_mask_matches_bruteforce(z, with_hole):
     assert _margins(z) > 1e-9

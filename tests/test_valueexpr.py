@@ -155,6 +155,51 @@ layers:
     with pytest.raises(ValueError, match="shadows an internal"):
         osm_rules_from_yaml(str(bad))
 
+    # the PLAIN string attr form is guarded too (regression: only the
+    # dict form was checked, so `attrs: [part]` slipped through)
+    bad2 = tmp_path / "bad2.yaml"
+    bad2.write_text("""
+layers:
+  - name: r
+    element: line
+    include_when: {field: highway, present: true}
+    attrs: [part]
+""")
+    with pytest.raises(ValueError, match="shadows an internal"):
+        osm_rules_from_yaml(str(bad2))
+
+    # apply_rules-side columns are reserved as well (min_zoom would
+    # overwrite the rule's int8 zoom window with a string column)
+    bad3 = tmp_path / "bad3.yaml"
+    bad3.write_text("""
+layers:
+  - name: r
+    element: line
+    include_when: {field: highway, present: true}
+    attrs:
+      - {key: min_zoom, value: "${ upper(highway) }"}
+""")
+    with pytest.raises(ValueError, match="shadows an internal"):
+        osm_rules_from_yaml(str(bad3))
+
+
+def test_regex_args_must_be_literals():
+    """Non-literal regex pattern/replacement args fail at COMPILE time
+    with the function named (regression: they compiled fine and then
+    crashed every batch inside a Ray task with an AttributeError)."""
+    from planetiler_ray.functions.valueexpr import compile_value_expression
+    for src in ("${ matches(ref, name) }",
+                "${ replaceRegex(ref, 'a', name) }",
+                "${ replaceRegex(ref, name, 'a') }",
+                "${ extractRegex(ref, upper(name)) }",
+                "${ round(num(lanes), num(ref)) }"):
+        with pytest.raises(ValueError, match="must be a literal"):
+            compile_value_expression(src)
+    # literal args still compile and run
+    t = T(ref=["A12", "B7", None])
+    f = compile_value_expression("${ extractRegex(ref, '[0-9]+') }")
+    assert f(t).to_pylist() == ["12", "7", None]
+
 
 def test_type_with_direct_tag_value_and_coalesce():
     """{'type': t, 'tag_value': k} and {'type': t, 'coalesce': [...]}

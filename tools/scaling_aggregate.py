@@ -34,8 +34,10 @@ def main(path: str) -> None:
               f"  {'clean' if ok else 'EXCLUDED (wall rule)'}")
     print(f"\nsession best: sec_2={best2:.1f}  sec_8={best8:.1f}"
           f"  (clean limits {lim2:.1f} / {lim8:.1f})")
+    clean_med = (f"{statistics.median(clean):.3f}" if clean
+                 else "n/a (no round passed both wall limits)")
     print(f"clean rounds: {len(clean)}/{len(rows)}"
-          f"  clean median eff: {statistics.median(clean):.3f}"
+          f"  clean median eff: {clean_med}"
           f"  all-rounds median eff: {statistics.median(effs_all):.3f}")
 
 
