@@ -197,3 +197,41 @@ def test_q16_wire_roundtrip_matches_reduce_quantization():
     again = np.floor(back * SCALE + 0.5).astype(np.int64)
     assert (q == direct).all()
     assert (again == direct).all()
+
+
+def test_segmented_exchange_errors_propagate(ray_session):
+    """A failure anywhere in the segmented split/reduce path must fail
+    the exchange loudly — never complete with rows silently missing
+    (regression class: discarded splitter submit refs swallowed
+    exceptions)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from planetiler_ray.stages.exchange import exchange_reduce
+
+    def mk(batch):
+        i = batch["id"].to_numpy()
+        return pa.table({"part": pa.array(i % 8), "v": pa.array(i)})
+
+    frags = rd.range(4000, override_num_blocks=16) \
+        .map_batches(mk, batch_format="pyarrow").materialize()
+
+    def bad_map(t: pa.Table) -> pa.Table:
+        raise RuntimeError("injected map failure")
+
+    with pytest.raises(Exception, match="injected map failure"):
+        exchange_reduce(frags, 8, lambda t: t.slice(0, 1),
+                        two_level_threshold=1, map_fn=bad_map).to_pandas()
+
+    def bad_reduce(t: pa.Table) -> pa.Table:
+        raise RuntimeError("injected reduce failure")
+
+    with pytest.raises(Exception, match="injected reduce failure"):
+        exchange_reduce(frags, 8, bad_reduce,
+                        two_level_threshold=1).to_pandas()
+
+    # and the healthy path still returns every row exactly once
+    out = exchange_reduce(frags, 8, lambda t: pa.table(
+        {"n": pa.array([t.num_rows])}), two_level_threshold=1).to_pandas()
+    assert int(out["n"].sum()) == 4000
