@@ -66,6 +66,13 @@ def cmd_build(args) -> dict:
     cfg = RenderConfig(min_zoom=args.min_zoom, max_zoom=args.max_zoom)
     images = _read_images(args.input)
     ids = _input_ids(args.input)
+    # fail-fast resource plan before committing to the run
+    # (Planetiler.java:998-1065 checkDiskSpace/checkMemory analog)
+    from .state.estimate import estimate_pyramid
+    est = estimate_pyramid(images, cfg, num_partitions=args.partitions)
+    est.check_against_limits(force=getattr(args, "force", False))
+    for w in est.warnings:
+        print(f"[estimate] WARNING: {w}", file=sys.stderr)
     if args.format == "parquet":
         summary = build_pyramid(images, ids, cfg, num_partitions=args.partitions,
                                 checkpoint_dir=args.out,
@@ -175,6 +182,10 @@ def main(argv=None) -> int:
                     choices=["parquet", "files", "csv", "archive"])
     pb.add_argument("--slim", action="store_true", help="skip feature-id lists")
     pb.add_argument("--num-cpus", type=int, default=None)
+    pb.add_argument("--force", action="store_true",
+                    help="run even if the upfront resource estimate "
+                         "exceeds capacity (downgrades the fail-fast "
+                         "check to warnings, like the reference)")
     pb.set_defaults(fn=cmd_build)
 
     po = sub.add_parser("osm", help="OSM PBF + YAML profile → tile archive")
