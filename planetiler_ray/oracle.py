@@ -96,13 +96,16 @@ def golden_tiles(ids: np.ndarray, min_zoom: int = 0, max_zoom: int = 14,
         grid_counts: dict[tuple, int] = defaultdict(int)
         seen = set()
         for layer, sk, idx, image_id, grid, zxy in rows:
+            # dedup BEFORE the grid limit: a duplicated fragment (e.g.
+            # buffer wraparound at low zoom) must not consume one of
+            # the k grid slots and evict a distinct feature
+            if (layer, idx) in seen:
+                continue
             if grid != 0:
                 key = (layer, grid)
                 if grid_counts[key] >= label_grid_limit:
                     continue
                 grid_counts[key] += 1
-            if (layer, idx) in seen:
-                continue
             seen.add((layer, idx))
             kept.append((layer, sk, idx, image_id, zxy))
         out[tid] = {

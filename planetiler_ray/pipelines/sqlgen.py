@@ -284,7 +284,8 @@ pxx AS (SELECT *, unnest(generate_series(CAST(floor(px - {NB!r}) AS BIGINT),
                                          CAST(floor(px + {NB!r}) AS BIGINT))) AS gx FROM pp),
 pxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(py - {NB!r}) AS BIGINT)),
           least(nt - 1, CAST(floor(py + {NB!r}) AS BIGINT)))) AS gy FROM pxx),
-pfr AS (SELECT z, nt, ((gx % nt) + nt) % nt AS x, gy AS y, i, px, py FROM pxy),
+pfr AS (SELECT DISTINCT z, nt, ((gx % nt) + nt) % nt AS x, gy AS y, i, px, py
+        FROM pxy),
 prank AS (SELECT z, x, y, i,
     row_number() OVER (PARTITION BY z, x, y,
         CAST(floor((CASE WHEN mod(px, CAST(nt AS DOUBLE)) < 0
@@ -293,8 +294,7 @@ prank AS (SELECT z, x, y, i,
         CAST(floor(py / 0.125) AS BIGINT)
         ORDER BY i % 1000, i) AS rn
     FROM pfr WHERE z < {max_zoom}),
-pkeep AS (SELECT z, x, y, i FROM prank GROUP BY z, x, y, i
-          HAVING min(rn) <= {label_grid_limit}),
+pkeep AS (SELECT z, x, y, i FROM prank WHERE rn <= {label_grid_limit}),
 pmax AS (SELECT DISTINCT z, x, y, i FROM pfr WHERE z = {max_zoom}),
 allf AS (SELECT z, x, y, i FROM bfr
          UNION ALL SELECT z, x, y, i FROM pkeep

@@ -153,6 +153,11 @@ def build_pyramid(images: "ray.data.Dataset", sample_ids: np.ndarray,
                         max_point_buffer=cfg.max_point_buffer)
 
     if shuffle == "groupby":
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "checkpoint_dir requires shuffle='exchange' — the "
+                "groupby cross-check path has no checkpoint/resume "
+                "support (it would silently run unresumable)")
         frags = render_fragments(images, cfg, bounds, slim=not with_feature_ids,
                                  profile=profile)
         return frags.groupby("part").map_groups(reduce_fn, batch_format="pyarrow")
@@ -654,6 +659,12 @@ def poly_merge_tile_summary(sf_dir: str, zoom: int = 5):
     from ..stages.merge import merge_overlapping_polygons
     from ..tilemath.tilecoord import tms_encode
 
+    if zoom < 5:
+        raise ValueError(
+            f"zoom={zoom} < 5: the 32x32 tile placement grid needs "
+            "2**zoom >= 32 or tile x/y overflow the zoom's range and "
+            "tms_encode silently collides with other zooms' ids")
+
     CAP = 110592
 
     def rects(batch: pa.Table) -> pa.Table:
@@ -815,11 +826,15 @@ def polygon_fill_archive(px: np.ndarray, py: np.ndarray,
         .map_batches(slice_z, batch_format="pyarrow").materialize()
 
     # the runs side table is tiny (O(boundary) rows) — collect it from
-    # the materialized blocks without re-running the clip
-    runs_tbl = pa.concat_tables(
-        [ray.get(r).filter(ray.get(r)["is_run"]).select(
+    # the materialized blocks without re-running the clip; fetch each
+    # block once
+    def _runs_of(r) -> pa.Table:
+        t = ray.get(r)
+        return t.filter(t["is_run"]).select(
             ["z", "run_x", "run_y0", "run_y1"])
-         for r in sliced.to_arrow_refs()])
+
+    runs_tbl = pa.concat_tables(
+        [_runs_of(r) for r in sliced.to_arrow_refs()])
     fill_runs = pa.table({"z": runs_tbl["z"], "x": runs_tbl["run_x"],
                           "y0": runs_tbl["run_y0"],
                           "y1": runs_tbl["run_y1"]})
@@ -900,7 +915,11 @@ def polygon_fill_archive(px: np.ndarray, py: np.ndarray,
                                  fill_blob=fill_blobs[0].as_py()
                                  if hasattr(fill_blobs[0], "as_py")
                                  else bytes(fill_blobs[0]))
-    info["n_fill_tiles"] = int(
+    # n_fill_tiles = entries actually written (the sink drops a fill
+    # that collides with a detail tile at the same coordinate);
+    # n_fill_expanded = raw run expansion before that collision drop
+    info["n_fill_tiles"] = info.pop("n_fills")
+    info["n_fill_expanded"] = int(
         (fill_runs["y1"].to_numpy() - fill_runs["y0"].to_numpy() + 1).sum())
     info["n_runs"] = fill_runs.num_rows
     return info

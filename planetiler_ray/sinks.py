@@ -528,8 +528,11 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
         return b.select(["hilbert_id"]).take(
             pa.array(np.arange(0, b.num_rows, step)))
 
-    sample = tiles.map_batches(downsample, batch_format="pyarrow") \
-        .to_pandas()["hilbert_id"].to_numpy()[:sample_cap]
+    sample_df = tiles.map_batches(downsample, batch_format="pyarrow") \
+        .to_pandas()
+    sample = (sample_df["hilbert_id"].to_numpy()[:sample_cap]
+              if "hilbert_id" in sample_df.columns     # empty → no cols
+              else np.empty(0, np.int64))
     if len(sample) == 0:
         bounds = np.array([], dtype=np.int64)
     else:
@@ -613,9 +616,11 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
             index.append((int(tid), int(hil), off, ln))
         # splice this shard's interior fill tiles: every entry points at
         # ONE stored copy of the shared fill blob
+        n_fills = 0
         if fill_chunk_refs:
             ft, fh = shard_fills(shard, tids)
             if len(ft):
+                n_fills = len(ft)
                 f_off, f_ln = pos, len(fill_blob_gz)
                 data_parts.append(fill_blob_gz)
                 pos += f_ln
@@ -639,13 +644,14 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
                 f.write(p)
         os.replace(tmp, part_path)
         return {"shard": shard, "n_tiles": len(index),
-                "n_blobs": len(blob_offsets),
+                "n_blobs": len(blob_offsets), "n_fills": n_fills,
                 "min_hilbert": int(idx[:, 1].min()),
                 "max_hilbert": int(idx[:, 1].max()),
                 "bytes": os.path.getsize(part_path)}
 
     _summary_schema = {"shard": pa.int32(), "n_tiles": pa.int64(),
-                       "n_blobs": pa.int64(), "min_hilbert": pa.int64(),
+                       "n_blobs": pa.int64(), "n_fills": pa.int64(),
+                       "min_hilbert": pa.int64(),
                        "max_hilbert": pa.int64(), "bytes": pa.int64()}
 
     def write_shard(grp: pa.Table) -> pa.Table:
@@ -660,6 +666,13 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
     summary = tiles.map_batches(assign, batch_format="pyarrow") \
         .groupby("shard").map_groups(write_shard, batch_format="pyarrow") \
         .to_pandas()
+    if summary.empty:
+        # zero input rows → map_groups never ran and the frame has no
+        # columns; give it the typed empty shape so the root.json /
+        # totals below work instead of raising KeyError
+        import pandas as pd
+        summary = pd.DataFrame(
+            {k: pd.Series(dtype="int64") for k in _summary_schema})
     # fill-only shards: hilbert ranges no detail tile hit still own fill
     # tiles; write their parts via remote tasks (same part writer)
     if fill_chunk_refs:
@@ -679,6 +692,7 @@ def write_archive_sharded(tiles: "ray.data.Dataset", out_dir: str,
     with open(os.path.join(out_dir, "root.json"), "w") as f:
         json.dump(root, f, default=int)
     return {"n_shards": len(summary), "n_tiles": int(summary["n_tiles"].sum()),
+            "n_fills": int(summary["n_fills"].sum()),
             "bytes": int(summary["bytes"].sum())}
 
 

@@ -9,8 +9,9 @@ v3 header — per the public PMTiles v3 specification.
 
 The write is an ordered single-writer over ``iter_batches`` of the
 hilbert-sorted Dataset (the analog of the reference's in-order writer
-thread): tile DATA streams straight to disk — only the entry list
-(16 bytes/tile) is held in memory, never the blobs.
+thread): tile DATA streams straight to disk — only the entry columns
+(32 bytes per distinct entry, four int64 numpy arrays) are held in
+memory, never the blobs and never a Python object per tile.
 """
 
 from __future__ import annotations
@@ -36,17 +37,59 @@ TILETYPE_MVT = 1
 MAX_ROOT_ENTRIES = 4096
 
 
-def _serialize_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
-    """Entries (tile_id, offset, length, run_length) → spec bytes.
+class _EntryStore:
+    """Growable columnar entry list: four int64 numpy arrays instead of
+    a Python tuple (+4 boxed ints, ~100 B) per entry — this is what
+    keeps the single-writer's memory at tens of bytes per DISTINCT
+    entry even on a z0-14 pyramid with poor run collapse."""
+
+    __slots__ = ("tid", "off", "ln", "rl", "n")
+
+    def __init__(self, cap: int = 4096):
+        self.tid = np.empty(cap, np.int64)
+        self.off = np.empty(cap, np.int64)
+        self.ln = np.empty(cap, np.int64)
+        self.rl = np.empty(cap, np.int64)
+        self.n = 0
+
+    def append(self, t: int, o: int, l: int, r: int) -> None:
+        i = self.n
+        if i == len(self.tid):
+            for name in self.__slots__[:4]:
+                a = getattr(self, name)
+                b = np.empty(len(a) * 2, np.int64)
+                b[:i] = a[:i]
+                setattr(self, name, b)
+        self.tid[i] = t
+        self.off[i] = o
+        self.ln[i] = l
+        self.rl[i] = r
+        self.n = i + 1
+
+    def extend_last_run(self, k: int) -> None:
+        self.rl[self.n - 1] += k
+
+    def next_tid_of_last_run(self) -> int:
+        """tile_id one past the last entry's run (run continues here)."""
+        i = self.n - 1
+        return int(self.tid[i] + self.rl[i])
+
+    def arrays(self):
+        return (self.tid[:self.n], self.off[:self.n],
+                self.ln[:self.n], self.rl[:self.n])
+
+
+def _serialize_directory(tid, off, ln, rl) -> bytes:
+    """Entry columns (tile_id, offset, length, run_length) → spec bytes.
 
     Column order per spec: count, tile-id deltas, run lengths, lengths,
     offsets (offset+1, or 0 = previous offset + length).
     """
-    n = len(entries)
-    tid = np.array([e[0] for e in entries], dtype=np.uint64)
-    off = np.array([e[1] for e in entries], dtype=np.uint64)
-    ln = np.array([e[2] for e in entries], dtype=np.uint64)
-    rl = np.array([e[3] for e in entries], dtype=np.uint64)
+    n = len(tid)
+    tid = np.asarray(tid).astype(np.uint64)
+    off = np.asarray(off).astype(np.uint64)
+    ln = np.asarray(ln).astype(np.uint64)
+    rl = np.asarray(rl).astype(np.uint64)
     deltas = np.empty(n, np.uint64)
     if n:
         deltas[0] = tid[0]
@@ -128,7 +171,7 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
     archive is ``clustered``.
     """
     ordered = tiles.sort("hilbert_id")
-    entries: list[tuple[int, int, int, int]] = []   # (tile_id, off, len, run)
+    entries = _EntryStore()
     data_tmp = path + ".data.tmp"
     pos = 0
     n_addressed = 0
@@ -154,38 +197,61 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
                     ext["x1"] = max(ext["x1"], int(xs.max()))
                     ext["y0"] = min(ext["y0"], int(ys.min()))
                     ext["y1"] = max(ext["y1"], int(ys.max()))
-            blobs = _encode_batch(batch)
+            if batch.num_rows == 0:
+                continue
             hils = batch["hilbert_id"].to_numpy()
             hashes = batch["content_hash"].to_numpy()
-            for hil, h, blob in zip(hils, hashes, blobs):
-                n_addressed += 1
-                if (prev_hash is not None and int(h) == prev_hash
-                        and entries and entries[-1][0] + entries[-1][3] == hil):
-                    # extend the run of identical consecutive tiles
-                    t, o, l, r = entries[-1]
-                    entries[-1] = (t, o, l, r + 1)
-                    continue
+            nb = len(hils)
+            n_addressed += nb
+            # a row STARTS a new entry unless it chains the previous
+            # row's run: same content hash and the next consecutive
+            # tile id (identical-ocean dedup, vectorized per batch)
+            start = np.ones(nb, bool)
+            start[1:] = ((hashes[1:] != hashes[:-1])
+                         | (hils[1:] != hils[:-1] + 1))
+            if (prev_hash is not None and entries.n
+                    and int(hashes[0]) == prev_hash
+                    and entries.next_tid_of_last_run() == hils[0]):
+                start[0] = False
+            idxs = np.flatnonzero(start)
+            if len(idxs) == 0:
+                entries.extend_last_run(nb)
+                continue
+            if idxs[0] > 0:
+                entries.extend_last_run(int(idxs[0]))
+            runs = np.diff(np.append(idxs, nb))
+            # only entry-starting rows are written — run-continuation
+            # blobs are never stored, so skip encoding them entirely
+            blobs = _encode_batch(batch.take(pa.array(idxs)))
+            for k, blob in enumerate(blobs):
                 df.write(blob)
-                entries.append((int(hil), pos, len(blob), 1))
+                entries.append(int(hils[idxs[k]]), pos, len(blob),
+                               int(runs[k]))
                 pos += len(blob)
                 n_contents += 1
-                prev_hash = int(h)
+            prev_hash = int(hashes[-1])
 
     # directories: root only, or root → leaves of MAX_ROOT_ENTRIES
-    if len(entries) <= MAX_ROOT_ENTRIES:
-        root_bytes = gzip.compress(_serialize_directory(entries), 6)
+    e_tid, e_off, e_ln, e_rl = entries.arrays()
+    if entries.n <= MAX_ROOT_ENTRIES:
+        root_bytes = gzip.compress(
+            _serialize_directory(e_tid, e_off, e_ln, e_rl), 6)
         leaves_bytes = b""
     else:
         leaves = []
-        root_entries = []
+        r_tid, r_off, r_ln = [], [], []
         leaf_pos = 0
-        for s in range(0, len(entries), MAX_ROOT_ENTRIES):
-            chunk = entries[s:s + MAX_ROOT_ENTRIES]
-            lb = gzip.compress(_serialize_directory(chunk), 6)
-            root_entries.append((chunk[0][0], leaf_pos, len(lb), 0))
+        for s in range(0, entries.n, MAX_ROOT_ENTRIES):
+            e = s + MAX_ROOT_ENTRIES
+            lb = gzip.compress(_serialize_directory(
+                e_tid[s:e], e_off[s:e], e_ln[s:e], e_rl[s:e]), 6)
+            r_tid.append(int(e_tid[s]))
+            r_off.append(leaf_pos)
+            r_ln.append(len(lb))
             leaves.append(lb)
             leaf_pos += len(lb)
-        root_bytes = gzip.compress(_serialize_directory(root_entries), 6)
+        root_bytes = gzip.compress(_serialize_directory(
+            r_tid, r_off, r_ln, np.zeros(len(r_tid), np.int64)), 6)
         leaves_bytes = b"".join(leaves)
 
     meta = {"name": "planetiler_ray", "format": "pbf", **(metadata or {})}
@@ -206,7 +272,7 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
     struct.pack_into("<QQQQQQQQ", header, 8,
                      root_off, len(root_bytes), meta_off, len(meta_bytes),
                      leaf_off, len(leaves_bytes), data_off, pos)
-    struct.pack_into("<QQQ", header, 72, n_addressed, len(entries), n_contents)
+    struct.pack_into("<QQQ", header, 72, n_addressed, entries.n, n_contents)
     header[96] = 1                       # clustered
     header[97] = COMPRESSION_GZIP        # internal compression
     header[98] = COMPRESSION_GZIP        # tile compression
@@ -233,7 +299,7 @@ def write_pmtiles(tiles: "ray.data.Dataset", path: str,
                 f.write(chunk)
     os.remove(data_tmp)
     os.replace(tmp, path)
-    return {"n_addressed": n_addressed, "n_entries": len(entries),
+    return {"n_addressed": n_addressed, "n_entries": entries.n,
             "n_contents": n_contents, "bytes": os.path.getsize(path)}
 
 

@@ -20,6 +20,24 @@ import ray.data
 from ..tilemath.projection import get_world_x, get_world_y
 
 
+def feature_idx_from_ids(ids: list[str]) -> np.ndarray:
+    """Stable 63-bit feature idx from the feature's id string.
+
+    External readers see their input in arbitrary read-task batches, so
+    a per-batch ``arange`` collides ACROSS batches — and the reduce's
+    duplicate-fragment drop keys on ``(tile, layer, idx)``, which would
+    silently collapse distinct features sharing a tile.  Hashing the
+    stable id gives a globally-unique-in-practice idx independent of
+    block boundaries (collision odds ~n²/2⁶⁴; the engine's own tables
+    carry real integer ids and never take this path)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "little") & ((1 << 63) - 1) for s in ids],
+        np.int64)
+
+
 def _features_to_rows(batch: pa.Table) -> pa.Table:
     """Parse one batch of NDJSON features, geometry math vectorized.
 
@@ -81,7 +99,7 @@ def _features_to_rows(batch: pa.Table) -> pa.Table:
         "image_id": pa.array(ids, pa.string()),
         "caption": pa.array(caps, pa.string()),
         "phash": pa.array(np.zeros(n, np.int64)),
-        "idx": pa.array(np.arange(n, dtype=np.int64)),
+        "idx": pa.array(feature_idx_from_ids(ids)),
         "cx": pa.array(cx), "cy": pa.array(cy),
         "hw": pa.array(hw), "hh": pa.array(hh),
     })

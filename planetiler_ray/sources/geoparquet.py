@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from ..tilemath.projection import get_world_x, get_world_y
+from .geojson import feature_idx_from_ids
 
 GEOMETRY_COLUMNS = ("geometry", "wkb_geometry")
 
@@ -77,7 +78,9 @@ def _wkb_batch_to_rows(batch: pa.Table, geometry_col: str,
         "image_id": pa.array(ids, pa.string()),
         "caption": pa.array([""] * n, pa.string()),
         "phash": pa.array(np.zeros(n, np.int64)),
-        "idx": pa.array(np.arange(n, dtype=np.int64)),
+        # batch-stable 63-bit id hash, NOT a per-batch arange (which
+        # collides across read blocks — see geojson.feature_idx_from_ids)
+        "idx": pa.array(feature_idx_from_ids(ids)),
         "cx": pa.array(np.array(cxs, np.float64)),
         "cy": pa.array(np.array(cys, np.float64)),
         "hw": pa.array(np.array(hws, np.float64)),

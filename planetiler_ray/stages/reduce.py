@@ -33,9 +33,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..tilemath.hashing import FNV1_64_INIT, FNV1_PRIME_64, fnv1a_64_u64, mix64
-from ..tilemath.hilbert import hilbert_xy_to_index
 from ..tilemath.mvt import SCALE
-from ..tilemath.tilecoord import tms_decode, zoom_start_index
+from ..tilemath.tilecoord import hilbert_encode_tile, tms_decode
 from .render import LABEL_GRID_LIMIT
 
 RECORD_DTYPE = np.dtype([
@@ -92,7 +91,10 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     """
     n = group.num_rows
     if n == 0:
-        return _empty_tiles_table(with_feature_ids)
+        # must match the non-empty schema exactly, INCLUDING mvt_bytes
+        # when mvt_attrs is set — blocks of one Dataset may not disagree
+        return _empty_tiles_table(with_feature_ids,
+                                  with_mvt=mvt_attrs is not None)
     fr = prepare_fragments(group, label_grid_limit, tile_post_process,
                            mvt_attrs, skip_filled_tiles, max_point_buffer)
     if fr is None:
@@ -101,8 +103,7 @@ def reduce_partition(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     tile, layer, kind = fr["tile"], fr["layer"], fr["kind"]
     sort_key, idx = fr["sort_key"], fr["idx"]
     ax, ay, bx, by = fr["ax"], fr["ay"], fr["bx"], fr["by"]
-    is_fill, image_id, attr_vals = fr["is_fill"], fr["image_id"], fr["attr_vals"]
-    m = len(tile)
+    image_id, attr_vals = fr["image_id"], fr["attr_vals"]
     return _encode_prepared(tile, layer, kind, sort_key, idx, ax, ay, bx, by,
                             with_feature_ids, image_id, attr_vals, mvt_attrs,
                             layer_names)
@@ -136,15 +137,22 @@ def prepare_fragments(group: pa.Table, label_grid_limit: int = LABEL_GRID_LIMIT,
     idx = idx[order]
     gid = gid[order]
 
-    # 2. label-grid limit: rank within (tile, layer, group_id), arrival order
-    from .render import label_grid_keep_mask
-    keep = label_grid_keep_mask(tile, layer, gid, sort_key, idx, label_grid_limit)
-
-    # 3. drop duplicate (tile, layer, idx) fragments
+    # 2. drop duplicate (tile, layer, idx) fragments BEFORE the grid
+    # limit — a duplicated fragment must not consume two of the k grid
+    # slots and evict a distinct feature (dirty-input case)
     dup = np.zeros(n, dtype=bool)
     same = (np.diff(tile) == 0) & (np.diff(layer) == 0) & (np.diff(idx) == 0)
     dup[1:] = same
-    keep &= ~dup
+    keep = ~dup
+
+    # 3. label-grid limit: rank within (tile, layer, group_id), arrival
+    # order, counted over distinct fragments only
+    from .render import label_grid_keep_mask
+    uniq = np.nonzero(keep)[0]
+    keep_uniq = label_grid_keep_mask(tile[uniq], layer[uniq], gid[uniq],
+                                     sort_key[uniq], idx[uniq],
+                                     label_grid_limit)
+    keep[uniq] &= keep_uniq
 
     sel = np.nonzero(keep)[0]
     tile, layer, sort_key, idx = tile[sel], layer[sel], sort_key[sel], idx[sel]
@@ -288,7 +296,7 @@ def _encode_prepared(tile, layer, kind, sort_key, idx, ax, ay, bx, by,
     hil_t = np.empty(len(t_ids), np.int64)
     for zv in np.unique(z_t):
         mz = z_t == zv
-        hil_t[mz] = zoom_start_index(int(zv)) + hilbert_xy_to_index(int(zv), x_t[mz], y_t[mz])
+        hil_t[mz] = hilbert_encode_tile(x_t[mz], y_t[mz], int(zv))
 
     # tile_bytes: one slice of the big record buffer per tile (zero-copy arrow)
     buf = rec.tobytes()

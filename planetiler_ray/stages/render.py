@@ -35,9 +35,8 @@ import pyarrow as pa
 
 from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_boxes, slice_points
 from ..tilemath.extents import TileExtents
-from ..tilemath.hilbert import hilbert_xy_to_index
 from ..tilemath.labelgrid import label_grid_id
-from ..tilemath.tilecoord import tms_encode, zoom_start_index
+from ..tilemath.tilecoord import hilbert_encode_tile, tms_encode
 
 LAYER_CHIPS = 0
 LAYER_LABELS = 1
@@ -239,10 +238,25 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
     z_arr = cat["z"].astype(np.int64)
     tile_id = tms_encode(cat["x"], cat["y"], z_arr)
 
-    # pre-shuffle combiner: apply the label-grid limit within this batch so
-    # low-zoom tiles (which collect every point) don't flood the shuffle
-    keep = label_grid_keep_mask(tile_id, cat["layer"], cat["group_id"],
-                                cat["sort_key"], idx[row], LABEL_GRID_LIMIT)
+    # pre-shuffle combiner: drop duplicate (tile, layer, idx) fragments
+    # (buffer wraparound at low zoom emits the same fragment twice into
+    # one tile), then apply the label-grid limit within this batch so
+    # low-zoom tiles (which collect every point) don't flood the
+    # shuffle.  Dedup FIRST, exactly like the final reduce — a
+    # duplicate must not consume a grid slot in either pass, or
+    # partial-then-final keep-k stops being associative.
+    ridx = idx[row]
+    order = np.lexsort((ridx, cat["layer"], tile_id))
+    dup_sorted = np.zeros(len(order), bool)
+    dup_sorted[1:] = ((np.diff(tile_id[order]) == 0)
+                      & (np.diff(cat["layer"][order]) == 0)
+                      & (np.diff(ridx[order]) == 0))
+    keep = np.ones(len(order), bool)
+    keep[order] = ~dup_sorted
+    uniq = np.nonzero(keep)[0]
+    keep[uniq] &= label_grid_keep_mask(
+        tile_id[uniq], cat["layer"][uniq], cat["group_id"][uniq],
+        cat["sort_key"][uniq], ridx[uniq], LABEL_GRID_LIMIT)
     if not keep.all():
         tile_id = tile_id[keep]
         row = row[keep]
@@ -252,7 +266,7 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
     hil = np.empty(len(tile_id), np.int64)
     for z in np.unique(z_arr):
         m = z_arr == z
-        hil[m] = zoom_start_index(int(z)) + hilbert_xy_to_index(int(z), cat["x"][m], cat["y"][m])
+        hil[m] = hilbert_encode_tile(cat["x"][m], cat["y"][m], int(z))
 
     part = (np.searchsorted(part_bounds, hil, side="right").astype(np.int32)
             if part_bounds is not None else np.zeros(len(hil), np.int32))

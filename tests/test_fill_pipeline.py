@@ -73,6 +73,9 @@ def test_polygon_fill_archive_end_to_end(ray_session, tmp_path):
         exp_fill += f
     assert info["n_fill_tiles"] == exp_fill
     assert info["n_tiles"] == exp_edge + exp_fill
+    # one polygon set: interior and boundary tiles are disjoint, so the
+    # written count equals the raw run expansion
+    assert info["n_fill_expanded"] == info["n_fill_tiles"]
     # runs compress the interior: far fewer runs than tiles
     assert info["n_runs"] < exp_fill / 3
 

@@ -129,6 +129,44 @@ class TestReduceFlags:
         assert out2["tile_id"].to_pylist() == [50, 60]
 
 
+class TestReduceRegressions(TestReduceFlags):
+    """Round-5 review fixes: dedup runs BEFORE the label-grid limit and
+    the empty-group fast path matches the non-empty schema."""
+
+    def test_duplicate_fragment_does_not_consume_grid_slot(self):
+        from planetiler_ray.stages.reduce import reduce_partition
+
+        def r(idx, sk):
+            row = self._row(100, idx=idx)
+            row["sort_key"] = sk
+            row["group_id"] = 7          # one shared label-grid cell
+            return row
+
+        # 4 distinct features in a limit-4 cell, plus a DUPLICATE of
+        # the best-ranked one (dirty input): the duplicate must not
+        # consume a grid slot and evict idx=4
+        t = self._frag_table([r(1, 0), r(1, 0), r(2, 1), r(3, 2), r(4, 3)])
+        out = reduce_partition(t, with_feature_ids=False)
+        assert out["n_features"].to_pylist() == [4]
+        # and the keep-4 winners are the 4 DISTINCT fragments
+        t5 = self._frag_table([r(1, 0), r(1, 0), r(2, 1), r(3, 2),
+                               r(4, 3), r(5, 4)])
+        out5 = reduce_partition(t5, with_feature_ids=False)
+        assert out5["n_features"].to_pylist() == [4]
+
+    def test_empty_group_schema_matches_mvt_mode(self):
+        from planetiler_ray.stages.reduce import reduce_partition
+        t = self._frag_table([self._row(100, idx=1)])
+        t = t.append_column("caption", pa.array(["c"], pa.string()))
+        empty = t.slice(0, 0)
+        full = reduce_partition(t, with_feature_ids=True,
+                                mvt_attrs=("caption",))
+        nothing = reduce_partition(empty, with_feature_ids=True,
+                                   mvt_attrs=("caption",))
+        assert nothing.num_rows == 0
+        assert nothing.schema == full.schema
+
+
 class TestResumeGuard:
     def test_mismatched_config_refused(self, tmp_path):
         from planetiler_ray.state.checkpoint import CheckpointStore

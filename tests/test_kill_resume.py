@@ -60,6 +60,25 @@ def _run(ckpt: str, kill_after_parts: int | None = None):
     raise TimeoutError("no partitions completed in time")
 
 
+def test_checkpoint_requires_exchange_shuffle(ray_session, tmp_path):
+    """checkpoint_dir + shuffle='groupby' must fail loudly — the
+    cross-check path has no checkpoint/resume support and used to
+    silently return an unresumable lazy Dataset."""
+    import ray.data as rd
+
+    from planetiler_ray import fixtures
+    from planetiler_ray.pipelines.tiles import build_pyramid
+    from planetiler_ray.stages.render import RenderConfig
+
+    path = fixtures.images_parquet(50, with_bytes=False)
+    ds = rd.read_parquet(path, columns=["image_id"])
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        build_pyramid(ds, fixtures.image_ids(50), RenderConfig(0, 3),
+                      num_partitions=4,
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      shuffle="groupby")
+
+
 def test_kill_mid_run_then_resume(tmp_path, ray_session):
     ckpt = str(tmp_path / "killed")
     _run(ckpt, kill_after_parts=3)

@@ -54,7 +54,10 @@ class TestPmtiles:
                                                   _serialize_directory)
         entries = [(5, 0, 10, 1), (6, 10, 20, 2), (9, 30, 5, 1),
                    (1000, 35, 7, 1)]
-        assert _deserialize_directory(_serialize_directory(entries)) == entries
+        tid, off, ln, rl = (np.array(c, np.int64)
+                            for c in zip(*entries))
+        assert _deserialize_directory(
+            _serialize_directory(tid, off, ln, rl)) == entries
 
     def test_leaf_directories(self, ray_session, tmp_path):
         # force > MAX_ROOT_ENTRIES entries with synthetic tiny tiles
@@ -233,6 +236,8 @@ class TestShardedArchiveFillRuns:
         # total = boundary + fills, minus the fill tile shadowed by the
         # artificial detail row
         assert info["n_tiles"] == len(bx) + n_fill - 1
+        # n_fills counts WRITTEN fill entries: the shadowed one excluded
+        assert info["n_fills"] == n_fill - 1
 
         root = json.load(open(os.path.join(out, "root.json")))
         # every part stores the fill blob at most once
@@ -254,3 +259,24 @@ class TestShardedArchiveFillRuns:
         # the artificial detail tile wins over the fill
         assert read_sharded_archive_tile(
             out, int(tids[-1]), int(hils[-1])) == b"detail%d" % (len(bx) - 1)
+
+    def test_empty_dataset_writes_empty_root(self, ray_session, tmp_path):
+        """Zero input rows: no shard task ever runs — the sink must
+        still write a valid empty root.json instead of KeyError-ing on
+        the column-less summary frame."""
+        import pyarrow as pa
+        import ray.data as rd
+        from planetiler_ray.sinks import write_archive_sharded
+
+        empty = rd.from_arrow(pa.table({
+            "tile_id": pa.array([], pa.int64()),
+            "hilbert_id": pa.array([], pa.int64()),
+            "z": pa.array([], pa.int8()),
+            "content_hash": pa.array([], pa.int64()),
+            "mvt_bytes": pa.array([], pa.large_binary())}))
+        out = str(tmp_path / "empty")
+        info = write_archive_sharded(empty, out, num_shards=4)
+        assert info == {"n_shards": 0, "n_tiles": 0, "n_fills": 0,
+                        "bytes": 0}
+        root = json.load(open(os.path.join(out, "root.json")))
+        assert root["shards"] == []
