@@ -259,20 +259,28 @@ def assemble_way_geometries(resolved: "ray.data.Dataset",
         uniq = wid[starts]
         counts = np.diff(np.append(starts, len(wid)))
         off = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
-        # attach tags: meta rows sorted by way_id, gathered per segment
+        # attach tags: meta rows sorted by way_id, gathered per segment;
+        # a way with NO meta row in the partition (clipped input / dirty
+        # data) null-fills its tag columns — pyarrow take() rejects -1
+        # sentinels, so missing rows are marked null via the index mask
         mwid = tbl["way_id"].to_numpy()[~pts]
-        morder = np.argsort(mwid, kind="stable")
-        msorted = mwid[morder]
-        mpos = np.searchsorted(msorted, uniq)
-        has = mpos < len(msorted)
-        mpos_c = np.minimum(mpos, max(len(msorted) - 1, 0))
-        has &= (msorted[mpos_c] == uniq) if len(msorted) else False
         tk = tbl["tag_keys"].combine_chunks()
         tv = tbl["tag_vals"].combine_chunks()
-        meta_idx = np.flatnonzero(~pts)[morder][mpos_c]
-        take_idx = np.where(has, meta_idx, -1)
-        keys_col = tk.take(pa.array(take_idx, pa.int64()))
-        vals_col = tv.take(pa.array(take_idx, pa.int64()))
+        if len(mwid):
+            morder = np.argsort(mwid, kind="stable")
+            msorted = mwid[morder]
+            mpos = np.searchsorted(msorted, uniq)
+            has = mpos < len(msorted)
+            mpos_c = np.minimum(mpos, len(msorted) - 1)
+            has &= msorted[mpos_c] == uniq
+            meta_idx = np.flatnonzero(~pts)[morder][mpos_c]
+        else:
+            has = np.zeros(len(uniq), bool)
+            meta_idx = np.zeros(len(uniq), np.int64)
+        take_idx = pa.array(np.where(has, meta_idx, 0), pa.int64(),
+                            mask=~has)
+        keys_col = tk.take(take_idx)
+        vals_col = tv.take(take_idx)
         return pa.table({
             "way_id": pa.array(uniq),
             "xs": pa.ListArray.from_arrays(off, pa.array(wx)),
@@ -554,15 +562,17 @@ def assemble_multipolygons(relations: "ray.data.Dataset",
         side = tbl["side"].to_numpy()
         g = side == 0
         gwid = tbl["way_id"].to_numpy()[g]
+        if len(gwid) == 0:
+            # no geometry rows in this partition: nothing can join
+            return empty
         order = np.argsort(gwid, kind="stable")
         gsorted = gwid[order]
         mwid = tbl["way_id"].to_numpy()[~g]
         pos = np.searchsorted(gsorted, mwid)
         ok = pos < len(gsorted)
-        pos_c = np.minimum(pos, max(len(gsorted) - 1, 0))
-        ok &= (gsorted[pos_c] == mwid) if len(gsorted) else False
+        pos_c = np.minimum(pos, len(gsorted) - 1)
+        ok &= gsorted[pos_c] == mwid
         geom_rows = np.flatnonzero(g)[order][pos_c]
-        take = pa.array(np.where(ok, geom_rows, -1), pa.int64())
         mem_rows = np.flatnonzero(~g)
         okm = pa.array(mem_rows[ok], pa.int64())
         return pa.table({

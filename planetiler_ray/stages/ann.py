@@ -44,7 +44,8 @@ def brute_force_topk(ds: "ray.data.Dataset", queries: np.ndarray,
     matmul), then a tiny final top-k per query — f64 accumulation for
     deterministic ranking.
     """
-    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
     q_ref = ray.put((qn, np.asarray(query_ids)))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -329,6 +330,14 @@ def ivf_build_index(ds: "ray.data.Dataset", centroids: np.ndarray,
     c_ref = ray.put(cn)
     n_lists = len(cn)
     os.makedirs(out_dir, exist_ok=True)
+    # a REBUILD into the same dir must not leave stale list files behind:
+    # a list that is non-empty under the old quantizer but empty under
+    # the new one would otherwise keep serving the old vectors to
+    # ivf_search_index's glob
+    import glob as _glob
+    import shutil as _shutil
+    for stale in _glob.glob(os.path.join(out_dir, "list=*")):
+        _shutil.rmtree(stale, ignore_errors=True)
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -266,10 +266,12 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     # shuffle total.  If the candidate set is unexpectedly huge
     # (pathological threshold), fall back to the fully-distributed
     # bucketed join.
-    pairs_df = cand.to_pandas()
-    if len(pairs_df) > max_driver_pairs:
+    cand = cand.materialize()        # blocks stay in the object store
+    if cand.count() > max_driver_pairs:   # metadata count — gate BEFORE
+        # any pair bytes reach the driver heap
         return _minhash_verify_distributed(sigs, cand, id_col, num_perm,
                                            jaccard_threshold)
+    pairs_df = cand.to_pandas()
     pair_ids = np.unique(
         np.stack([pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()]),
         axis=1).T if len(pairs_df) else np.empty((0, 2), np.int64)
@@ -396,7 +398,7 @@ def _minhash_verify_distributed(sigs, cand, id_col: str, num_perm: int,
 
 
 def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
-                           id_col: str, max_hamming: int = 8,
+                           id_col: str, max_hamming: int = 3,
                            bands: int = 4,
                            max_pairs_per_bucket: int = 2_000_000
                            ) -> "ray.data.Dataset":
@@ -404,6 +406,10 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
     Hamming LSH: split the 64 bits into ``bands`` 16-bit keys — any pair
     within Hamming distance ``bands-1`` shares ≥1 exact band (pigeonhole);
     verify exact Hamming within buckets.
+
+    ``max_hamming`` must not exceed ``bands - 1``: a pair at a larger
+    distance can differ in EVERY band, share no bucket, and be silently
+    missing from the output (inconsistent recall) — raise instead.
 
     Degenerate-bucket safety (a constant-prefix corpus lands everything
     in one bucket): verification first collapses to DISTINCT fingerprint
@@ -413,6 +419,12 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
     order; the same bounded-output contract as ``minhash_lsh_pairs``'s
     driver cap).  An all-identical corpus therefore completes in
     O(rows + cap) instead of O(rows²)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of bands={bands} (only distance <= {bands - 1} is "
+            "guaranteed to share a band); raise bands or lower "
+            "max_hamming")
 
     def to_bands(batch: pa.Table) -> pa.Table:
         h = batch[hash_col].to_numpy().view(np.uint64)
@@ -537,9 +549,19 @@ def hamming_near_dup_pairs(ds: "ray.data.Dataset", hash_col: str,
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> "ray.data.Dataset":
+                        threshold: float = 0.5,
+                        max_pairs_per_bucket: int = 2_000_000
+                        ) -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard near-dup pairs, LSH-bucketed by the
-    document's minimum shingle hash (1-perm MinHash blocking)."""
+    document's minimum shingle hash (1-perm MinHash blocking).
+
+    Degenerate-bucket safety (same contract as ``hamming_near_dup_pairs``
+    / ``minhash_lsh_pairs``): intersections are counted by emitting doc
+    pairs per SHARED shingle — memory ∝ emitted pairs, never a dense
+    (docs × distinct-shingles) matrix — and the per-bucket emission is
+    capped at ``max_pairs_per_bucket`` with a warning when real pairs
+    were dropped (a corpus-wide common minimal shingle lands every doc
+    in one bucket; unbounded, that bucket is O(rows²))."""
 
     def prep(batch: pa.Table) -> pa.Table:
         # shared rolling-hash shingle stream (no per-doc Python sets);
@@ -568,26 +590,53 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                 pa.array(hh.view(np.int64)))})
 
     def verify(grp: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
         if len(grp) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+            return empty
         ids = grp[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         shingle_lists = grp["shingles"].to_numpy()[order]
-        # bucket-level membership matrix: factorize all shingles once,
-        # pairwise intersections = one integer matmul (no per-pair loop)
-        flat = np.concatenate([np.unique(np.asarray(s, np.int64))
-                               for s in shingle_lists])
-        doc_of = np.repeat(np.arange(len(ids)),
-                           [len(np.unique(np.asarray(s, np.int64)))
-                            for s in shingle_lists])
-        uniq, inv = np.unique(flat, return_inverse=True)
-        memb = np.zeros((len(ids), len(uniq)), dtype=np.int32)
-        memb[doc_of, inv] = 1
-        sizes = memb.sum(axis=1)
-        inter = memb @ memb.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        inter_p = inter[ia, ib]
+        # sparse intersection counting: group docs by shared shingle and
+        # emit each group's doc pairs; one np.unique over packed pair
+        # keys gives the intersection sizes.  Memory ∝ emitted pairs
+        # (budget-capped), never docs × distinct-shingles.
+        lists = [np.asarray(s, np.int64) for s in shingle_lists]
+        sizes = np.array([len(s) for s in lists], np.int64)  # distinct/doc
+        flat = np.concatenate(lists) if lists else np.empty(0, np.int64)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        o2 = np.argsort(flat, kind="stable")   # doc order stable per hash
+        g, d = flat[o2], doc_of[o2]
+        gs = np.flatnonzero(np.concatenate([[True], np.diff(g) != 0])) \
+            if len(g) else np.empty(0, np.int64)
+        gc = np.diff(np.append(gs, len(g)))
+        pair_keys = []
+        emitted = 0
+        clipped = False
+        n_docs = len(ids)
+        for s_, c_ in zip(gs[gc >= 2], gc[gc >= 2]):
+            npairs = int(c_) * (int(c_) - 1) // 2
+            if emitted + npairs > max_pairs_per_bucket:
+                clipped = True
+                break
+            docs = d[s_:s_ + c_]               # sorted (stable argsort)
+            ia, ib = np.triu_indices(int(c_), k=1)
+            pair_keys.append(docs[ia] * n_docs + docs[ib])
+            emitted += npairs
+        if clipped:
+            import warnings
+            warnings.warn(
+                f"ngram_jaccard_pairs: bucket with {n_docs} docs exceeded "
+                f"max_pairs_per_bucket={max_pairs_per_bucket} shared-"
+                "shingle pair emissions; pairs beyond the budget were "
+                "dropped (raise max_pairs_per_bucket for exact results)")
+        if not pair_keys:
+            return empty
+        keys, inter_p = np.unique(np.concatenate(pair_keys),
+                                  return_counts=True)
+        ia, ib = keys // n_docs, keys % n_docs
         union_p = np.maximum(sizes[ia] + sizes[ib] - inter_p, 1)
         jac = inter_p / union_p
         keep = jac >= threshold

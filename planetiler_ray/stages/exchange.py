@@ -70,9 +70,16 @@ def _split_block(num_targets: int, key_offset: int, key_div: int,
     and slice zero-copy.
     """
     if map_fn is not None:
-        # map only non-empty blocks (schema-less empties can't be mapped);
-        # if everything is empty fall through to the empty-piece path
-        tbls = tuple(map_fn(t) for t in tbls if t.num_rows) or tbls
+        # map only non-empty blocks (schema-less empties can't be mapped)
+        mapped = tuple(map_fn(t) for t in tbls if t.num_rows)
+        if not mapped:
+            # all inputs empty: push ONE typed empty through map_fn so
+            # the empty pieces carry the POST-map schema — reduce_fn of
+            # an empty partition must see the same columns as a live one
+            typed = next((t for t in tbls if t.num_columns), None)
+            mapped = (map_fn(typed.slice(0, 0)),) if typed is not None \
+                else tbls
+        tbls = mapped
     live = [t for t in tbls
             if t.num_rows and "part" in t.schema.names]
     if not live:
@@ -195,6 +202,23 @@ def _bucket_reduce(reduce_fn_box, pass_part: bool, p_lo: int,
 _REMOTE_CACHE: dict = {}
 
 
+def _session_cache() -> dict:
+    """``_REMOTE_CACHE`` scoped to the CURRENT Ray session: cached remote
+    handles and the slot-resource lookup from a previous
+    ``ray.init``/``ray.shutdown`` cycle are stale — a cached
+    ``exchange_slots`` requirement from cluster A would make every
+    exchange task unschedulable (hang forever) on a later cluster B
+    that doesn't declare the resource."""
+    try:
+        sess = ray.get_runtime_context().get_job_id()
+    except Exception:
+        sess = None
+    if _REMOTE_CACHE.get("session") != sess:
+        _REMOTE_CACHE.clear()
+        _REMOTE_CACHE["session"] = sess
+    return _REMOTE_CACHE
+
+
 def _slot_options() -> dict:
     """Per-node cap on concurrent exchange tasks via the optional
     ``exchange_slots`` custom resource.
@@ -208,14 +232,15 @@ def _slot_options() -> dict:
     shuffle analog of capping transfer threads per node.  When the
     resource is absent (tests, driver sessions) tasks run unrestricted.
     """
-    if "slots" not in _REMOTE_CACHE:
+    cache = _session_cache()
+    if "slots" not in cache:
         try:
             has = "exchange_slots" in ray.cluster_resources()
         except Exception:
             has = False
-        _REMOTE_CACHE["slots"] = (
+        cache["slots"] = (
             {"resources": {"exchange_slots": 1}} if has else {})
-    return _REMOTE_CACHE["slots"]
+    return cache["slots"]
 
 
 def _remotes() -> dict:
@@ -225,13 +250,14 @@ def _remotes() -> dict:
     exchange on a 32-worker session).  ``reduce_fn`` travels as a
     ``ray.put`` ref argument instead of a closure so one exported
     function serves every exchange."""
-    if "split" not in _REMOTE_CACHE:
-        _REMOTE_CACHE["split"] = ray.remote(_split_block)
-        _REMOTE_CACHE["combine"] = ray.remote(_combine_task)
-        _REMOTE_CACHE["reduce"] = ray.remote(_reduce_task)
-        _REMOTE_CACHE["splitter_actor"] = ray.remote(num_cpus=0)(_Splitter)
-        _REMOTE_CACHE["bucket_reduce"] = ray.remote(_bucket_reduce)
-    return _REMOTE_CACHE
+    cache = _session_cache()
+    if "split" not in cache:
+        cache["split"] = ray.remote(_split_block)
+        cache["combine"] = ray.remote(_combine_task)
+        cache["reduce"] = ray.remote(_reduce_task)
+        cache["splitter_actor"] = ray.remote(num_cpus=0)(_Splitter)
+        cache["bucket_reduce"] = ray.remote(_bucket_reduce)
+    return cache
 
 
 def exchange_reduce(frags: "ray.data.Dataset", num_partitions: int,

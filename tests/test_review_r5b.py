@@ -1,0 +1,182 @@
+"""Regression tests for the second round-5 review pass: OSM missing-meta
+null fill, exchange post-map empty schema + session-scoped cache, dedup
+budget/guard hardening, ANN rebuild/zero-vector safety."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_way_without_meta_null_fills_tags(ray_session):
+    """A resolved way whose meta row is missing from the partition (and a
+    partition with NO meta rows at all) must null-fill tag columns, not
+    crash in pyarrow take with a -1 sentinel."""
+    import ray.data as rd
+
+    from planetiler_ray.pipelines.osm import assemble_way_geometries
+
+    resolved = rd.from_arrow(pa.table({
+        "way_id": pa.array([7, 7, 9, 9], pa.int64()),
+        "seq": pa.array([0, 1, 0, 1], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 2.0, 3.0]),
+        "lat": pa.array([0.0, 1.0, 2.0, 3.0]),
+    }))
+    # meta only for way 7 — way 9 has none anywhere
+    ways = rd.from_arrow(pa.table({
+        "way_id": pa.array([7], pa.int64()),
+        "tag_keys": pa.array([["highway"]], pa.list_(pa.string())),
+        "tag_vals": pa.array([["primary"]], pa.list_(pa.string())),
+    }))
+    rows = {r["way_id"]: r for batch in
+            assemble_way_geometries(resolved, ways, num_partitions=2)
+            .iter_batches(batch_format="pyarrow")
+            for r in batch.to_pylist()}
+    assert sorted(rows) == [7, 9]
+    assert rows[7]["tag_keys"] == ["highway"]
+    assert rows[9]["tag_keys"] is None        # meta missing → null fill
+    # the geometry itself still assembled
+    assert rows[9]["n_refs"] == 2
+
+
+def test_split_block_all_empty_uses_post_map_schema():
+    """When every input block of a group is empty and a map_fn is fused,
+    the empty pieces must carry the POST-map schema."""
+    from planetiler_ray.stages.exchange import _split_block
+
+    pre = pa.table({"image_id": pa.array([], pa.string())})
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pa.array(np.zeros(t.num_rows, np.int32)),
+            "tile_id": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    pieces = _split_block(4, 0, 1, map_fn, pre, pre)
+    assert len(pieces) == 4
+    for p in pieces:
+        assert p.num_rows == 0
+        assert p.schema.names == ["part", "tile_id"]
+
+
+def test_exchange_cache_scoped_to_session(monkeypatch, ray_session):
+    """Cached slot options / remote handles must not leak across
+    ray.init sessions (a stale exchange_slots requirement would hang
+    every task on a cluster without the resource)."""
+    from planetiler_ray.stages import exchange as ex
+
+    c1 = ex._session_cache()
+    c1["slots"] = {"resources": {"exchange_slots": 1}}    # simulate A
+
+    class _Ctx:
+        def get_job_id(self):
+            return "other-session"
+
+    monkeypatch.setattr(ex.ray, "get_runtime_context", lambda: _Ctx())
+    c2 = ex._session_cache()
+    assert "slots" not in c2          # cleared on session change
+    monkeypatch.undo()
+    ex._session_cache()               # restore for later tests
+
+
+def test_hamming_unsound_bands_refused(ray_session):
+    import ray.data as rd
+
+    from planetiler_ray.stages.dedup import hamming_near_dup_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "fp": pa.array([0, 1], pa.int64())}))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dup_pairs(ds, "fp", "doc_id", max_hamming=8, bands=4)
+
+
+def test_ngram_bucket_budget_warns_and_bounds(ray_session):
+    """A degenerate bucket (every doc shares the minimal shingle) stays
+    within the emission budget and warns on truncation."""
+    import ray.data as rd
+
+    from planetiler_ray.stages.dedup import ngram_jaccard_pairs
+
+    n = 40
+    txt = ["alpha beta gamma delta epsilon zeta"] * n     # identical docs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(txt, pa.string())}))
+    capped = ngram_jaccard_pairs(ds, threshold=0.5,
+                                 max_pairs_per_bucket=100).to_pandas()
+    assert len(capped) <= 100
+    full = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert len(full) == n * (n - 1) // 2
+    assert (full["jaccard"] == 1.0).all()
+
+
+def test_ngram_empty_groups_schema_stable(ray_session):
+    """Singleton-only buckets must produce int64 id columns, matching
+    blocks that emit pairs (no float64 empty-frame schema drift)."""
+    import ray.data as rd
+
+    from planetiler_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb cc dd ee", "ff gg hh ii jj"],
+                         pa.string())}))
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
+    # pandas-block schema: dtype per column must be int64, not the
+    # float64 that an untyped empty frame would produce
+    schema = out.schema()
+    types = dict(zip(schema.names, schema.types))
+    assert str(types["id_a"]) == "int64" and str(types["id_b"]) == "int64"
+    assert out.count() == 0
+
+
+def test_brute_force_zero_query_no_nan(ray_session):
+    import ray.data as rd
+
+    from planetiler_ray.stages.ann import brute_force_topk
+
+    emb = np.eye(4, dtype=np.float64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in emb],
+                              pa.list_(pa.float64()))})
+    q = np.vstack([np.zeros(4), emb[1]])
+    out = brute_force_topk(rd.from_arrow(t), q, np.array([10, 11]),
+                           k=2).to_pandas()
+    assert np.isfinite(out["cosine"].to_numpy()).all()
+    best = out[out["query_id"] == 11].sort_values("cosine").iloc[-1]
+    assert int(best["neighbor_id"]) == 1
+
+
+def test_ivf_rebuild_cleans_stale_lists(ray_session, tmp_path):
+    """Rebuilding an IVF index into the same dir must not leave the old
+    quantizer's list files for ivf_search_index to read."""
+    import ray.data as rd
+
+    from planetiler_ray.stages.ann import ivf_build_index, ivf_search_index
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(64, 8))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(64, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in emb],
+                              pa.list_(pa.float64()))})
+    out = str(tmp_path / "ivf")
+    c1 = emb[:6].copy()
+    ivf_build_index(rd.from_arrow(t), c1, out)
+    # rebuild over a 16-row subset with 2 far-away centroids: any list
+    # dir beyond the new quantizer's must be gone
+    sub = pa.table({
+        "vec_id": pa.array(np.arange(16, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in emb[:16]],
+                              pa.list_(pa.float64()))})
+    c2 = emb[:2].copy()
+    info = ivf_build_index(rd.from_arrow(sub), c2, out)
+    assert info["n_lists"] == 2
+    import glob
+    import os
+    lists = sorted(glob.glob(os.path.join(out, "list=*")))
+    assert all(os.path.basename(p) in ("list=0", "list=1") for p in lists)
+    res = ivf_search_index(out, emb[:1], np.array([0]), c2, k=3,
+                           nprobe=2).to_pandas()
+    # only ids from the REBUILT (16-row) dataset may appear
+    assert (res["neighbor_id"] < 16).all()
