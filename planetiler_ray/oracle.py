@@ -36,8 +36,11 @@ def _box_tiles(x0, y0, x1, y1, z, buf):
     n = 1 << z
     nb = buf + NEIGHBOR_EPS
     out = []
-    max_tx = min(math.floor(x1 + nb), math.floor(x0 - nb) + n - 1)
-    for tx in range(math.floor(x0 - nb), max_tx + 1):
+    min_tx, max_tx = math.floor(x0 - nb), math.floor(x1 + nb)
+    if max_tx - min_tx >= n:     # wider than the world: keep the
+        min_tx = max(min_tx, 0)  # unwrapped body, drop wrap slivers
+        max_tx = min(max_tx, n - 1)
+    for tx in range(min_tx, max_tx + 1):
         for ty in range(max(0, math.floor(y0 - nb)), min(n - 1, math.floor(y1 + nb)) + 1):
             wx = tx % n
             fx0, fx1 = max(x0 - tx, -buf) * 256, min(x1 - tx, 1 + buf) * 256

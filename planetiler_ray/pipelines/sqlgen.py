@@ -270,9 +270,11 @@ gz AS (SELECT g.*, zz.z, CAST(1 << zz.z AS DOUBLE) AS f,
 bg AS (SELECT * FROM gz WHERE 2 * greatest(hw, hh) * f * 256 >= 1.0 OR z = {max_zoom}),
 bb AS (SELECT i, z, nt, (cx - hw) * f AS x0, (cy - hh) * f AS y0,
               (cx + hw) * f AS x1, (cy + hh) * f AS y1 FROM bg),
-bxx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {NB!r}) AS BIGINT),
-          least(CAST(floor(x1 + {NB!r}) AS BIGINT),
-                CAST(floor(x0 - {NB!r}) AS BIGINT) + nt - 1))) AS gx FROM bb),
+bxx AS (SELECT *, unnest(generate_series(
+          CASE WHEN CAST(floor(x1 + {NB!r}) AS BIGINT) - (CAST(floor(x0 - {NB!r}) AS BIGINT)) >= nt THEN greatest(CAST(floor(x0 - {NB!r}) AS BIGINT), 0)
+               ELSE CAST(floor(x0 - {NB!r}) AS BIGINT) END,
+          CASE WHEN CAST(floor(x1 + {NB!r}) AS BIGINT) - (CAST(floor(x0 - {NB!r}) AS BIGINT)) >= nt THEN least(CAST(floor(x1 + {NB!r}) AS BIGINT), nt - 1)
+               ELSE CAST(floor(x1 + {NB!r}) AS BIGINT) END)) AS gx FROM bb),
 bxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {NB!r}) AS BIGINT)),
           least(nt - 1, CAST(floor(y1 + {NB!r}) AS BIGINT)))) AS gy FROM bxx),
 bfr AS (SELECT DISTINCT z, ((gx % nt) + nt) % nt AS x, gy AS y, i
@@ -314,9 +316,11 @@ WITH {georef_ctes().lstrip()},
 bb AS (SELECT doc_id, i, cx, cy,
               (cx - hw) * {nt} AS x0, (cy - hh) * {nt} AS y0,
               (cx + hw) * {nt} AS x1, (cy + hh) * {nt} AS y1 FROM geo),
-bxx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {NB!r}) AS BIGINT),
-          least(CAST(floor(x1 + {NB!r}) AS BIGINT),
-                CAST(floor(x0 - {NB!r}) AS BIGINT) + {nt - 1}))) AS gx FROM bb),
+bxx AS (SELECT *, unnest(generate_series(
+          CASE WHEN CAST(floor(x1 + {NB!r}) AS BIGINT) - (CAST(floor(x0 - {NB!r}) AS BIGINT)) >= {nt} THEN greatest(CAST(floor(x0 - {NB!r}) AS BIGINT), 0)
+               ELSE CAST(floor(x0 - {NB!r}) AS BIGINT) END,
+          CASE WHEN CAST(floor(x1 + {NB!r}) AS BIGINT) - (CAST(floor(x0 - {NB!r}) AS BIGINT)) >= {nt} THEN least(CAST(floor(x1 + {NB!r}) AS BIGINT), {nt} - 1)
+               ELSE CAST(floor(x1 + {NB!r}) AS BIGINT) END)) AS gx FROM bb),
 bxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {NB!r}) AS BIGINT)),
           least({nt - 1}, CAST(floor(y1 + {NB!r}) AS BIGINT)))) AS gy FROM bxx),
 fr AS (SELECT doc_id, i, cx, cy, ((gx % {nt}) + {nt}) % {nt} AS x, gy AS y
@@ -396,9 +400,10 @@ seg AS (SELECT user_id, rn AS s, px AS ax, py AS ay,
         FROM o QUALIFY bx IS NOT NULL),
 sd AS (SELECT *, bx - ax AS dx, by - ay AS dy FROM seg),
 cx AS (SELECT *, unnest(generate_series(
-           CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT),
-           least(CAST(floor(greatest(ax, bx) + {buf + 0.1/4096!r}) AS BIGINT),
-                 CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT) + {nt - 1}))) AS gx
+          CASE WHEN CAST(floor(greatest(ax, bx) + {buf + 0.1/4096!r}) AS BIGINT) - (CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT)) >= {nt} THEN greatest(CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT), 0)
+               ELSE CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT) END,
+          CASE WHEN CAST(floor(greatest(ax, bx) + {buf + 0.1/4096!r}) AS BIGINT) - (CAST(floor(least(ax, bx) - {buf + 0.1/4096!r}) AS BIGINT)) >= {nt} THEN least(CAST(floor(greatest(ax, bx) + {buf + 0.1/4096!r}) AS BIGINT), {nt} - 1)
+               ELSE CAST(floor(greatest(ax, bx) + {buf + 0.1/4096!r}) AS BIGINT) END)) AS gx
        FROM sd),
 cy AS (SELECT *, unnest(generate_series(
            greatest(0, CAST(floor(least(ay, by) - {buf + 0.1/4096!r}) AS BIGINT)),
@@ -502,9 +507,11 @@ tri AS (SELECT event_id, unnest([0, 1, 2]) AS ord,
         FROM w),
 bb AS (SELECT event_id, min(x) AS x0, min(y) AS y0, max(x) AS x1, max(y) AS y1
        FROM tri GROUP BY event_id),
-cx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT),
-          least(CAST(floor(x1 + {buf + 0.1/4096!r}) AS BIGINT),
-                CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT) + {nt - 1}))) AS gx
+cx AS (SELECT *, unnest(generate_series(
+          CASE WHEN CAST(floor(x1 + {buf + 0.1/4096!r}) AS BIGINT) - (CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT)) >= {nt} THEN greatest(CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT), 0)
+               ELSE CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT) END,
+          CASE WHEN CAST(floor(x1 + {buf + 0.1/4096!r}) AS BIGINT) - (CAST(floor(x0 - {buf + 0.1/4096!r}) AS BIGINT)) >= {nt} THEN least(CAST(floor(x1 + {buf + 0.1/4096!r}) AS BIGINT), {nt} - 1)
+               ELSE CAST(floor(x1 + {buf + 0.1/4096!r}) AS BIGINT) END)) AS gx
        FROM bb),
 cy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {buf + 0.1/4096!r}) AS BIGINT)),
           least({nt - 1}, CAST(floor(y1 + {buf + 0.1/4096!r}) AS BIGINT)))) AS gy
@@ -526,13 +533,23 @@ dv AS (SELECT event_id, gx, gy, k,
               END AS c
        FROM qv WINDOW wd AS (PARTITION BY event_id, gx, gy ORDER BY ord)),
 ring_sum AS (SELECT event_id, gx, gy, max(k) AS k, sum(c) AS csum
-             FROM dv GROUP BY 1, 2, 3)
+             FROM dv GROUP BY 1, 2, 3),
+-- zero-area phantom filter on the quantized grid (exact BIGINT
+-- shoelace; mirrors tilemath.clip.slice_polygons bit-for-bit)
+area2 AS (SELECT a.event_id, a.gx, a.gy,
+                 sum(a.qx * b.qy - b.qx * a.qy) AS a2
+          FROM qv a JOIN qv b
+            ON b.event_id = a.event_id AND b.gx = a.gx AND b.gy = a.gy
+           AND b.ord = (a.ord + 1) % a.k
+          GROUP BY 1, 2, 3)
 SELECT CAST({zoom_start(zoom)} + (((gx % {nt}) + {nt}) % {nt}) * {nt}
             + ({nt - 1} - gy) AS BIGINT) AS tile_id,
        count(*) AS n_polys,
        CAST(sum(k) AS BIGINT) AS n_vertices,
        CAST(sum(9 + (2 + (k - 1) * 8) + 15 + csum) AS BIGINT) AS geom_sum
-FROM ring_sum GROUP BY 1
+FROM ring_sum JOIN area2 USING (event_id, gx, gy)
+WHERE a2 <> 0
+GROUP BY 1
 """.replace("{EVENTS}", _EVENT_WORLD_FOR_POLY)
 
 
@@ -572,9 +589,11 @@ def sql_mvt_tile_summary(zoom: int = 6) -> str:
 WITH {georef_ctes().lstrip()},
 bb AS (SELECT doc_id, i, (cx - hw) * {nt} AS x0, (cy - hh) * {nt} AS y0,
               (cx + hw) * {nt} AS x1, (cy + hh) * {nt} AS y1 FROM geo),
-bxx AS (SELECT *, unnest(generate_series(CAST(floor(x0 - {NB!r}) AS BIGINT),
-          least(CAST(floor(x1 + {NB!r}) AS BIGINT),
-                CAST(floor(x0 - {NB!r}) AS BIGINT) + {nt - 1}))) AS gx FROM bb),
+bxx AS (SELECT *, unnest(generate_series(
+          CASE WHEN CAST(floor(x1 + {NB!r}) AS BIGINT) - (CAST(floor(x0 - {NB!r}) AS BIGINT)) >= {nt} THEN greatest(CAST(floor(x0 - {NB!r}) AS BIGINT), 0)
+               ELSE CAST(floor(x0 - {NB!r}) AS BIGINT) END,
+          CASE WHEN CAST(floor(x1 + {NB!r}) AS BIGINT) - (CAST(floor(x0 - {NB!r}) AS BIGINT)) >= {nt} THEN least(CAST(floor(x1 + {NB!r}) AS BIGINT), {nt} - 1)
+               ELSE CAST(floor(x1 + {NB!r}) AS BIGINT) END)) AS gx FROM bb),
 bxy AS (SELECT *, unnest(generate_series(greatest(0, CAST(floor(y0 - {NB!r}) AS BIGINT)),
           least({nt - 1}, CAST(floor(y1 + {NB!r}) AS BIGINT)))) AS gy FROM bxx),
 bq AS (SELECT doc_id, i, ((gx % {nt}) + {nt}) % {nt} AS x, gy AS y,

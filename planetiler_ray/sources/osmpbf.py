@@ -64,9 +64,10 @@ def decode_varints(buf: np.ndarray) -> np.ndarray:
 
 
 def zigzag_decode(v: np.ndarray) -> np.ndarray:
-    v = np.asarray(v, np.uint64)
-    return ((v >> np.uint64(1)).astype(np.int64)
-            ^ -((v & np.uint64(1)).astype(np.int64)))
+    """Alias of :func:`tilemath.varint.unzigzag` (one implementation)."""
+    from ..tilemath.varint import unzigzag
+
+    return unzigzag(v)
 
 
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:

@@ -39,7 +39,9 @@ def token_char_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     s = batch[text_col].to_pandas().astype(str)
     n_chars = s.str.len().to_numpy(np.int64)
     n_tokens = (n_chars - s.str.replace(" ", "", regex=False).str.len().to_numpy(np.int64)) + 1
-    n_words = s.str.count(WORD_RE.pattern).to_numpy(np.int64)
+    # WORD_RE is lowercase-only: fold case first or every capitalized
+    # word is mis-tokenized ("The" -> "he")
+    n_words = s.str.lower().str.count(WORD_RE.pattern).to_numpy(np.int64)
     out = batch.append_column("n_tokens", pa.array(n_tokens))
     out = out.append_column("n_words", pa.array(n_words))
     return out.append_column("n_chars_calc", pa.array(n_chars))
@@ -131,7 +133,10 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = s.str.len().to_numpy(np.float64)
     n = np.maximum(n, 1)
     punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
-    word_h, word_len, counts = word_hash_stream(s)
+    # fold case before tokenizing: WORD_RE and the stopword set are
+    # lowercase, and un-folded "The" would tokenize as "he" and never
+    # count as a stopword — halving stop_ratio on ordinary prose
+    word_h, word_len, counts = word_hash_stream(s.str.lower())
     stop_all = np.array(sorted(set().union(*STOPWORDS.values())), dtype="U")
     stop_hashes = np.sort(fnv1a_64_strings(stop_all))
     denom = np.maximum(counts, 1).astype(np.float64)
@@ -232,6 +237,12 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
         # all windows of all docs in a few matrix ops
         arr = np.asarray(texts.to_numpy(), dtype="S")
     except UnicodeEncodeError:
+        arr = None
+    if arr is not None and n * max(arr.dtype.itemsize, 1) > 64_000_000:
+        # padded to the LONGEST doc: one 1 MB outlier in a 4096-row
+        # batch would allocate batch × longest byte + uint64 matrices
+        # (tens of GB); the per-doc loop does the same total work
+        # without the padding
         arr = None
     if arr is not None:
         width = max(arr.dtype.itemsize, 1)

@@ -34,6 +34,26 @@ NEIGHBOR_BUFFER_EPS = 0.1 / 4096
 DEFAULT_BUFFER_PX = 4.0  # FeatureCollector default buffer pixels
 
 
+def _clamp_wide_columns(min_x: np.ndarray, max_x: np.ndarray,
+                        n_tiles: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cap a candidate column span wider than the world to the UNWRAPPED
+    range ``[0, n_tiles-1]``.
+
+    A buffered span can exceed ``n_tiles`` only at low zooms (z0/z1),
+    where the left-edge wrap sliver (column -1) plus the geometry body
+    already cover every world column; enumerating both would clip the
+    same world tile twice.  Keep the BODY columns and drop the wrap
+    slivers — the previous ``max_x = min_x + n_tiles - 1`` clamp kept
+    the column -1 sliver and silently dropped the entire geometry body
+    from the z0 tile (data loss for anything within a buffer of
+    lon ±180)."""
+    wide = (max_x - min_x) >= n_tiles
+    if wide.any():
+        min_x = np.where(wide, np.maximum(min_x, 0), min_x)
+        max_x = np.where(wide, np.minimum(max_x, n_tiles - 1), max_x)
+    return min_x, max_x
+
+
 def _expand_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For int ranges [lo_i, hi_i] return (row_index, value) flattened.
 
@@ -118,8 +138,8 @@ def slice_boxes(x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray,
 
     min_x = np.floor(X0 - nb).astype(np.int64)
     max_x = np.floor(X1 + nb).astype(np.int64)
-    # a box spanning the whole world maps every column once
-    np.clip(max_x, None, min_x + n_tiles - 1, out=max_x)
+    # a box spanning the whole world keeps its unwrapped columns
+    min_x, max_x = _clamp_wide_columns(min_x, max_x, n_tiles)
     min_y = np.floor(Y0 - nb).astype(np.int64)
     max_y = np.floor(Y1 + nb).astype(np.int64)
     ext_min_y, ext_max_y = 0, n_tiles
@@ -290,7 +310,7 @@ def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
     np.maximum.at(ry1, ring_of_v, py)
     min_x = np.floor(rx0 - nb).astype(np.int64)
     max_x = np.floor(rx1 + nb).astype(np.int64)
-    np.clip(max_x, None, min_x + n_tiles - 1, out=max_x)
+    min_x, max_x = _clamp_wide_columns(min_x, max_x, n_tiles)
     min_y = np.floor(ry0 - nb).astype(np.int64)
     max_y = np.floor(ry1 + nb).astype(np.int64)
     ext_min_y, ext_max_y = 0, n_tiles
@@ -359,6 +379,26 @@ def slice_polygons(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
         area = np.abs(cross_sum) / 2.0
         win = (256.0 + 2 * buffer * 256.0) ** 2
         is_fill = np.abs(area - win) < 1e-6
+        # drop zero-area phantoms on the quantized MVT grid (exact int
+        # arithmetic): the SH passes for a ring that only wraps a
+        # tile's CORNER collapse onto the clip-window boundary — a
+        # spurious feature in a tile the polygon never touches.  The
+        # striped kernel never emits these and MVT discards zero-area
+        # rings, so filter them here for kernel-choice determinism.
+        qx = np.floor(vx_k.astype(np.float32).astype(np.float64)
+                      * 16.0 + 0.5)
+        qy = np.floor(vy_k.astype(np.float32).astype(np.float64)
+                      * 16.0 + 0.5)
+        qcross = np.zeros(len(kidx))
+        np.add.at(qcross, rk, qx * qy[nxt] - qx[nxt] * qy)
+        live = qcross != 0
+        if not live.all():
+            kidx = kidx[live]
+            is_fill = is_fill[live]
+            vlive = live[rk]
+            vx_k, vy_k = vx_k[vlive], vy_k[vlive]
+            part_offsets = np.concatenate(
+                [[0], np.cumsum(kept_counts[live])])
     else:
         is_fill = np.empty(0, bool)
 
@@ -551,7 +591,7 @@ def slice_lines(px: np.ndarray, py: np.ndarray, line_offsets: np.ndarray,
     # candidate tiles per segment: bbox expanded by the neighbor buffer
     min_x = np.floor(np.minimum(ax, bx) - nb).astype(np.int64)
     max_x = np.floor(np.maximum(ax, bx) + nb).astype(np.int64)
-    np.clip(max_x, None, min_x + n_tiles - 1, out=max_x)
+    min_x, max_x = _clamp_wide_columns(min_x, max_x, n_tiles)
     min_y = np.floor(np.minimum(ay, by) - nb).astype(np.int64)
     max_y = np.floor(np.maximum(ay, by) + nb).astype(np.int64)
     ext_min_y, ext_max_y = 0, n_tiles

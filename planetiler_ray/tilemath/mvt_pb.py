@@ -518,6 +518,13 @@ def _encode_tile_chunk(tile_ids: np.ndarray, layer: np.ndarray,
     first_of_tile = np.concatenate([[True], np.diff(lay_tile) != 0])
     tile_first = np.flatnonzero(first_of_tile)
     lay_ord = np.arange(n_lays) - tile_first[np.cumsum(first_of_tile) - 1]
+    if len(lay_ord) and int(lay_ord.max()) >= 64:
+        # the piece sort key reserves 64 layer slots per tile — beyond
+        # that the keys collide and the encoded bytes are silently
+        # corrupt, so refuse loudly (no real profile emits 64+ layers)
+        raise ValueError(
+            f"tile with {int(lay_ord.max()) + 1} layers exceeds the "
+            "64-layers-per-tile encoder limit")
 
     z = np.zeros(n_lays, np.int64)
     one = np.ones(n_lays)

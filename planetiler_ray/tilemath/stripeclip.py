@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .clip import NEIGHBOR_BUFFER_EPS, _expand_ranges
+from .clip import NEIGHBOR_BUFFER_EPS, _clamp_wide_columns, _expand_ranges
 
 __all__ = ["expand_fill_runs", "slice_polygons_striped"]
 
@@ -163,7 +163,7 @@ def _phase_x(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
     bx, by = px[bi], py[bi]
     c0 = np.floor(np.minimum(ax, bx) - nb).astype(np.int64)
     c1 = np.floor(np.maximum(ax, bx) + nb).astype(np.int64)
-    np.clip(c1, None, c0 + n_tiles - 1, out=c1)
+    c0, c1 = _clamp_wide_columns(c0, c1, n_tiles)
     seg, col = _expand_ranges(c0, c1)
     n_candidates = len(seg)
     if n_candidates == 0:
@@ -298,22 +298,25 @@ def _phase_y(strip_col, strip_offsets, sx, sy, z, buffer,
     cand_row = np.concatenate([rowsA[0][1]] + [v for _, v in nears]) \
         if nears else rowsA[0][1]
 
-    # detail-row registry per strip (slices that exist, emitted or not)
-    dkey = strip_of_seg[cand_seg] * np.int64(1 << 34) + cand_row
+    # detail-row registry per strip (slices that exist, emitted or not).
+    # Pack (strip, row) with a data-sized multiplier — rows are tile y
+    # indices < 2^z, and a fixed 1<<34 shift would overflow int64 once
+    # the strip count reaches 2^29 (same hardening as _rows_in_runs)
+    SH = np.int64((1 << z) + 2)
+    dkey = strip_of_seg[cand_seg] * SH + cand_row
     det_sorted = np.unique(dkey)
 
     # pass B: boundary segments emit into middle rows that have detail
     if len(bidx):
         m0 = end_start[bidx] + 1
         m1 = start_end[bidx] - 1
-        sk = strip_of_seg[bidx] * np.int64(1 << 34)
+        sk = strip_of_seg[bidx] * SH
         p0 = np.searchsorted(det_sorted, sk + m0, side="left")
         p1 = np.searchsorted(det_sorted, sk + m1, side="right")
         br, bpos = _expand_ranges(p0, p1 - 1)
         if len(br):
             cand_seg = np.concatenate([cand_seg, bidx[br]])
-            cand_row = np.concatenate(
-                [cand_row, det_sorted[bpos] & ((np.int64(1) << 34) - 1)])
+            cand_row = np.concatenate([cand_row, det_sorted[bpos] % SH])
     n_candidates = len(cand_seg)
 
     # emissions, sorted by (strip, row, segment)
@@ -326,7 +329,7 @@ def _phase_y(strip_col, strip_offsets, sx, sy, z, buffer,
     ys_, xs_, n_e = _pack_emissions(order, have1, have2, e1a, e1o, e2a, e2o)
     st_s = strip_of_seg[cand_seg][order]
     row_s = cand_row[order]
-    tile_key = st_s * np.int64(1 << 34) + row_s
+    tile_key = st_s * SH + row_s
     gs = _group_starts(tile_key)
     ge = np.append(gs[1:], len(tile_key))
     cum = np.concatenate([[0], np.cumsum(n_e)])

@@ -38,6 +38,108 @@ def test_way_without_meta_null_fills_tags(ray_session):
     assert rows[9]["n_refs"] == 2
 
 
+def test_low_zoom_wide_span_keeps_geometry_body():
+    """A geometry whose buffered column span exceeds n_tiles (z0/z1 near
+    lon ±180) must keep its UNWRAPPED body columns — the old clamp kept
+    only the wrap sliver and lost the body from the z0 tile."""
+    from planetiler_ray.tilemath.clip import (slice_boxes, slice_lines,
+                                              slice_polygons)
+    from planetiler_ray.tilemath.stripeclip import slice_polygons_striped
+
+    buf = 4 / 256.0
+    # box touching the left world edge within buffer, body well inside
+    r = slice_boxes(np.array([0.005]), np.array([0.3]),
+                    np.array([0.6]), np.array([0.7]), 0, buf)
+    widths = r["fx1"] - r["fx0"]
+    assert widths.max() > 100          # the body fragment, ~152 px wide
+
+    # polygon: same shape through both the bbox and striped kernels
+    px = np.array([0.005, 0.6, 0.6, 0.005])
+    py = np.array([0.3, 0.3, 0.7, 0.7])
+    rp = slice_polygons(px, py, np.array([0, 4]), 0, buf)
+    assert len(rp["x"]) >= 1
+    offs = rp["part_offsets"]
+    spans = [rp["vx"][offs[i]:offs[i + 1]] for i in range(len(rp["x"]))]
+    assert max(float(s.max() - s.min()) for s in spans) > 100
+
+    rs = slice_polygons_striped(px, py, np.array([0, 4]), 0, buf,
+                                poly_of_ring=np.array([0]))
+    frag_spans = rs["vx"]
+    assert len(rs["x"]) >= 1
+    assert float(frag_spans.max() - frag_spans.min()) > 100
+
+    # line crossing most of the world at z1
+    rl = slice_lines(np.array([0.01, 1.9]), np.array([0.5, 0.5]),
+                     np.array([0, 2]), 1, buf)
+    assert set(rl["x"].tolist()) == {0, 1}   # both halves present
+
+
+def test_zero_area_corner_phantom_dropped():
+    """A ring that passes diagonally OUTSIDE a tile corner used to emit
+    a zero-area Sutherland-Hodgman fragment into that tile; the bbox
+    kernel must drop it (as the striped kernel always did)."""
+    from planetiler_ray.tilemath.clip import slice_polygons
+
+    buf = 4 / 256.0
+    # long thin diagonal sliver at z4 crossing near tile corners
+    px = np.array([0.2, 12.8, 12.9, 0.3])
+    py = np.array([0.3, 12.9, 13.0, 0.4])
+    r = slice_polygons(px, py, np.array([0, 4]), 4, buf)
+    offs = r["part_offsets"]
+    for i in range(len(r["x"])):
+        qx = np.floor(r["vx"][offs[i]:offs[i + 1]].astype(np.float32)
+                      .astype(np.float64) * 16 + 0.5)
+        qy = np.floor(r["vy"][offs[i]:offs[i + 1]].astype(np.float32)
+                      .astype(np.float64) * 16 + 0.5)
+        a2 = np.sum(qx * np.roll(qy, -1) - np.roll(qx, -1) * qy)
+        assert a2 != 0, (int(r["x"][i]), int(r["y"][i]))
+
+
+def test_mvt_refuses_over_64_layers():
+    from planetiler_ray.tilemath.mvt_pb import encode_tile_batch
+
+    n = 66
+    with pytest.raises(ValueError, match="64"):
+        encode_tile_batch(
+            np.zeros(n, np.int64), np.arange(n, dtype=np.int8),
+            np.ones(n, np.int8), np.arange(n, dtype=np.int64),
+            np.full(n, 10.0), np.full(n, 10.0),
+            np.full(n, np.nan), np.full(n, np.nan),
+            {i: f"l{i}" for i in range(n)})
+
+
+def test_quality_stats_case_insensitive():
+    """Capitalized words must tokenize and count as stopwords like
+    their lowercase forms."""
+    import pandas as pd
+
+    from planetiler_ray.stages.text import quality_scores, token_char_stats
+
+    lo = pa.table({"text": pa.array(["the cat sat on the mat"])})
+    hi = pa.table({"text": pa.array(["The cat sat on The mat"])})
+    a = quality_scores(lo).to_pandas()
+    b = quality_scores(hi).to_pandas()
+    assert float(a["stop_ratio"][0]) == float(b["stop_ratio"][0])
+    assert float(a["mean_word_len"][0]) == float(b["mean_word_len"][0])
+    ta = token_char_stats(lo).to_pandas()
+    tb = token_char_stats(hi).to_pandas()
+    assert int(ta["n_words"][0]) == int(tb["n_words"][0]) == 6
+
+
+def test_rolling_fingerprint_long_doc_fallback():
+    """A single long doc in a wide batch must not inflate the dense
+    padded matrices; results stay identical to the fast path."""
+    from planetiler_ray.stages.text import rolling_fingerprint
+
+    texts = ["short doc %d here" % i for i in range(64)]
+    small = pa.table({"text": pa.array(texts)})
+    fast = rolling_fingerprint(small)["fingerprint"].to_pylist()
+    # same texts plus one long outlier: shared rows must hash the same
+    big = pa.table({"text": pa.array(texts + ["x" * 2_000_000])})
+    mixed = rolling_fingerprint(big)["fingerprint"].to_pylist()
+    assert mixed[:64] == fast
+
+
 def test_split_block_all_empty_uses_post_map_schema():
     """When every input block of a group is empty and a map_fn is fused,
     the empty pieces must carry the POST-map schema."""
