@@ -50,6 +50,11 @@ def merge_multipoint(ids: np.ndarray, group_key: np.ndarray,
         change[0] = True
         change[1:] = np.diff(g) != 0
     grp = np.cumsum(change) - 1
+    # merged id = the group's MIN id (order is (group, id)-sorted HERE,
+    # before the hilbert re-sort below — that one orders the PARTS, it
+    # must not pick the identity)
+    min_ids = ids[order][np.flatnonzero(change)] if len(g) \
+        else np.empty(0, ids.dtype)
 
     # hilbert order within group (level 12 covers extent 4096)
     qx = np.clip((px[order] * (4096 / extent)).astype(np.int64), 0, 4095)
@@ -66,7 +71,7 @@ def merge_multipoint(ids: np.ndarray, group_key: np.ndarray,
     first = offsets[:-1]
     return {
         "group": group_key[order][first],
-        "merged_id": (ids[order][first] // 10) * 10,
+        "merged_id": (min_ids // 10) * 10,
         "n_parts": counts,
         "offsets": offsets,
         "xs": px[order],
@@ -538,7 +543,6 @@ def _fill_polys_grid(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
     Fully vectorized over every (edge, row) crossing."""
     if len(ring_offsets) <= 1 or len(px) == 0:
         return np.zeros((H, W), bool)
-    from ..tilemath.clip import _expand_ranges
     idx = np.arange(len(px), dtype=np.int64)
     rid = np.searchsorted(ring_offsets, idx, side="right") - 1
     nxt = idx + 1
@@ -618,7 +622,6 @@ def _grid_region_labels(grid: np.ndarray) -> np.ndarray:
     n_runs = len(starts)
     if n_runs == 0:
         return np.full((H, W), -1, np.int64)
-    from ..tilemath.clip import _expand_ranges
     ri, pos = _expand_ranges(np.asarray(starts, np.int64),
                              np.asarray(ends, np.int64) - 1)
     run_of = np.full(H * (W + 1), -1, np.int64)
@@ -774,7 +777,6 @@ def merge_overlapping_polygons(ids: np.ndarray, px: np.ndarray,
     sy1 = (pb_y1 + half)[order]
     hi = np.searchsorted(sx0, sx1, side="right")
     lo = np.arange(n_poly) + 1
-    from ..tilemath.clip import _expand_ranges
     pi, pj = _expand_ranges(lo, hi - 1)
     ym = (sy0[pi] <= sy1[pj]) & (sy1[pi] >= sy0[pj])
     pi, pj = pi[ym], pj[ym]

@@ -33,7 +33,6 @@ def _runs_union(starts: np.ndarray, ends: np.ndarray
     # running max of ends; a new merged run begins where start > max(prior ends)
     emax = np.maximum.accumulate(e)
     new = np.r_[True, s[1:] > emax[:-1]]
-    grp = np.cumsum(new) - 1
     out_s = s[new]
     out_e = np.maximum.reduceat(e, np.flatnonzero(new))
     return out_s, out_e

@@ -146,10 +146,14 @@ def midpoint_smooth(vx: np.ndarray, vy: np.ndarray, offsets: np.ndarray,
         ai = np.arange(int(offsets[-1]), dtype=np.int64)
         if closed:
             bi = ai + 1
-            bi[offsets[1:] - 1] = offsets[:-1]
+            # wrap only NON-empty rings: an empty ring's offsets[k+1]-1
+            # aliases the previous ring's end slot (corrupting its wrap)
+            # and a trailing empty ring would index out of bounds
+            ne = counts > 0
+            bi[(offsets[1:] - 1)[ne]] = offsets[:-1][ne]
             mx = vx[ai] + (vx[bi] - vx[ai]) * ratio
             my = vy[ai] + (vy[bi] - vy[ai]) * ratio
-            out_counts = np.where(small, counts, counts)
+            out_counts = counts
             # small rings copy through; others take their edge points
             keep_small = np.repeat(small, counts)
             ox = np.where(keep_small, vx, mx)

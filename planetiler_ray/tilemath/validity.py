@@ -91,9 +91,7 @@ def snap_fix_rings(px: np.ndarray, py: np.ndarray,
     inner = idx > first
     keep_v[inner] = (qx[idx[inner]] != qx[prev[inner]]) | \
                     (qy[idx[inner]] != qy[prev[inner]])
-    # drop a trailing vertex equal to the ring's first (explicit closure)
-    cs_keep = np.zeros(len(qx) + 1, np.int64)
-    np.cumsum(keep_v, out=cs_keep[1:])
+    # drop a trailing vertex equal to the ring's first (explicit closure):
     # last KEPT vertex per ring == first vertex? then unkeep it
     if len(qx):
         # positions of kept vertices
@@ -185,7 +183,41 @@ def rings_self_intersect(px: np.ndarray, py: np.ndarray,
         d4 = d(x0[j], y0[j], x1[j], y1[j], x1[i], y1[i])
         hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
         out[r] = bool(hit.any())
+        if not out[r]:
+            # vertex-pinched figure-8: two NON-adjacent vertices snapped
+            # onto the same point — no proper crossing, but the ring is
+            # not simple (exactly the bowtie grid snapping produces)
+            pts = np.stack([x[:k], y[:k]], axis=1)
+            out[r] = len(np.unique(pts, axis=0)) != k
     return out
+
+
+def _split_pinched_ring(px: np.ndarray, py: np.ndarray
+                        ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split a ring at repeated (non-adjacent) vertices: each revisit of
+    an earlier vertex pops the enclosed loop as its own sub-ring (the
+    same rewind walk as the crossing split, keyed by exact coordinate).
+    """
+    rings: list[list[tuple[float, float]]] = []
+    path: list[tuple[float, float]] = []
+    open_pos: dict[tuple[float, float], int] = {}
+    for x, y in zip(px, py):
+        key = (float(x), float(y))
+        if key in open_pos:
+            start = open_pos[key]
+            sub = path[start:]
+            for k2, p in list(open_pos.items()):
+                if p > start:
+                    del open_pos[k2]
+            del path[start:]
+            if len(set(sub)) >= 3:
+                rings.append(sub)
+        open_pos[key] = len(path)
+        path.append(key)
+    if len(set(path)) >= 3:
+        rings.append(path)
+    return [(np.array([p[0] for p in r]), np.array([p[1] for p in r]))
+            for r in rings]
 
 
 def _segment_intersections(px: np.ndarray, py: np.ndarray):
@@ -219,9 +251,9 @@ def _segment_intersections(px: np.ndarray, py: np.ndarray):
     return i, j, ti, tj, x0[i] + ti * dxi, y0[i] + ti * dyi
 
 
-def split_self_intersecting_ring(px: np.ndarray,
-                                 py: np.ndarray) -> list[tuple[np.ndarray,
-                                                               np.ndarray]]:
+def split_self_intersecting_ring(px: np.ndarray, py: np.ndarray,
+                                 _crossings=None
+                                 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Split one self-intersecting ring into simple sub-rings — the
     ``buffer(0)`` rung of the reference's repair ladder
     (``GeoUtils.snapAndFixPolygon``, ``geo/GeoUtils.java:315-399``) for
@@ -229,13 +261,21 @@ def split_self_intersecting_ring(px: np.ndarray,
     becomes its two lobes, each a simple ring (orientation NOT
     normalized here — callers re-orient).
 
-    Method: insert every proper segment-crossing point into both edges
-    (ordered by the parametric t), then walk the expanded vertex cycle
-    popping a sub-ring whenever a crossing point is revisited (the
-    standard rewind split).  Degenerate pops (< 3 distinct vertices)
-    are dropped.
+    Method: first split at repeated (pinched) vertices, then insert
+    every proper segment-crossing point into both edges (ordered by the
+    parametric t) and walk the expanded vertex cycle popping a sub-ring
+    whenever a crossing point is revisited (the standard rewind split).
+    Degenerate pops (< 3 distinct vertices) are dropped.
     """
-    i, j, ti, tj, ix, iy = _segment_intersections(px, py)
+    parts = _split_pinched_ring(px, py)
+    if len(parts) != 1:
+        out: list[tuple[np.ndarray, np.ndarray]] = []
+        for sx, sy in parts:
+            out.extend(split_self_intersecting_ring(sx, sy))
+        return out
+    px, py = parts[0]
+    i, j, ti, tj, ix, iy = (_crossings if _crossings is not None
+                            else _segment_intersections(px, py))
     if not len(i):
         return [(px, py)]
     k = len(px)
@@ -301,15 +341,27 @@ def repair_rings(px: np.ndarray, py: np.ndarray, ring_offsets: np.ndarray,
             out_y.append(ry)
             src.append(r)
             continue
-        if b - a < 4 or not rings_self_intersect(
-                rx, ry, np.array([0, b - a]))[0]:
+        if b - a < 4:
             out_x.append(rx)
             out_y.append(ry)
             src.append(r)
             continue
+        # one O(k^2) pass: pinch test is O(k log k); the crossing set is
+        # computed ONCE here and reused by the splitter
+        pts = np.stack([rx, ry], axis=1)
+        pinched = len(np.unique(pts, axis=0)) != (b - a)
+        crossings = None
+        if not pinched:
+            crossings = _segment_intersections(rx, ry)
+            if not len(crossings[0]):
+                out_x.append(rx)
+                out_y.append(ry)
+                src.append(r)
+                continue
         if stats is not None:
             stats.data_error("self_intersecting_ring_repaired")
-        for sx, sy in split_self_intersecting_ring(rx, ry):
+        for sx, sy in split_self_intersecting_ring(rx, ry,
+                                                   _crossings=crossings):
             out_x.append(sx)
             out_y.append(sy)
             src.append(r)

@@ -231,6 +231,61 @@ def test_ngram_empty_groups_schema_stable(ray_session):
     assert out.count() == 0
 
 
+def test_merge_multipoint_min_id_not_hilbert_first():
+    """merged_id must be the group's MIN id even when a larger id's
+    point sorts first in Hilbert part order."""
+    from planetiler_ray.stages.merge import merge_multipoint
+
+    r = merge_multipoint(
+        ids=np.array([10, 29], np.int64),
+        group_key=np.array([5, 5], np.int64),
+        px=np.array([200.0, 1.0]), py=np.array([200.0, 1.0]),
+        extent=256)
+    assert r["merged_id"].tolist() == [10]
+    # part order still Hilbert: (1,1) before (200,200)
+    assert r["xs"].tolist() == [1.0, 200.0]
+
+
+def test_midpoint_smooth_empty_ring_in_batch():
+    """An empty ring mid-batch (or trailing) must not corrupt the
+    previous ring's wrap midpoint or index out of bounds."""
+    from planetiler_ray.tilemath.simplify import midpoint_smooth
+
+    sq = ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0])
+    vx = np.array(sq[0] + sq[0])
+    vy = np.array(sq[1] + sq[1])
+    # mid-batch empty ring
+    ox, oy, off = midpoint_smooth(vx, vy, np.array([0, 4, 4, 8]),
+                                  closed=True)
+    ref_x, ref_y, _ = midpoint_smooth(np.array(sq[0]), np.array(sq[1]),
+                                      np.array([0, 4]), closed=True)
+    assert np.allclose(ox[:4], ref_x) and np.allclose(oy[:4], ref_y)
+    assert np.allclose(ox[4:], ref_x) and np.allclose(oy[4:], ref_y)
+    # trailing empty ring: no IndexError
+    ox2, oy2, _ = midpoint_smooth(vx[:4], vy[:4], np.array([0, 4, 4]),
+                                  closed=True)
+    assert np.allclose(ox2, ref_x)
+
+
+def test_vertex_pinched_bowtie_detected_and_split():
+    """A figure-8 pinched at a shared vertex (no proper crossing) must
+    be detected and split into its two lobes."""
+    from planetiler_ray.tilemath.validity import (repair_rings,
+                                                  rings_self_intersect)
+
+    px = np.array([0.0, 2.0, 4.0, 4.0, 2.0, 0.0])
+    py = np.array([0.0, 2.0, 0.0, 4.0, 2.0, 4.0])
+    assert rings_self_intersect(px, py, np.array([0, 6]))[0]
+    xs, ys, offs, src = repair_rings(px, py, np.array([0, 6]))
+    n_out = len(offs) - 1
+    assert n_out == 2
+    for i in range(n_out):
+        rx = xs[offs[i]:offs[i + 1]]
+        ry = ys[offs[i]:offs[i + 1]]
+        a2 = np.sum(rx * np.roll(ry, -1) - np.roll(rx, -1) * ry)
+        assert abs(a2) / 2 == 4.0     # each lobe is a 4-unit triangle
+
+
 def test_brute_force_zero_query_no_nan(ray_session):
     import ray.data as rd
 
