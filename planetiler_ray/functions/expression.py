@@ -54,7 +54,10 @@ def match_any(field: str, values: list[str]) -> Expr:
             m = pc.ends_with(col, sub)
             mask = m if mask is None else pc.or_(mask, m)
         if mask is None:
-            mask = pa.chunked_array([pa.array([False] * t.num_rows)])
+            # typed bool, not null-type: a 0-row batch's untyped empty
+            # array crashes fill_null/and_/invert downstream
+            mask = pa.chunked_array([pa.array([False] * t.num_rows,
+                                              pa.bool_())])
         return pc.fill_null(mask, False)
 
     return fn
@@ -106,5 +109,7 @@ def not_(expr: Expr) -> Expr:
     return fn
 
 
-TRUE: Expr = lambda t: pa.chunked_array([pa.array([True] * t.num_rows)])
-FALSE: Expr = lambda t: pa.chunked_array([pa.array([False] * t.num_rows)])
+TRUE: Expr = lambda t: pa.chunked_array(
+    [pa.array([True] * t.num_rows, pa.bool_())])
+FALSE: Expr = lambda t: pa.chunked_array(
+    [pa.array([False] * t.num_rows, pa.bool_())])

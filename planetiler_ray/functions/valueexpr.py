@@ -55,6 +55,43 @@ def is_script(obj) -> bool:
     return isinstance(obj, str) and _SCRIPT_RE.match(obj) is not None
 
 
+def _cel_bool_ops(src: str) -> str:
+    """Rewrite CEL's ``&&``/``||`` to python ``and``/``or`` OUTSIDE
+    string literals — a blanket re.sub would corrupt regex patterns and
+    string constants containing the operators ("Main && Co")."""
+    out = []
+    i, n = 0, len(src)
+    q = None
+    while i < n:
+        c = src[i]
+        if q is not None:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(src[i + 1])
+                i += 2
+                continue
+            if c == q:
+                q = None
+            i += 1
+            continue
+        if c in "\"'":
+            q = c
+            out.append(c)
+            i += 1
+            continue
+        if src.startswith("&&", i):
+            out.append(" and ")
+            i += 2
+            continue
+        if src.startswith("||", i):
+            out.append(" or ")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def script_tag_keys(obj) -> set:
     """Tag keys (bare identifiers) referenced inside a ``${...}``
     script — the single source of truth for which names are FUNCTIONS
@@ -66,8 +103,7 @@ def script_tag_keys(obj) -> set:
     m = _SCRIPT_RE.match(obj) if isinstance(obj, str) else None
     if m is None:
         return set()
-    src = re.sub(r"&&", " and ", m.group(1))
-    src = re.sub(r"\|\|", " or ", src)
+    src = _cel_bool_ops(m.group(1))
     try:
         tree = _ast.parse(src.strip(), mode="eval")
     except SyntaxError:
@@ -85,6 +121,19 @@ def unescape(obj):
     return obj
 
 
+def _to_f64(arr: pa.Array) -> pa.Array:
+    """To float64 with the reference's ``TypeConversion`` semantics:
+    an unparseable string value becomes NULL instead of raising (one
+    ``height="unknown"`` tag must not kill the whole Ray task)."""
+    try:
+        return pc.cast(arr, pa.float64(), safe=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        import pandas as pd
+
+        return pa.array(pd.to_numeric(arr.to_pandas(), errors="coerce"),
+                        type=pa.float64(), from_pandas=True)
+
+
 def _cast(arr: pa.Array, dtype: str) -> pa.Array:
     if dtype == "string":
         return pc.cast(arr, pa.string())
@@ -92,10 +141,11 @@ def _cast(arr: pa.Array, dtype: str) -> pa.Array:
         t = pa.int32() if dtype == "integer" else pa.int64()
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
             # numeric strings may carry decimals: go through double
-            arr = pc.cast(arr, pa.float64())
-            arr = pc.trunc(arr)
+            arr = pc.trunc(_to_f64(arr))
         return pc.cast(arr, t, safe=False)
     if dtype == "double":
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            return _to_f64(arr)
         return pc.cast(arr, pa.float64())
     if dtype == "boolean":
         if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
@@ -121,10 +171,18 @@ class _ScriptCompiler(ast.NodeVisitor):
               "coalesce", "min2", "max2", "concat",
               "matches", "replaceRegex", "extractRegex", "nullif"}
 
+    # (min_args, max_args) per function — under/over-supplied calls must
+    # fail HERE with the function named, not per batch inside a Ray task
+    _ARITY = {"num": (1, 1), "str": (1, 1), "upper": (1, 1),
+              "lower": (1, 1), "len": (1, 1), "abs": (1, 1),
+              "round": (1, 2), "coalesce": (1, None), "min2": (2, 2),
+              "max2": (2, 2), "concat": (1, None), "matches": (2, 2),
+              "replaceRegex": (3, 3), "extractRegex": (2, 2),
+              "nullif": (2, 2)}
+
     def compile(self, src: str):
-        # accept CEL boolean operators
-        src = re.sub(r"&&", " and ", src)
-        src = re.sub(r"\|\|", " or ", src)
+        # accept CEL boolean operators (outside string literals)
+        src = _cel_bool_ops(src)
         tree = ast.parse(src.strip(), mode="eval")
         for node in ast.walk(tree):
             ok = isinstance(node, (
@@ -136,10 +194,21 @@ class _ScriptCompiler(ast.NodeVisitor):
             if not ok:
                 raise ValueError(
                     f"unsupported script syntax: {ast.dump(node)[:60]}")
+            if isinstance(node, ast.Compare) and len(node.ops) != 1:
+                raise ValueError(
+                    "chained comparisons are not supported — write "
+                    "(a < b) && (b < c)")
             if isinstance(node, ast.Call):
                 if not (isinstance(node.func, ast.Name)
                         and node.func.id in self._FUNCS):
                     raise ValueError("unsupported function in script")
+                lo, hi = self._ARITY[node.func.id]
+                if len(node.args) < lo or (hi is not None
+                                           and len(node.args) > hi):
+                    raise ValueError(
+                        f"{node.func.id}() takes "
+                        f"{lo if hi == lo else f'{lo}..{hi or chr(8734)}'}"
+                        f" arguments, got {len(node.args)}")
                 # args read as literals at eval time must BE literals —
                 # fail here with the function named, not per-batch
                 # inside a Ray task with an opaque AttributeError
@@ -197,10 +266,11 @@ def _eval_node(node, tbl: pa.Table):
             return pc.binary_join_element_wise(
                 pc.cast(left, pa.string()), pc.cast(right, pa.string()), "")
         left, right = _numeric_align(left, right)
+        # % is TRUNCATED modulo (CEL / Java): -7 % 3 == -1, not floor's 2
         op = {ast.Add: pc.add, ast.Sub: pc.subtract,
               ast.Mult: pc.multiply, ast.Div: pc.divide,
               ast.Mod: lambda a, b: pc.subtract(
-                  a, pc.multiply(pc.floor(pc.divide(a, b)), b))}[
+                  a, pc.multiply(pc.trunc(pc.divide(a, b)), b))}[
                       type(node.op)]
         return op(left, right)
     if isinstance(node, ast.Call):
@@ -211,7 +281,7 @@ def _eval_node(node, tbl: pa.Table):
                   "extractRegex": 1, "round": 1}.get(name, len(node.args))
         args = [_eval_node(a, tbl) for a in node.args[:n_eval]]
         if name == "num":
-            return pc.cast(args[0], pa.float64(), safe=False)
+            return _to_f64(args[0])
         if name == "str":
             return pc.cast(args[0], pa.string())
         if name == "upper":
@@ -281,14 +351,10 @@ def _numeric_align(left, right):
     numeric-looking string column meets a number."""
     if _is_str_arr(left) and _is_str_arr(right):
         return left, right
-    if _is_str_arr(left):
-        left = pc.cast(left, pa.float64(), safe=False)
-    if _is_str_arr(right):
-        right = pc.cast(right, pa.float64(), safe=False)
     if not pa.types.is_float64(left.type):
-        left = pc.cast(left, pa.float64(), safe=False)
+        left = _to_f64(left)
     if not pa.types.is_float64(right.type):
-        right = pc.cast(right, pa.float64(), safe=False)
+        right = _to_f64(right)
     return left, right
 
 

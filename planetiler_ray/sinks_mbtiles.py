@@ -60,6 +60,11 @@ def write_mbtiles(tiles: "ray.data.Dataset", path: str,
             "version": "1", **(metadata or {})}
     if vector_layers is not None:
         meta["json"] = json.dumps({"vector_layers": vector_layers})
+    elif meta.get("format") == "pbf" and "json" not in meta:
+        # MBTiles 1.3 REQUIRES the json row (vector_layers) for pbf
+        # archives — consumers refuse archives without it, so write an
+        # empty one when the caller gave no layer stats
+        meta["json"] = json.dumps({"vector_layers": []})
     cur.executemany("INSERT INTO metadata VALUES (?, ?)",
                     [(k, str(v)) for k, v in meta.items()])
 

@@ -74,12 +74,26 @@ class CheckpointStore:
 
     def write_partition(self, part: int, table: pa.Table, n_fragments: int,
                         wall_sec: float, fingerprint: int) -> dict:
-        """Atomically persist one partition's output + lineage row."""
+        """Atomically persist one partition's output + lineage row.
+
+        Durable commit order: data bytes fsynced → renamed → directory
+        fsynced → lineage fsynced → renamed → directory fsynced, so the
+        ``lineage.json`` done-marker can never survive a crash that
+        lost the data bytes.  Tmp names carry the writer's pid so a Ray
+        retry racing a zombie original task can't interleave writes
+        into one file — the loser's rename just installs its own
+        complete copy.
+        """
         d = self.part_dir(part)
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, ".data.parquet.tmp")
-        pq.write_table(table, tmp)
+        suffix = f".tmp.{os.getpid()}"
+        tmp = os.path.join(d, ".data.parquet" + suffix)
+        with open(tmp, "wb") as f:
+            pq.write_table(table, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(d, "data.parquet"))
+        self._fsync_dir(d)
         lineage = {
             "part": part,
             "n_fragments": int(n_fragments),
@@ -88,11 +102,25 @@ class CheckpointStore:
             "wall_sec": round(wall_sec, 4),
             "ts": time.time(),
         }
-        tmp = os.path.join(d, ".lineage.json.tmp")
+        tmp = os.path.join(d, ".lineage.json" + suffix)
         with open(tmp, "w") as f:
             json.dump(lineage, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(d, "lineage.json"))
+        self._fsync_dir(d)
         return lineage
+
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:           # platforms without directory fds
+            return
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     def read_lineage(self) -> list[dict]:
         out = []

@@ -103,9 +103,22 @@ def estimate_pyramid(images, cfg, num_partitions: int,
     k = int(min(sample_rows, n_rows))
     frag_rows = 0
     if k > 0:
-        refs = images.select_columns(["image_id"]).limit(k).to_arrow_refs()
-        tbl = pa.concat_tables([ray.get(r) for r in refs])
-        frag_rows = render_fanout(georef_batch(tbl), cfg,
+        # evenly-spaced rows from EVERY batch, not limit(k): inputs are
+        # usually hilbert/id-sorted, so a head sample measures one
+        # region's fan-out and extrapolates it to the planet
+        stride = max(1, int(n_rows) // k)
+
+        def spread(b: pa.Table) -> pa.Table:
+            return b.take(pa.array(np.arange(0, b.num_rows, stride)))
+
+        sampled = pa.concat_tables(
+            [ray.get(r) for r in images.select_columns(["image_id"])
+             .map_batches(spread, batch_format="pyarrow").to_arrow_refs()])
+        if sampled.num_rows > k:
+            sampled = sampled.take(pa.array(
+                np.linspace(0, sampled.num_rows - 1, k).astype(np.int64)))
+        k = sampled.num_rows
+        frag_rows = render_fanout(georef_batch(sampled), cfg,
                                   slim=True).num_rows
     factor = frag_rows / max(k, 1)
     total_frags = int(n_rows * factor)

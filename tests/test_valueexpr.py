@@ -268,3 +268,61 @@ def test_script_regex_and_conditionals():
     assert script_tag_keys(
         '${ replaceRegex(ref, "x", "y") if matches(name, "z") else nullif(a, b) }'
     ) == {"ref", "name", "a", "b"}
+
+
+def test_review_r5b_script_hardening():
+    """Round-5 review fixes: chained comparisons refused, && preserved
+    inside string literals, dirty numeric strings become null, CEL
+    truncated modulo, arity checked at compile time."""
+    t = pa.table({
+        "name": pa.array(["Main && Co", "Other", "A&&B"]),
+        "height": pa.array(["12", "unknown", ""]),
+        "v": pa.array([-7.0, 7.0, -7.0]),
+    })
+
+    # chained comparison: silent mis-evaluation refused at compile
+    with pytest.raises(ValueError, match="chained"):
+        compile_value_expression("${ 0 < v < 10000 }")
+
+    # && inside a string LITERAL must not be rewritten to " and "
+    eq = compile_value_expression('${ name == "Main && Co" }')
+    assert eq(t).to_pylist() == [True, False, False]
+    m = compile_value_expression('${ matches(name, "A&&B") }')
+    assert m(t).to_pylist() == [False, False, True]
+
+    # unparseable numeric strings -> null, not ArrowInvalid
+    n = compile_value_expression("${ num(height) }")
+    assert n(t).to_pylist() == [12.0, None, None]
+    gt = compile_value_expression("${ height > 10 }")
+    assert gt(t).to_pylist() == [True, None, None]
+    ci = compile_value_expression({"type": "integer",
+                                   "tag_value": "height"})
+    assert ci(t).to_pylist() == [12, None, None]
+
+    # truncated modulo (CEL/Java): -7 % 3 == -1, not floor's 2
+    md = compile_value_expression("${ v % 3 }")
+    assert md(t).to_pylist() == [-1.0, 1.0, -1.0]
+
+    # arity checked at compile time, not IndexError per batch
+    with pytest.raises(ValueError, match="matches"):
+        compile_value_expression("${ matches(name) }")
+    with pytest.raises(ValueError, match="replaceRegex"):
+        compile_value_expression('${ replaceRegex(name, "x") }')
+
+
+def test_expression_masks_typed_on_empty_batch():
+    """0-row batches must produce bool-typed masks (a null-type empty
+    crashes fill_null / and_ / invert downstream)."""
+    import pyarrow.compute as pc
+
+    from planetiler_ray.functions.expression import (FALSE, TRUE,
+                                                     match_any, not_)
+
+    empty = pa.table({"kind": pa.array([], pa.string())})
+    m = match_any("kind", [])(empty)
+    assert pa.types.is_boolean(m.type)
+    assert pa.types.is_boolean(TRUE(empty).type)
+    assert pa.types.is_boolean(FALSE(empty).type)
+    inv = not_(lambda t: FALSE(t))(empty)
+    assert pa.types.is_boolean(pa.chunked_array([inv]).type
+                               if isinstance(inv, pa.Array) else inv.type)
