@@ -69,7 +69,24 @@ def translate_names(ds: "ray.data.Dataset", index: TranslationIndex,
 
     def apply(batch: pa.Table) -> pa.Table:
         idx: TranslationIndex = ray.get(idx_ref)
-        qids = batch[qid_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # qids arrive as ints, 'Q42'-style strings, or nulls (most OSM
+        # elements carry no wikidata tag) — a plain astype(int64) would
+        # crash on strings and turn NaN into INT64_MIN garbage hits
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        raw = batch[qid_col].combine_chunks() \
+            if isinstance(batch[qid_col], pa.ChunkedArray) \
+            else batch[qid_col]
+        if (pa.types.is_string(raw.type)
+                or pa.types.is_large_string(raw.type)):
+            stripped = pc.utf8_ltrim(raw, characters="Qq")
+            qids = pd.to_numeric(stripped.to_pandas(), errors="coerce") \
+                .fillna(-1).to_numpy(np.int64)
+        else:
+            arr = raw.to_numpy(zero_copy_only=False)
+            bad = np.asarray(pd.isnull(arr))
+            qids = np.where(bad, -1, arr).astype(np.int64)
         for lg in languages:
             wiki = idx.lookup(lg, qids)
             own_col = f"{own_prefix}{lg}"

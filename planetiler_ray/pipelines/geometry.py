@@ -69,6 +69,11 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
     rz_max = (batch["max_zoom"].to_numpy().astype(np.int64)
               if "max_zoom" in batch.schema.names
               else np.full(batch.num_rows, max_zoom, np.int64))
+    # clip to the pipeline's range (as documented): a feature with
+    # max_zoom beyond it must keep its own-max-zoom size-gate escape at
+    # the EFFECTIVE max zoom, not vanish because z == rz_max never fires
+    rz_min = np.clip(rz_min, min_zoom, max_zoom)
+    rz_max = np.clip(rz_max, min_zoom, max_zoom)
     xs_l = batch["xs"].combine_chunks()
     ys_l = batch["ys"].combine_chunks()
     offs = np.asarray(xs_l.offsets.to_numpy(), np.int64)
@@ -119,7 +124,7 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
             continue
         sel_v = np.isin(row_of_v, sel)
         kx, ky = fx[sel_v], fy[sel_v]
-        koffs = np.concatenate([[0], np.cumsum(counts[sel])])
+        rep = np.repeat(np.arange(len(sel)), counts[sel])   # loop-invariant
         for z in range(max_zoom, min_zoom - 1, -1):
             f = float(1 << z)
             # per-feature zoom window; the size gate never drops a
@@ -132,7 +137,9 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
             if not len(gi):
                 continue
             g_counts = counts[sel][gi]
-            g_v = np.isin(np.repeat(np.arange(len(sel)), counts[sel]), gi)
+            g_mask = np.zeros(len(sel), bool)
+            g_mask[gi] = True
+            g_v = g_mask[rep]
             gxv, gyv = kx[g_v] * f, ky[g_v] * f
             g_offs = np.concatenate([[0], np.cumsum(g_counts)])
             src_rows = sel[gi]
@@ -178,7 +185,8 @@ def _fanout(batch: pa.Table, min_zoom: int, max_zoom: int, buffer: float,
                 "vx": pa.array([], pa.list_(pa.float32())),
                 "vy": pa.array([], pa.list_(pa.float32()))}
         for a in attr_cols:
-            cols[a] = pa.array([], pa.string())
+            cols[a] = pa.array([], batch[a].type
+                               if a in batch.schema.names else pa.string())
         return pa.table(cols)
 
     nv = np.concatenate(out_nv)
@@ -241,8 +249,10 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
     vy = vy_l.flatten().to_numpy().astype(np.float64)
     attr_arrays = {a: lines[a].to_numpy(zero_copy_only=False)
                    for a in attr_cols}
-    # group key: (tile, attr values) — identical-attr merge semantics
-    ginv = _attr_group_codes(tid, attr_arrays, attr_cols)
+    # group key: (tile, LAYER, attr values) — merges never cross MVT
+    # layers (tile ids < 2^55, layer int8 >= 0: the pack is collision-free)
+    ginv = _attr_group_codes(tid * np.int64(256) + lay, attr_arrays,
+                             attr_cols)
     rows = {"tile_id": [], "z": [], "layer": [], "kind": [], "geom_id": [],
             "is_fill": [], "vx": [], "vy": [], "nv": []}
     z_arr = lines["z"].to_numpy()
@@ -290,17 +300,19 @@ def _merge_tile_lines(grp: pa.Table, attr_cols: tuple[str, ...],
             off, pa.array(np.concatenate(rows["vx"]).astype(np.float32))),
         "vy": pa.ListArray.from_arrays(
             off, pa.array(np.concatenate(rows["vy"]).astype(np.float32))),
-        **{a: pa.array(list(rows[a]), pa.string()) for a in attr_cols},
+        **{a: pa.array(list(rows[a]),
+                       lines.schema.field(a).type) for a in attr_cols},
     })
     return pa.concat_tables([keep.select(merged_tbl.column_names),
                              merged_tbl]).combine_chunks()
 
 
-def _attr_group_codes(tid: np.ndarray, attr_arrays: dict,
+def _attr_group_codes(key: np.ndarray, attr_arrays: dict,
                       attr_cols: tuple[str, ...]) -> np.ndarray:
-    """(tile, attr values…) → dense group codes via pairwise integer
-    factorization (identical-attr merge semantics, no per-row Python)."""
-    ginv = np.unique(tid, return_inverse=True)[1]
+    """(packed tile/layer key, attr values…) → dense group codes via
+    pairwise integer factorization (identical-attr merge semantics, no
+    per-row Python)."""
+    ginv = np.unique(key, return_inverse=True)[1]
     for a in attr_cols:
         col = attr_arrays[a]
         if col.dtype == object:
@@ -338,9 +350,11 @@ def _merge_tile_polys(grp: pa.Table, attr_cols: tuple[str, ...],
     voff = np.asarray(vx_l.offsets.to_numpy(), np.int64)
     vx = vx_l.flatten().to_numpy().astype(np.float64)
     vy = vy_l.flatten().to_numpy().astype(np.float64)
-    ginv = _attr_group_codes(tid, attr_arrays, attr_cols)
-    z_arr = polys["z"].to_numpy()
     lay = polys["layer"].to_numpy()
+    # (tile, LAYER, attrs) key — merges never cross MVT layers
+    ginv = _attr_group_codes(tid * np.int64(256) + lay, attr_arrays,
+                             attr_cols)
+    z_arr = polys["z"].to_numpy()
     rows = {"tile_id": [], "z": [], "layer": [], "kind": [], "geom_id": [],
             "is_fill": [], "vx": [], "vy": [], "nv": []}
     for a in attr_cols:
@@ -385,7 +399,8 @@ def _merge_tile_polys(grp: pa.Table, attr_cols: tuple[str, ...],
             off, pa.array(np.concatenate(rows["vx"]).astype(np.float32))),
         "vy": pa.ListArray.from_arrays(
             off, pa.array(np.concatenate(rows["vy"]).astype(np.float32))),
-        **{a: pa.array(list(rows[a]), pa.string()) for a in attr_cols},
+        **{a: pa.array(list(rows[a]),
+                       polys.schema.field(a).type) for a in attr_cols},
     })
     return pa.concat_tables([keep.select(merged_tbl.column_names),
                              merged_tbl]).combine_chunks()
@@ -451,6 +466,17 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
     x_t, y_t, z_t = tms_decode(utid)
     starts = np.concatenate([[0], np.flatnonzero(np.diff(tid)) + 1])
     counts = np.diff(np.concatenate([starts, [n]]))
+    feat_counts = counts
+    if group is not None:
+        # n_features counts ENCODED features: grouped multi-ring/part
+        # rows collapse into one (the encoder also re-splits groups at
+        # tile/layer boundaries, so count distinct (tile, layer, group));
+        # the content-hash fold below still runs over FRAGMENT rows
+        lay_arr = grp["layer"].to_numpy()
+        new_feat = np.ones(n, bool)
+        new_feat[1:] = ((np.diff(group) != 0) | (np.diff(tid) != 0)
+                        | (np.diff(lay_arr) != 0))
+        feat_counts = np.add.reduceat(new_feat.astype(np.int64), starts)
     # content hash: segmented FNV fold of per-fragment hashes.  The
     # fragment hash folds the QUANTIZED vertex stream (position-weighted
     # XOR — vectorized, order-sensitive), the layer and every attr
@@ -488,7 +514,7 @@ def _encode_tiles(grp: pa.Table, attr_cols: tuple[str, ...],
         "z": pa.array(z_t.astype(np.int8)),
         "x": pa.array(x_t.astype(np.int32)),
         "y": pa.array(y_t.astype(np.int32)),
-        "n_features": pa.array(counts.astype(np.int32)),
+        "n_features": pa.array(feat_counts.astype(np.int32)),
         "content_hash": pa.array(chash.view(np.int64)),
         "mvt_bytes": blobs,
     })

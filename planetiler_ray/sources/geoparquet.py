@@ -120,6 +120,63 @@ def parse_wkb_full(blob: bytes) -> tuple[str, np.ndarray] | None:
     return None
 
 
+def _parse_wkb_at(blob: bytes, pos: int,
+                  out: list[tuple[str, np.ndarray]]) -> int:
+    """Cursor parse of one WKB geometry at ``pos``; appends its parts to
+    ``out`` and returns the end offset.  Multi*/GeometryCollection
+    recurse into their children (one part per child)."""
+    bo = "<" if blob[pos] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", blob, pos + 1)
+    if gtype & ~np.uint32(0xFF):
+        raise ValueError(f"unsupported WKB flags 0x{gtype:x} (Z/M/SRID)")
+    dt = np.dtype(np.float64).newbyteorder(bo)
+    if gtype == _WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", blob, pos + 5)
+        out.append(("point", np.array([[x, y]])))
+        return pos + 21
+    if gtype == 2:                       # LineString
+        (n_pts,) = struct.unpack_from(bo + "I", blob, pos + 5)
+        coords = np.frombuffer(blob, dtype=dt, count=n_pts * 2,
+                               offset=pos + 9).reshape(n_pts, 2)
+        out.append(("line", coords.astype(np.float64)))
+        return pos + 9 + 16 * n_pts
+    if gtype == _WKB_POLYGON:
+        (n_rings,) = struct.unpack_from(bo + "I", blob, pos + 5)
+        p = pos + 9
+        for r in range(n_rings):
+            (n_pts,) = struct.unpack_from(bo + "I", blob, p)
+            if r == 0:                   # outer ring (holes: see full doc)
+                coords = np.frombuffer(blob, dtype=dt, count=n_pts * 2,
+                                       offset=p + 4).reshape(n_pts, 2)
+                if n_pts > 1 and (coords[0] == coords[-1]).all():
+                    coords = coords[:-1]
+                out.append(("polygon", coords.astype(np.float64)))
+            p += 4 + 16 * n_pts
+        return p
+    if gtype in (4, 5, 6, 7):            # Multi* / GeometryCollection
+        (cnt,) = struct.unpack_from(bo + "I", blob, pos + 5)
+        p = pos + 9
+        for _ in range(cnt):
+            p = _parse_wkb_at(blob, p, out)
+        return p
+    raise ValueError(f"unsupported WKB type {gtype}")
+
+
+def parse_wkb_parts(blob: bytes) -> list[tuple[str, np.ndarray]]:
+    """ALL parts of a WKB geometry as ``[(kind, coords), ...]`` —
+    Multi*/GeometryCollection yield one part per child (the reference's
+    readers flatten these the same way; each part becomes one pipeline
+    row sharing the feature's geom_id).  Unsupported inputs yield []."""
+    if blob is None or len(blob) < 5:
+        return []
+    out: list[tuple[str, np.ndarray]] = []
+    try:
+        _parse_wkb_at(blob, 0, out)
+    except (ValueError, struct.error, IndexError):
+        return []
+    return out
+
+
 def read_geoparquet_geometries(paths: str | list[str],
                                id_col: str | None = None,
                                geometry_col: str | None = None,
@@ -152,15 +209,14 @@ def read_geoparquet_geometries(paths: str | list[str],
         blobs = batch[gcol].to_pylist()
         ids, kinds, xs_l, ys_l, keep_rows = [], [], [], [], []
         for i, blob in enumerate(blobs):
-            parsed = parse_wkb_full(blob)
-            if parsed is None:
-                continue  # unsupported geometry — skip-and-count convention
-            kind, coords = parsed
-            ids.append(int(batch[id_col][i].as_py()) if id_col else i)
-            kinds.append(kind)
-            xs_l.append(get_world_x(coords[:, 0]).astype(np.float64))
-            ys_l.append(get_world_y(coords[:, 1]).astype(np.float64))
-            keep_rows.append(i)
+            # Multi* yield one row per part, all sharing the feature's
+            # geom_id (the reduce groups them back into one MVT feature)
+            for kind, coords in parse_wkb_parts(blob):
+                ids.append(int(batch[id_col][i].as_py()) if id_col else i)
+                kinds.append(kind)
+                xs_l.append(get_world_x(coords[:, 0]).astype(np.float64))
+                ys_l.append(get_world_y(coords[:, 1]).astype(np.float64))
+                keep_rows.append(i)
         counts = np.array([len(v) for v in xs_l], np.int32)
         off = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
         flat_x = np.concatenate(xs_l) if xs_l else np.empty(0)

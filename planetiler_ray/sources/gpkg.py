@@ -25,11 +25,17 @@ import pyarrow as pa
 import ray.data
 
 from ..tilemath.projection import get_world_x, get_world_y
-from .geoparquet import parse_wkb_full
+from .geoparquet import parse_wkb_parts
 
 
 def _connect_ro(path: str) -> sqlite3.Connection:
     return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+
+
+def _ident(name: str) -> str:
+    """Double-quote a sqlite identifier — table/column names come from
+    file metadata and may contain spaces or dashes."""
+    return '"' + str(name).replace('"', '""') + '"'
 
 
 def strip_gpkg_header(blob: bytes) -> bytes | None:
@@ -68,9 +74,9 @@ def naturalearth_tables(path: str) -> list[tuple[str, str]]:
             "AND name LIKE 'ne_%'").fetchall()]
         out = []
         for t in names:
-            cols = [c[1].upper() for c in con.execute(f"PRAGMA table_info({t})")]
+            cols = [c[1].upper() for c in con.execute(f"PRAGMA table_info({_ident(t)})")]
             if "GEOMETRY" in cols:
-                real = [c[1] for c in con.execute(f"PRAGMA table_info({t})")
+                real = [c[1] for c in con.execute(f"PRAGMA table_info({_ident(t)})")
                         if c[1].upper() == "GEOMETRY"][0]
                 out.append((t, real))
         return out
@@ -82,15 +88,15 @@ def _geoms_to_table(gids, blobs, attr_arrays: dict, layer: str) -> pa.Table:
     ids, kinds, xs_l, ys_l, keep = [], [], [], [], []
     for i, (gid, blob) in enumerate(zip(gids, blobs)):
         wkb = strip_gpkg_header(blob)
-        parsed = parse_wkb_full(wkb) if wkb else None
-        if parsed is None:
-            continue                     # skip-and-count convention
-        kind, coords = parsed
-        ids.append(int(gid))
-        kinds.append(kind)
-        xs_l.append(get_world_x(coords[:, 0]))
-        ys_l.append(get_world_y(coords[:, 1]))
-        keep.append(i)
+        # Natural Earth / GPKG layers are mostly Multi* — one row per
+        # part, all sharing the feature's geom_id (the reduce groups
+        # them back into one MVT feature)
+        for kind, coords in (parse_wkb_parts(wkb) if wkb else []):
+            ids.append(int(gid))
+            kinds.append(kind)
+            xs_l.append(get_world_x(coords[:, 0]))
+            ys_l.append(get_world_y(coords[:, 1]))
+            keep.append(i)
     counts = np.array([len(v) for v in xs_l], np.int64)
     off = pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
     fx = np.concatenate(xs_l) if xs_l else np.empty(0)
@@ -116,7 +122,8 @@ def _read_sqlite_geoms(path: str, tables: list[tuple[str, str]],
     try:
         for table, gcol in tables:
             lo_hi = con.execute(
-                f"SELECT MIN(rowid), MAX(rowid) FROM {table}").fetchone()
+                "SELECT MIN(rowid), MAX(rowid) "
+                f"FROM {_ident(table)}").fetchone()
             if lo_hi[0] is None:
                 continue
             lo, hi = int(lo_hi[0]), int(lo_hi[1])
@@ -133,9 +140,10 @@ def _read_sqlite_geoms(path: str, tables: list[tuple[str, str]],
         for row in batch.to_pylist():
             c = _connect_ro(row["path"])
             try:
-                sel = ", ".join(["rowid", row["gcol"]] + want)
+                sel = ", ".join(
+                    ["rowid"] + [_ident(c_) for c_ in [row["gcol"]] + want])
                 rows = c.execute(
-                    f"SELECT {sel} FROM {row['table']} "
+                    f"SELECT {sel} FROM {_ident(row['table'])} "
                     f"WHERE rowid BETWEEN ? AND ?",
                     (row["lo"], row["hi"])).fetchall()
             finally:

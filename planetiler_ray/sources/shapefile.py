@@ -139,7 +139,8 @@ def _rows_to_table(rows, attr_cols: dict | None, rec0: int) -> pa.Table:
 
 
 def read_dbf_fields(dbf_path: str):
-    """dBASE III header → (n_rec, head_len, rec_len, [(name, type, len)])."""
+    """dBASE III header → (n_rec, head_len, rec_len,
+    [(name, type, len, decimals)])."""
     with open(dbf_path, "rb") as f:
         head = f.read(32)
         n_rec = int.from_bytes(head[4:8], "little")
@@ -152,7 +153,7 @@ def read_dbf_fields(dbf_path: str):
             if fd[0:1] == b"\x0d":
                 break
             name = fd[0:11].split(b"\x00")[0].decode("ascii", "replace")
-            fields.append((name, chr(fd[11]), fd[16]))
+            fields.append((name, chr(fd[11]), fd[16], fd[17]))
             pos += 32
     return n_rec, head_len, rec_len, fields
 
@@ -168,7 +169,7 @@ def read_dbf_range(dbf_path: str, rec0: int, n: int,
     n_rec, head_len, rec_len, fields = read_dbf_fields(dbf_path)
     n = min(n, n_rec - rec0)
     if n <= 0:
-        return {name: np.empty(0, object) for name, _, _ in fields
+        return {name: np.empty(0, object) for name, _, _, _ in fields
                 if columns is None or name in columns}
     with open(dbf_path, "rb") as f:
         f.seek(head_len + rec0 * rec_len)
@@ -176,7 +177,7 @@ def read_dbf_range(dbf_path: str, rec0: int, n: int,
     mat = np.frombuffer(data[:n * rec_len], dtype="S1").reshape(n, rec_len)
     out_cols = {}
     cur = 1                                   # skip deletion flag
-    for name, ftype, flen in fields:
+    for name, ftype, flen, fdec in fields:
         if columns is not None and name not in columns:
             cur += flen
             continue
@@ -184,8 +185,12 @@ def read_dbf_range(dbf_path: str, rec0: int, n: int,
         txt = np.char.strip(np.char.decode(txt, "latin-1"))
         if ftype in ("N", "F"):
             vals = np.where(txt == "", "0", txt)
-            has_dot = (np.char.find(vals, ".") >= 0).any()
-            col = vals.astype(np.float64) if has_dot else vals.astype(np.int64)
+            # dtype from the FIELD DESCRIPTOR (decimal count), never
+            # from chunk content — an all-blank chunk would otherwise
+            # type int64 while other chunks type float64 and Arrow
+            # schema unification fails across blocks
+            col = (vals.astype(np.float64) if ftype == "F" or fdec > 0
+                   else vals.astype(np.float64).astype(np.int64))
         elif ftype == "L":
             col = np.isin(txt, ["T", "t", "Y", "y"])
         else:

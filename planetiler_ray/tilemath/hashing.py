@@ -25,19 +25,34 @@ def fnv1a_64(data: bytes, init: int | np.uint64 = FNV1_64_INIT) -> np.uint64:
 
 
 def fnv1a_64_strings(strings, max_len: int | None = None) -> np.ndarray:
-    """Vectorized FNV-1a 64 over an array of ASCII strings.
+    """Vectorized FNV-1a 64 over an array of strings (UTF-8 bytes).
 
     Processes column-by-column over the padded byte matrix so the work is
     O(max_len) numpy passes instead of a per-row Python loop.  Rows
     shorter than max_len stop updating once their bytes run out (mask),
-    which reproduces the sequential definition exactly.
+    which reproduces the sequential definition exactly.  Non-ASCII
+    batches take a per-string UTF-8 encode into the same matrix (rare
+    path; ASCII batches keep the zero-copy view and identical hashes —
+    UTF-8 equals ASCII bytes on ASCII input).
     """
-    arr = np.asarray(strings, dtype="S" if max_len is None else f"S{max_len}")
-    if arr.size == 0:
-        return np.empty(0, dtype=np.uint64)
-    width = arr.dtype.itemsize
-    mat = arr.view(np.uint8).reshape(len(arr), width)
-    h = np.full(len(arr), FNV1_64_INIT, dtype=np.uint64)
+    try:
+        arr = np.asarray(strings,
+                         dtype="S" if max_len is None else f"S{max_len}")
+        if arr.size == 0:
+            return np.empty(0, dtype=np.uint64)
+        width = arr.dtype.itemsize
+        mat = arr.view(np.uint8).reshape(len(arr), width)
+    except UnicodeEncodeError:
+        bs = [str(s).encode("utf-8") for s in np.asarray(strings, object)]
+        if max_len is not None:
+            bs = [b[:max_len] for b in bs]
+        if not bs:
+            return np.empty(0, dtype=np.uint64)
+        width = max((len(b) for b in bs), default=1) or 1
+        mat = np.zeros((len(bs), width), np.uint8)
+        for i, b in enumerate(bs):
+            mat[i, :len(b)] = np.frombuffer(b, np.uint8)
+    h = np.full(len(mat), FNV1_64_INIT, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(width):
             col = mat[:, j]

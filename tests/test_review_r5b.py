@@ -337,3 +337,95 @@ def test_ivf_rebuild_cleans_stale_lists(ray_session, tmp_path):
                            nprobe=2).to_pandas()
     # only ids from the REBUILT (16-row) dataset may appear
     assert (res["neighbor_id"] < 16).all()
+
+
+def test_parse_wkb_parts_multipolygon():
+    """Multi* WKB geometries (the standard Natural Earth shape) must
+    yield one part per child instead of being silently dropped."""
+    import struct
+
+    from planetiler_ray.sources.geoparquet import parse_wkb_parts
+
+    def poly(ring):
+        b = struct.pack("<bII", 1, 3, 1) + struct.pack("<I", len(ring))
+        for x, y in ring:
+            b += struct.pack("<dd", x, y)
+        return b
+
+    r1 = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    r2 = [(20, 20), (30, 20), (30, 30), (20, 30), (20, 20)]
+    multi = struct.pack("<bII", 1, 6, 2) + poly(r1) + poly(r2)
+    parts = parse_wkb_parts(multi)
+    assert [k for k, _ in parts] == ["polygon", "polygon"]
+    assert len(parts[0][1]) == 4          # closing vertex dropped
+    assert parts[1][1][0].tolist() == [20.0, 20.0]
+
+    # multilinestring
+    def line(coords):
+        b = struct.pack("<bII", 1, 2, len(coords))
+        for x, y in coords:
+            b += struct.pack("<dd", x, y)
+        return b
+
+    ml = struct.pack("<bII", 1, 5, 2) + line([(0, 0), (1, 1)]) \
+        + line([(2, 2), (3, 3), (4, 4)])
+    parts = parse_wkb_parts(ml)
+    assert [k for k, _ in parts] == ["line", "line"]
+    assert len(parts[1][1]) == 3
+
+    # unsupported flags (Z bit) skip cleanly
+    zpt = struct.pack("<bIdd", 1, 0x80000001, 1.0, 2.0)
+    assert parse_wkb_parts(zpt) == []
+
+
+def test_translate_names_string_and_null_qids(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from planetiler_ray.functions.translations import (TranslationIndex,
+                                                       translate_names)
+
+    idx = TranslationIndex(np.array([42, 7], np.int64),
+                           np.array(["en", "en"], object),
+                           np.array(["Answer", "Seven"], object))
+    t = pa.table({
+        "wikidata_qid": pa.array(["Q42", None, "nonsense", "7"],
+                                 pa.string()),
+        "name": pa.array(["a", "b", "c", "d"]),
+    })
+    out = translate_names(rd.from_arrow(t), idx, ("en",)).to_pandas()
+    vals = [None if pd.isnull(v) else v for v in out["name_en"]]
+    assert vals == ["Answer", None, None, "Seven"]
+
+
+def test_fnv_strings_non_ascii():
+    from planetiler_ray.tilemath.hashing import fnv1a_64_strings
+
+    ascii_only = fnv1a_64_strings(np.array(["cafe", "x"], dtype="U"))
+    mixed = fnv1a_64_strings(np.array(["cafe", "café"], dtype="U"))
+    assert mixed[0] == ascii_only[0]       # ASCII rows hash identically
+    assert mixed[1] != mixed[0]
+
+
+def test_merge_lines_never_cross_layers(ray_session):
+    """Two touching line fragments in the SAME tile but different MVT
+    layers must not merge into one feature."""
+    from planetiler_ray.pipelines.geometry import _merge_tile_lines
+    from planetiler_ray.tilemath.mvt_pb import KIND_LINE
+
+    grp = pa.table({
+        "tile_id": pa.array([99, 99], pa.int64()),
+        "z": pa.array([2, 2], pa.int8()),
+        "layer": pa.array([1, 2], pa.int8()),
+        "kind": pa.array([KIND_LINE, KIND_LINE], pa.int8()),
+        "geom_id": pa.array([10, 20], pa.int64()),
+        "is_fill": pa.array([False, False]),
+        "vx": pa.array([[0.0, 10.0], [10.0, 20.0]], pa.list_(pa.float32())),
+        "vy": pa.array([[0.0, 0.0], [0.0, 0.0]], pa.list_(pa.float32())),
+    })
+    out = _merge_tile_lines(grp, (), {"min_length": 0.0,
+                                      "tolerance": -1.0,
+                                      "stub_min_length": 0.0})
+    df = out.to_pandas()
+    lines = df[df["kind"] == KIND_LINE]
+    assert sorted(lines["layer"].tolist()) == [1, 2]   # NOT merged
