@@ -99,9 +99,9 @@ def osm_rules_from_yaml(path: str) -> list:
         cfg = yaml.safe_load(f)
     rules = []
     for lay in cfg.get("layers", []):
+        from .functions import expression as E
         expr = compile_expression(lay["include_when"]) \
-            if "include_when" in lay else (
-                lambda t: __import__("pyarrow").array([True] * t.num_rows))
+            if "include_when" in lay else E.TRUE   # typed bool, 0-row safe
         # fields referenced anywhere in the boolean tree must be
         # promoted from the tag lists even when not kept as attrs
         def walk(node, acc):

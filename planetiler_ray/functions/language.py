@@ -32,9 +32,13 @@ _EXCLUDED_NAME_KEY = re.compile(
     r"^name:source$|^name:prefix$|^name:suffix$|^name:full$|"
     r"^name:(etymology:)?wikidata$|^name:(etymology:)?wikipedia$")
 
-# valid "name:<lang>" keys: 2-3 letter code with optional region
-# (LanguageUtils.java VALID_NAME_TAGS)
-_VALID_NAME_KEY = re.compile(r"^name:[a-z]{2,3}(-[A-Za-z0-9]{1,8})*$")
+# valid "name:<lang>" keys: 2-3 letter code + optional script + any
+# -/_-separated subtags, case-insensitive — accepts the common OSM
+# romanization keys like name:ja_rm / name:zh_pinyin
+# (LanguageUtils.java VALID_NAME_TAGS semantics)
+_VALID_NAME_KEY = re.compile(
+    r"^name:[a-zA-Z]{2,3}(-[a-zA-Z]{4})?([-_](x-)?[a-zA-Z0-9]{1,8})*$",
+    re.IGNORECASE)
 
 
 def is_valid_name_key(keys) -> np.ndarray:
@@ -179,7 +183,12 @@ class Transliterate:
     def __call__(self, batch: pa.Table, name_col: str = "name") -> pa.Table:
         names = batch[name_col].to_numpy(zero_copy_only=False)
         latin = is_latin(names)
-        translit = np.asarray(self.transliterate(list(names)), object)
-        latin_name = np.where(latin, names, translit)
+        # fold only the NON-latin rows — latin rows keep the original
+        # name, so paying the per-codepoint fold for them is pure waste
+        latin_name = names.copy()
+        todo = np.flatnonzero(~latin)
+        if len(todo):
+            latin_name[todo] = np.asarray(
+                self.transliterate([names[i] for i in todo]), object)
         return batch.append_column("latin_name",
                                    pa.array(latin_name, pa.string()))

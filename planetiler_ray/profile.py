@@ -109,7 +109,9 @@ class LayeredProfile(DefaultProfile):
         parts = []
         handled = None
         for name, fns in self._source_handlers.items():
-            mask = pc.equal(col, name)
+            # null source_layer rows: equal() yields null, which turns
+            # the numpy mask into object-dtype None and breaks | / ~
+            mask = pc.fill_null(pc.equal(col, name), False)
             sub = georef.filter(mask)
             for fn in fns:
                 sub = fn(sub)

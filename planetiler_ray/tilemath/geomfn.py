@@ -109,6 +109,20 @@ def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
     return bool(crosses.sum() % 2)
 
 
+def _points_in_ring(px: np.ndarray, py: np.ndarray,
+                    ring: np.ndarray) -> np.ndarray:
+    """Ray-cast ALL probes at once (probe × edge broadcast — the same
+    shape as ``_dist_to_edges``; bit-identical to the scalar test)."""
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    dy = np.where(yn != y, yn - y, 1e-300)
+    pyc = py[:, None]
+    crosses = ((y[None, :] > pyc) != (yn[None, :] > pyc)) & (
+        px[:, None] < x[None, :] + (pyc - y[None, :]) * (xn - x)[None, :]
+        / dy[None, :])
+    return (crosses.sum(axis=1) % 2).astype(bool)
+
+
 def _dist_to_edges(px: np.ndarray, py: np.ndarray,
                    ring: np.ndarray) -> np.ndarray:
     """Min distance from each probe point to the ring's edges
@@ -171,8 +185,7 @@ def innermost_point(ring: np.ndarray, precision: float = 0.01) -> np.ndarray:
         gx, gy = np.meshgrid(np.linspace(cx - half, cx + half, G),
                              np.linspace(cy - half, cy + half, G))
         px, py = gx.ravel(), gy.ravel()
-        inside = np.array([_point_in_ring(px[i], py[i], r)
-                           for i in range(len(px))])
+        inside = _points_in_ring(px, py, r)
         if inside.any():
             d = np.where(inside, _dist_to_edges(px, py, r), -np.inf)
             i = int(np.argmax(d))
