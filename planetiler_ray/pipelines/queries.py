@@ -290,11 +290,17 @@ def q_labelgrid_topk_z10(sf_dir: str):
     return out.select_columns(["event_id", "x", "y", "sort_key", "rnk"])
 
 
-def _topk_per_tile(tbl: pa.Table, k: int) -> pa.Table:
+def _topk_per_tile(tbl: pa.Table, k: int,
+                   sort_col: str = "sort_key") -> pa.Table:
+    """Grouped rank: keep the k lowest-(sort_col, event_id) rows per
+    (x, y) tile — the shared kernel of the label-grid and kNN queries
+    (only the ranking column differs)."""
+    if tbl.num_rows == 0:
+        return tbl
     x = tbl["x"].to_numpy()
     y = tbl["y"].to_numpy()
     eid = tbl["event_id"].to_numpy()
-    sk = tbl["sort_key"].to_numpy()
+    sk = tbl[sort_col].to_numpy()
     order = np.lexsort((eid, sk, y, x))
     xs, ys, es, ss = x[order], y[order], eid[order], sk[order]
     tile_change = np.empty(len(xs), bool)
@@ -305,7 +311,7 @@ def _topk_per_tile(tbl: pa.Table, k: int) -> pa.Table:
     rank = np.arange(len(xs)) - first[grp]
     m = rank < k
     return pa.table({"event_id": es[m], "x": xs[m], "y": ys[m],
-                     "sort_key": ss[m], "rnk": (rank[m] + 1).astype(np.int64)})
+                     sort_col: ss[m], "rnk": (rank[m] + 1).astype(np.int64)})
 
 
 SQL_LABELGRID_TOPK_Z10 = f"""
@@ -330,23 +336,7 @@ def q_knn_tile_z6(sf_dir: str):
         d2 = (wx - (x + 0.5) / 64) ** 2 + (wy - (y + 0.5) / 64) ** 2
         return pa.table({"event_id": eid, "x": x, "y": y, "d2": d2})
 
-    def topk(tbl: pa.Table, k: int = 3) -> pa.Table:
-        if tbl.num_rows == 0:
-            return tbl
-        x = tbl["x"].to_numpy()
-        y = tbl["y"].to_numpy()
-        eid = tbl["event_id"].to_numpy()
-        d2 = tbl["d2"].to_numpy()
-        order = np.lexsort((eid, d2, y, x))
-        xs, ys, es, ds_ = x[order], y[order], eid[order], d2[order]
-        change = np.empty(len(xs), bool)
-        change[0] = True
-        change[1:] = (np.diff(xs) != 0) | (np.diff(ys) != 0)
-        grp = np.cumsum(change) - 1
-        rank = np.arange(len(xs)) - np.flatnonzero(change)[grp]
-        m = rank < k
-        return pa.table({"event_id": es[m], "x": xs[m], "y": ys[m], "d2": ds_[m],
-                         "rnk": (rank[m] + 1).astype(np.int64)})
+    topk = partial(_topk_per_tile, k=3, sort_col="d2")
 
     def partial_topk(tbl: pa.Table) -> pa.Table:
         part = topk(tbl)
@@ -892,7 +882,8 @@ def q_parse_props(sf_dir: str):
 
 SQL_PARSE_PROPS = """
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
+       CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '[0-9]+')
+                                  AS BIGINT), 0)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -1069,6 +1060,11 @@ def q_trajectory_simplify(sf_dir: str):
         for i in range(u):
             s, e = int(starts[i]), int(ends[i])
             line = np.column_stack([wx[s:e], wy[s:e]])
+            if len(line) < 2:
+                # a single-event user has no segments: the simplify
+                # invariant is vacuously satisfied (oracle: constant ok)
+                ok_arr[i] = True
+                continue
             out = merge_lines([line], tolerance=TOL)
             simp = out[0] if out else line[:0]
             ok = (2 <= len(simp) <= len(line)

@@ -223,10 +223,12 @@ def q_ann_cosine_topk(sf_dir: str):
     import pyarrow.parquet as pq
     from ..stages.ann import brute_force_topk
 
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    qdf = qtbl.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    # predicate pushdown: only the 5 query rows reach the driver, never
+    # the whole embedding table
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 5)]) \
+        .to_pandas().sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = brute_force_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                            queries, qdf["vec_id"].to_numpy(), k=10)
@@ -283,11 +285,25 @@ def q_ann_ivf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     from ..stages.ann import ivf_topk, train_ivf_centroids
 
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).to_pandas()
-    sample = np.stack(qtbl["embedding"].to_numpy()[::3]).astype(np.float64)
+    # bounded training read (first rows, strided ::3): at nprobe ==
+    # n_lists the IVF result equals brute force for ANY quantizer, so
+    # the sample only shapes routing — never pull the whole embedding
+    # table onto the driver for it
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    got = []
+    need = 3072 * 3
+    for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        got.append(b)
+        need -= b.num_rows
+        if need <= 0:
+            break
+    head = pa.Table.from_batches(got).to_pandas()["embedding"].to_numpy()
+    sample = np.stack(head[::3]).astype(np.float64)
     cent = train_ivf_centroids(sample, n_lists=8)
-    qdf = qtbl[qtbl["vec_id"] < 5].sort_values("vec_id")
+    qdf = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 5)]) \
+        .to_pandas().sort_values("vec_id")
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                    queries, qdf["vec_id"].to_numpy(), cent, k=10, nprobe=8)

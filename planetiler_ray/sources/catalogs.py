@@ -206,7 +206,12 @@ def _bbox_intersects(bbox: Iterable[float] | None,
                      bounds: tuple[float, float, float, float]) -> bool:
     if bbox is None:
         return True           # no declared bbox → cannot exclude
-    x0, y0, x1, y1 = list(bbox)[:4]
+    b = list(bbox)
+    if len(b) >= 6:
+        # 3D STAC bbox: [west, south, minElev, east, north, maxElev]
+        x0, y0, x1, y1 = b[0], b[1], b[3], b[4]
+    else:
+        x0, y0, x1, y1 = b[:4]
     bx0, by0, bx1, by1 = bounds
     return not (x1 < bx0 or bx1 < x0 or y1 < by0 or by1 < y0)
 

@@ -20,7 +20,6 @@ discarded.
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from urllib.parse import urlparse
 
@@ -84,20 +83,32 @@ def download(url: str, dest: str, chunk_bytes: int = 16 << 20,
     part = dest + ".part"
     os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
     written = 0
-    with open(part, "wb") as out:
-        inflight: list = []
-        nxt = 0
-        while nxt < len(ranges) or inflight:
-            while nxt < len(ranges) and len(inflight) < window:
-                s, e = ranges[nxt]
-                inflight.append(_fetch_chunk.remote(url, s, e,
-                                                    max_retries, retry_wait))
-                nxt += 1
-            # strictly in-order consumption → sequential writes, at most
-            # `window` chunks alive
-            data = ray.get(inflight.pop(0))
-            out.write(data)
-            written += len(data)
+    try:
+        with open(part, "wb") as out:
+            inflight: list = []
+            nxt = 0
+            try:
+                while nxt < len(ranges) or inflight:
+                    while nxt < len(ranges) and len(inflight) < window:
+                        s, e = ranges[nxt]
+                        inflight.append(_fetch_chunk.remote(
+                            url, s, e, max_retries, retry_wait))
+                        nxt += 1
+                    # strictly in-order consumption → sequential writes,
+                    # at most `window` chunks alive
+                    data = ray.get(inflight.pop(0))
+                    out.write(data)
+                    written += len(data)
+            except BaseException:
+                # a failed chunk must not leave the other in-flight
+                # fetches burning bandwidth/object store
+                for ref in inflight:
+                    ray.cancel(ref, force=True)
+                raise
+    except BaseException:
+        if os.path.exists(part):
+            os.remove(part)                    # no stale .part on disk
+        raise
     if written != size:
         os.remove(part)
         raise IOError(f"assembled {written} bytes, expected {size}")

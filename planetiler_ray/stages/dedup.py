@@ -46,17 +46,29 @@ def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
 
 def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                 text_col: str = "text") -> "ray.data.Dataset":
-    """Keep the lowest id per distinct text (hash-partitioned)."""
+    """Keep the lowest id per distinct text (hash-partitioned).
+
+    The group key is a 128-bit content hash — two independent 64-bit
+    FNV streams (the second over the prefixed text, so an h1 collision
+    does not propagate) — because a single 64-bit key silently merges
+    distinct documents at birthday scale (~billions of docs) while the
+    SQL oracle groups by exact text.  The text itself never shuffles.
+    """
     from ray.data.aggregate import Min
 
     def h(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas().astype(str).to_numpy()
-        hh = fnv1a_64_strings(texts, max_len=max(1, max(map(len, texts), default=1)))
+        width = max(1, max(map(len, texts), default=1))
+        h1 = fnv1a_64_strings(texts, max_len=width)
+        h2 = fnv1a_64_strings(np.char.add("\x01", texts.astype("U")),
+                              max_len=width + 1)
         return pa.table({id_col: batch[id_col],
-                         "text_hash": pa.array(hh.view(np.int64))})
+                         "text_hash": pa.array(h1.view(np.int64)),
+                         "text_hash2": pa.array(h2.view(np.int64))})
 
     return ds.map_batches(h, batch_format="pyarrow") \
-        .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+        .groupby(["text_hash", "text_hash2"]) \
+        .aggregate(Min(id_col, alias_name=id_col))
 
 
 def bounded_triu_pairs(n: int, budget: int) -> tuple[np.ndarray, np.ndarray]:

@@ -44,6 +44,10 @@ class _CounterActor:
         return {"counters": dict(self._counts),
                 "timers": {k: round(v, 6) for k, v in self._timers.items()}}
 
+    def reset(self) -> None:
+        self._counts.clear()
+        self._timers.clear()
+
 
 class RunStats:
     """Picklable handle: local buffers + one flush RPC per batch."""
@@ -54,9 +58,16 @@ class RunStats:
         self._timers: dict[str, float] = defaultdict(float)
 
     @classmethod
-    def create(cls, name: str = "run") -> "RunStats":
+    def create(cls, name: str = "run", reset: bool = False) -> "RunStats":
+        """Get-or-create the named counter actor.
+
+        ``reset=True`` zeroes an actor surviving from an earlier run in
+        the same Ray session — without it a second run's totals would
+        include the first run's counts."""
         actor = _CounterActor.options(
             name=f"planetiler_stats_{name}", get_if_exists=True).remote()
+        if reset:
+            ray.get(actor.reset.remote())
         return cls(actor)
 
     # --- worker-side ---------------------------------------------------
@@ -71,10 +82,13 @@ class RunStats:
         self._timers[timer] += seconds
 
     def flush(self) -> None:
-        """One fire-and-forget RPC carrying everything buffered."""
+        """One BLOCKING RPC carrying everything buffered: a returning
+        task must guarantee its counts landed on the actor, or the
+        driver's end-of-run totals() can execute first and undercount
+        (Ray gives no cross-caller ordering for fire-and-forget)."""
         if self._counts or self._timers:
-            self._actor.add_many.remote(dict(self._counts),
-                                        dict(self._timers))
+            ray.get(self._actor.add_many.remote(dict(self._counts),
+                                                dict(self._timers)))
             self._counts.clear()
             self._timers.clear()
 
