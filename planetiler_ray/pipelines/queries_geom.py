@@ -338,7 +338,9 @@ def q_geo_measures(sf_dir: str):
 # Spherical bbox-ring area: the JPL edge sum over the closed 5-point box
 # ring collapses to 2*(x1-x0)*(sin(y0)-sin(y1)) (radians) — verified
 # against tilemath.measure.ring_area_meters in tests/test_queries_geom.py.
-SQL_GEO_MEASURES = """
+from .sqlgen import _merc_y as _MY  # noqa: E402  (shared exact op order)
+
+SQL_GEO_MEASURES = f"""
 WITH w AS (
     SELECT user_id, event_id, ts,
            ((event_id * 2654435761) % 4294967296) / 4294967296.0 AS wx,
@@ -363,10 +365,8 @@ bb AS (SELECT user_id, min(lon) AS x0, max(lon) AS x1,
 first_pt AS (SELECT user_id, lon, lat FROM o WHERE rn = 1),
 mz AS (SELECT user_id,
               greatest((x1 + 180) / 360 - (x0 + 180) / 360,
-                       abs((0.5 - 0.25 * ln((1 + sin(y0 * pi() / 180))
-                                          / (1 - sin(y0 * pi() / 180))) / pi())
-                         - (0.5 - 0.25 * ln((1 + sin(y1 * pi() / 180))
-                                          / (1 - sin(y1 * pi() / 180))) / pi()))) AS sz,
+                       abs(({_MY('y0')})
+                         - ({_MY('y1')}))) AS sz,
               abs(2 * (x1 - x0) * pi() / 180
                     * (sin(y0 * pi() / 180) - sin(y1 * pi() / 180)))
                 * 6371008.8 * 6371008.8 / 2 AS area_m2
@@ -378,8 +378,7 @@ SELECT f.user_id,
                  ELSE least(15, greatest(0, ceil(log2(1.0 / (mz.sz * 256)))))
             END AS BIGINT) AS min_zoom,
        CAST(trunc(((f.lon + 180) / 360 + 1) * 1073741824) AS BIGINT) * 4294967296
-         + CAST(trunc((0.5 - 0.25 * ln((1 + sin(f.lat * pi() / 180))
-                                     / (1 - sin(f.lat * pi() / 180))) / pi() + 1)
+         + CAST(trunc(({_MY('f.lat')} + 1)
                       * 1073741824) AS BIGINT) AS loc0
 FROM first_pt f
 JOIN mz USING (user_id)
@@ -396,19 +395,21 @@ def q_line_merge_chains(sf_dir: str):
     (scrambled order), run the LoopLineMerger degree-2 chain merge, and
     report per-user merged-line stats.  A path graph must merge back to
     exactly ONE polyline with every vertex — oracle = per-user counts
-    and the window-summed length over the pre-quantized grid."""
+    and the window-summed length (exact-f64 coordinates, injective in
+    event_id so the path can never self-touch)."""
     from ..stages.merge import merge_lines
 
     def pts(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy()
         u = (eid * U_MULT) % (1 << 32)
         v = (eid * V_MULT) % (1 << 32)
-        # pre-quantize to the 1/16-px grid with floor(x*16+0.5)/16 —
-        # deterministic half-up in BOTH numpy and SQL (np.round would
-        # be half-to-even; DuckDB round half-away)
-        px = np.floor(u.astype(np.float64) / TWO32 * 4096 * 16 + 0.5) / 16
-        py = np.floor((0.05 + 0.9 * (v.astype(np.float64) / TWO32))
-                      * 4096 * 16 + 0.5) / 16
+        # exact f64 arithmetic (+,*,/ only — bit-identical in numpy and
+        # SQL) with NO grid quantization: the hash→coordinate map stays
+        # INJECTIVE in event_id, so a path graph can never self-touch
+        # (a quantization collision would create a degree-4 node and
+        # break the merge-to-one-line invariant the oracle asserts)
+        px = u.astype(np.float64) / TWO32 * 4096.0
+        py = (0.05 + 0.9 * (v.astype(np.float64) / TWO32)) * 4096.0
         return pa.table({
             "user_id": batch["user_id"], "ts": batch["ts"], "event_id": eid,
             "px": px, "py": py,
@@ -458,10 +459,10 @@ def q_line_merge_chains(sf_dir: str):
 SQL_LINE_MERGE_CHAINS = """
 WITH w AS (
     SELECT user_id, event_id, ts,
-           floor(((event_id * 2654435761) % 4294967296) / 4294967296.0
-                 * 4096 * 16 + 0.5) / 16 AS px,
-           floor((0.05 + 0.9 * (((event_id * 2246822519) % 4294967296)
-                                / 4294967296.0)) * 4096 * 16 + 0.5) / 16 AS py
+           ((event_id * 2654435761) % 4294967296) / 4294967296.0
+             * 4096 AS px,
+           (0.05 + 0.9 * (((event_id * 2246822519) % 4294967296)
+                          / 4294967296.0)) * 4096 AS py
     FROM events),
 o AS (SELECT user_id, px, py,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
@@ -627,7 +628,7 @@ def q_geojson_roundtrip(sf_dir: str):
     import json
     import os
     import shutil
-    import uuid
+    # (shard names are deterministic; no uuid needed)
 
     from ..sources.geojson import read_geojson
     from ..tilemath.projection import get_world_lon
@@ -659,9 +660,16 @@ def q_geojson_roundtrip(sf_dir: str):
                         "coordinates": [float(lon[i]), float(lat[i])]}
             lines.append(json.dumps({"type": "Feature", "geometry": geom,
                                      "properties": props}))
-        path = os.path.join(out_dir, f"shard-{uuid.uuid4().hex}.ndjson")
-        with open(path, "w") as f:
+        # deterministic name keyed by the batch content + atomic rename:
+        # a Ray task RETRY rewrites the same shard instead of leaving a
+        # duplicate uuid-named file that read_geojson would double-count
+        key = int(eid[0]) if len(eid) else 0
+        path = os.path.join(out_dir,
+                            f"shard-{key:012d}-{len(eid)}.ndjson")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write("\n".join(lines) + "\n")
+        os.replace(tmp, path)
         return pa.table({"n": pa.array([len(lines)], pa.int64())})
 
     n_written = _read(sf_dir, "events", ["event_id"]) \

@@ -166,9 +166,8 @@ s2xyz_{out} AS (SELECT {keys},
     cos(radians({lat_col})) * sin(radians({lon_col})) AS py,
     sin(radians({lat_col})) AS pz FROM {src}),
 s2f0_{out} AS (SELECT {keys}, px, py, pz,
-    CASE WHEN abs(px) >= abs(py)
-         THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END)
-         ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END AS f0
+    CASE WHEN abs(px) > abs(py) AND abs(px) > abs(pz) THEN 0
+         WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END AS f0
     FROM s2xyz_{out}),
 s2face_{out} AS (SELECT {keys}, px, py, pz,
     CASE WHEN (CASE f0 WHEN 0 THEN px WHEN 1 THEN py ELSE pz END) < 0

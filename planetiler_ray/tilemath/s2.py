@@ -51,25 +51,28 @@ def lonlat_to_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray):
 def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     """Cube-face projection: face 0..5 (+x,+y,+z,-x,-y,-z) + (u, v)."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    # largest |component| wins; ties broken x > y > z (matches >= order)
-    face = np.where(ax >= ay,
-                    np.where(ax >= az, 0, 2),
-                    np.where(ay >= az, 1, 2)).astype(np.int64)
+    # largest |component| wins; ties broken like canonical S2's
+    # LargestAbsComponent (strict >): z beats y beats x on equality
+    face = np.where((ax > ay) & (ax > az), 0,
+                    np.where(ay > az, 1, 2)).astype(np.int64)
     major = np.choose(face, [x, y, z])
     face = np.where(major < 0, face + 3, face)
     u = np.empty_like(x)
     v = np.empty_like(x)
-    for f, (ue, ve) in enumerate([(lambda: y / x, lambda: z / x),
-                                  (lambda: -x / y, lambda: z / y),
-                                  (lambda: -x / z, lambda: -y / z),
-                                  (lambda: z / x, lambda: y / x),
-                                  (lambda: z / y, lambda: -x / y),
-                                  (lambda: -y / z, lambda: -x / z)]):
+    specs = [(lambda X, Y, Z: Y / X, lambda X, Y, Z: Z / X),
+             (lambda X, Y, Z: -X / Y, lambda X, Y, Z: Z / Y),
+             (lambda X, Y, Z: -X / Z, lambda X, Y, Z: -Y / Z),
+             (lambda X, Y, Z: Z / X, lambda X, Y, Z: Y / X),
+             (lambda X, Y, Z: Z / Y, lambda X, Y, Z: -X / Y),
+             (lambda X, Y, Z: -Y / Z, lambda X, Y, Z: -X / Z)]
+    # per-face masked division: 2 divisions per element, never 12, and
+    # the face's own major component is nonzero so no errstate needed
+    for f, (ue, ve) in enumerate(specs):
         m = face == f
         if m.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u[m] = ue()[m]
-                v[m] = ve()[m]
+            X, Y, Z = x[m], y[m], z[m]
+            u[m] = ue(X, Y, Z)
+            v[m] = ve(X, Y, Z)
     return face, u, v
 
 
