@@ -6,10 +6,13 @@ The analog of the reference's ``Planetiler.create(args)...run()`` main
 
 Commands:
 
-  synth  --n 10000 --out /tmp/images [--bytes]        # fixture image table
-  build  --input DIR --out DIR [--min-zoom 0] [--max-zoom 14]
-         [--partitions 64] [--format parquet|files|csv|archive] [--resume]
-  join   --input DIR --out DIR [--zoom 14] [--partitions 64]
+  synth     --n 10000 --out /tmp/images [--bytes]     # fixture image table
+  build     --input DIR --out DIR [--min-zoom 0] [--max-zoom 14]
+            [--partitions 64] [--format parquet|files|csv|archive]
+            (re-running with the same --checkpoint dir resumes)
+  join      --input DIR --out DIR [--zoom 14] [--partitions 64]
+  osm       --pbf FILE --profile YAML --out DIR       # OSM → tile archive
+  validate  --spec YAML                               # schema example runner
 """
 
 from __future__ import annotations
@@ -86,8 +89,7 @@ def cmd_build(args) -> dict:
             n = sinks.write_files(tiles, args.out)
             out = {"n_tiles": n}
         elif args.format == "csv":
-            sinks.write_csv(tiles, args.out)
-            out = {"n_tiles": tiles.count()}
+            out = {"n_tiles": sinks.write_csv(tiles, args.out)}
         elif args.format == "archive":
             out = sinks.write_archive(tiles, args.out)
         else:
@@ -115,15 +117,10 @@ def cmd_osm(args) -> dict:
                             num_partitions=args.partitions)
 
     def add_hilbert(batch: pa.Table) -> pa.Table:
-        from .tilemath.tilecoord import hilbert_xy_to_index, zoom_start_index
-        z = batch["z"].to_numpy().astype(np.int64)
-        hil = np.empty(batch.num_rows, np.int64)
-        x = batch["x"].to_numpy().astype(np.int64)
-        y = batch["y"].to_numpy().astype(np.int64)
-        for zz in np.unique(z):
-            m = z == zz
-            hil[m] = zoom_start_index(int(zz)) + \
-                hilbert_xy_to_index(int(zz), x[m], y[m])
+        from .tilemath.tilecoord import hilbert_encode_tiles
+        hil = hilbert_encode_tiles(batch["x"].to_numpy().astype(np.int64),
+                                   batch["y"].to_numpy().astype(np.int64),
+                                   batch["z"].to_numpy().astype(np.int64))
         return batch.append_column("hilbert_id", pa.array(hil))
 
     tiles = tiles.map_batches(add_hilbert, batch_format="pyarrow")
@@ -219,7 +216,8 @@ def main(argv=None) -> int:
 
     if ray.is_initialized():
         ray.shutdown()
-    return 0
+    # schema-spec failures must fail the process (CI gates on exit code)
+    return 1 if result.get("n_failed") else 0
 
 
 if __name__ == "__main__":

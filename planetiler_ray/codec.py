@@ -82,6 +82,12 @@ def phash64(pixels: np.ndarray) -> int:
     """
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
+    if h < 8 or w < 8:
+        # sub-8px images: nearest-pixel upsample to 8x8 (empty block
+        # slices would NaN the median and hash EVERY tiny image to 0)
+        gray = gray[np.minimum(np.arange(8) * h // 8, h - 1)][
+            :, np.minimum(np.arange(8) * w // 8, w - 1)]
+        h = w = 8
     if h % 8 == 0 and w % 8 == 0:
         # fast path: exact 8×8 block means via reshape
         blocks = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))

@@ -100,7 +100,9 @@ def images_parquet(n: int, with_bytes: bool = True, shards: int = 8) -> str:
     Sharded so `ray.data.read_parquet` starts from multiple blocks —
     the stand-in for a multi-file Lance dataset at real scale.
     """
-    key = f"images_n{n}_{'b' if with_bytes else 'nb'}"
+    # v2: version tag so fixture-layout changes can never serve a stale
+    # /tmp cache to later runs (the _DONE marker short-circuits rebuilds)
+    key = f"images_v2_n{n}_{'b' if with_bytes else 'nb'}"
     out = os.path.join(CACHE_DIR, key)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):

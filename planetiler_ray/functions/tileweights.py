@@ -89,8 +89,13 @@ class TileWeights:
             return w
         with gzip.open(path, "rt") as f:
             header = f.readline()
-            assert header.strip().split("\t") == ["z", "x", "y", "loads"]
+            if header.strip().split("\t") != ["z", "x", "y", "loads"]:
+                raise ValueError(
+                    f"{path}: expected TSV header 'z x y loads', got "
+                    f"{header.strip()!r}")
             for line in f:
+                if not line.strip():
+                    continue           # tolerate trailing blank lines
                 z, x, y, loads = line.strip().split("\t")
                 w.put(int(z), int(x), int(y), int(loads))
         return w

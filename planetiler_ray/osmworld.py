@@ -341,7 +341,11 @@ def build_osm_world(path: str, n_docs: int,
         rstrings, [_dense_nodes(nd_ids, nd_lat, nd_lon, [0] * len(nd_ids)),
                    wgroup, rgroup])))
 
-    head = _block(["", "synthetic"], [])
+    # a REAL HeaderBlock (not a PrimitiveBlock StringTable): field 4 =
+    # repeated required_features, field 16 = writingprogram — external
+    # OSM tools parse/validate these; the bbox is optional and omitted
+    head = (_ld(4, b"OsmSchema-V0.6") + _ld(4, b"DenseNodes")
+            + _ld(16, b"planetiler-ray-synthetic"))
     tmp = tempfile.mktemp(dir=os.path.dirname(path) or ".",
                           suffix=".pbf.part")
     with open(tmp, "wb") as f:
@@ -354,8 +358,8 @@ def build_osm_world(path: str, n_docs: int,
 def osm_world_pbf(n_docs: int) -> str:
     """Cached deterministic OSM PBF for a given documents row count."""
     os.makedirs(CACHE_DIR, exist_ok=True)
-    # v4: four relation families (cache name versions the world layout)
-    path = os.path.join(CACHE_DIR, f"osmworld_v4_{n_docs}.pbf")
+    # v5: real HeaderBlock (cache name versions the world layout)
+    path = os.path.join(CACHE_DIR, f"osmworld_v5_{n_docs}.pbf")
     if not os.path.exists(path):
         build_osm_world(path, n_docs)
     return path

@@ -770,7 +770,7 @@ def polygon_fill_archive(px: np.ndarray, py: np.ndarray,
     from ..tilemath.clip import DEFAULT_BUFFER_PX
     from ..tilemath.mvt_pb import KIND_POLY, encode_tile_batch
     from ..tilemath.stripeclip import slice_polygons_striped
-    from ..tilemath.tilecoord import hilbert_encode_tile, tms_decode, tms_encode
+    from ..tilemath.tilecoord import hilbert_encode_tiles, tms_decode, tms_encode
 
     buf = DEFAULT_BUFFER_PX / 256.0
     px = np.asarray(px, np.float64)
@@ -882,10 +882,7 @@ def polygon_fill_archive(px: np.ndarray, py: np.ndarray,
                         vy_l.flatten().to_numpy(), voff),
             feature_group=poly)
         x, y, zz = tms_decode(utid)
-        hil = np.empty(len(utid), np.int64)
-        for z in np.unique(zz):
-            m = zz == z
-            hil[m] = hilbert_encode_tile(x[m], y[m], int(z))
+        hil = hilbert_encode_tiles(x, y, zz)
         return pa.table({
             "tile_id": pa.array(utid),
             "hilbert_id": pa.array(hil),

@@ -111,8 +111,10 @@ def write_files(tiles: "ray.data.Dataset", out_dir: str) -> int:
     return int(res["n"].sum())
 
 
-def write_csv(tiles: "ray.data.Dataset", out_dir: str) -> None:
-    """``x,y,z,base64(gzip(mvt))`` CSV stream (golden-output format)."""
+def write_csv(tiles: "ray.data.Dataset", out_dir: str) -> int:
+    """``x,y,z,base64(gzip(mvt))`` CSV stream (golden-output format).
+    Returns the tile count from the SAME pass — callers must not
+    re-execute the lazy pipeline just to count."""
     def enc(batch: pa.Table) -> pa.Table:
         blobs = _encode_batch(batch)
         return pa.table({
@@ -121,7 +123,9 @@ def write_csv(tiles: "ray.data.Dataset", out_dir: str) -> None:
                                 pa.string()),
         })
 
-    tiles.map_batches(enc, batch_format="pyarrow").write_csv(out_dir)
+    encoded = tiles.map_batches(enc, batch_format="pyarrow").materialize()
+    encoded.write_csv(out_dir)
+    return encoded.count()
 
 
 def dedup_tiles(tiles: "ray.data.Dataset") -> "ray.data.Dataset":

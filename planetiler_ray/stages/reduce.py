@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ..tilemath.hashing import FNV1_64_INIT, FNV1_PRIME_64, fnv1a_64_u64, mix64
 from ..tilemath.mvt import SCALE
-from ..tilemath.tilecoord import hilbert_encode_tile, tms_decode
+from ..tilemath.tilecoord import hilbert_encode_tiles, tms_decode
 from .render import LABEL_GRID_LIMIT
 
 RECORD_DTYPE = np.dtype([
@@ -293,10 +293,7 @@ def _encode_prepared(tile, layer, kind, sort_key, idx, ax, ay, bx, by,
     # zxy + hilbert recomputed from the tile id (slim-shuffle friendly)
     t_ids = tile[starts]
     x_t, y_t, z_t = tms_decode(t_ids)
-    hil_t = np.empty(len(t_ids), np.int64)
-    for zv in np.unique(z_t):
-        mz = z_t == zv
-        hil_t[mz] = hilbert_encode_tile(x_t[mz], y_t[mz], int(zv))
+    hil_t = hilbert_encode_tiles(x_t, y_t, z_t)
 
     # tile_bytes: one slice of the big record buffer per tile (zero-copy arrow)
     buf = rec.tobytes()

@@ -36,7 +36,7 @@ import pyarrow as pa
 from ..tilemath.clip import DEFAULT_BUFFER_PX, slice_boxes, slice_points
 from ..tilemath.extents import TileExtents
 from ..tilemath.labelgrid import label_grid_id
-from ..tilemath.tilecoord import hilbert_encode_tile, tms_encode
+from ..tilemath.tilecoord import hilbert_encode_tiles, tms_encode
 
 LAYER_CHIPS = 0
 LAYER_LABELS = 1
@@ -263,10 +263,7 @@ def render_fanout(batch: pa.Table, cfg: RenderConfig,
         z_arr = z_arr[keep]
         cat = {k: v[keep] for k, v in cat.items()}
     # global hilbert id: per-zoom hilbert index + zoom start offset
-    hil = np.empty(len(tile_id), np.int64)
-    for z in np.unique(z_arr):
-        m = z_arr == z
-        hil[m] = hilbert_encode_tile(cat["x"][m], cat["y"][m], int(z))
+    hil = hilbert_encode_tiles(cat["x"], cat["y"], z_arr)
 
     part = (np.searchsorted(part_bounds, hil, side="right").astype(np.int32)
             if part_bounds is not None else np.zeros(len(hil), np.int32))

@@ -58,6 +58,18 @@ def hilbert_encode_tile(x, y, z: int) -> np.ndarray:
     return zoom_start_index(z) + hilbert_xy_to_index(z, x, y)
 
 
+def hilbert_encode_tiles(x: np.ndarray, y: np.ndarray,
+                         z: np.ndarray) -> np.ndarray:
+    """Mixed-zoom batch form of :func:`hilbert_encode_tile` — the ONE
+    home of the per-unique-z loop (previously copied at every sink and
+    pipeline call site)."""
+    out = np.empty(len(x), np.int64)
+    for zv in np.unique(z):
+        m = z == zv
+        out[m] = hilbert_encode_tile(x[m], y[m], int(zv))
+    return out
+
+
 def hilbert_decode_tile(encoded) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Global Hilbert index → (x, y, z). ``TileCoord.java:68-74``."""
     encoded = np.asarray(encoded, dtype=np.int64)
